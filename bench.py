@@ -1,0 +1,138 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) at $RAY_GRAFT_CPUS (default 32).
+
+Prints ONE JSON line:
+  {"metric": "flagship_sec", "value": <sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "flagship_turns_per_sec": ...}
+
+--scaling: runs the flagship at num_cpus=8 and 32 in fresh processes on
+the same input and reports both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from cleanlab_ray.queries import QUERIES
+
+    # Headline corpus: a deterministic ~630k-turn transcript table
+    # (FIXTURES.md §1 bench knob), generated once and cached under /tmp.
+    n_convs = int(os.environ.get("GRAFT_BENCH_CONVS", "45000"))
+    corpus_dir = f"/tmp/cleanlab_ray_bench/transcripts_n{n_convs}_s42"
+    if not os.path.isdir(corpus_dir) or not os.listdir(corpus_dir):
+        from cleanlab_ray.fixtures.transcripts import write_transcripts
+
+        write_transcripts(corpus_dir, n_convs=n_convs, seed=42, rows_per_file=50_000)
+
+    from cleanlab_ray.pipelines.quality_filter import run_streaming
+
+    # Warm the page cache (untimed) so we measure compute+shuffle, not
+    # first-touch disk reads.
+    import ray.data as rd
+
+    rd.read_parquet(corpus_dir).count()
+
+    timings: dict[str, float] = {}
+
+    # Headline: flagship quality filter (scoring + aggregates + decision)
+    # over the transcript corpus, fully consumed.
+    t0 = time.perf_counter()
+    final, _stats = run_streaming(
+        corpus_dir,
+        concurrency=(1, max(2, num_cpus - 2)),
+        batch_size=8192,
+        columns=["conv_id", "turn_idx", "role", "text", "tool", "ts", "label"],
+    )
+    n_turns = final.count()
+    flagship_sec = time.perf_counter() - t0
+    timings["flagship_quality_filter"] = flagship_sec
+
+    bench_queries = [
+        "pricing_summary",
+        "segment_revenue",
+        "events_hourly",
+        "token_stats",
+        "exact_dedup_documents",
+        "ann_topk",
+        "confident_joint",
+        "conv_pooling",
+        "near_dup_documents",
+    ]
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        res = QUERIES[name](sf_dir)
+        if hasattr(res, "count"):
+            res.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "flagship_sec",
+        "value": round(flagship_sec, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "flagship_turns": n_turns,
+        "flagship_turns_per_sec": round(n_turns / flagship_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = one(8), one(32)
+    tps_lo = lo["flagship_turns_per_sec"]
+    tps_hi = hi["flagship_turns_per_sec"]
+    eff = (tps_hi / tps_lo) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "turns_per_sec_8": tps_lo,
+        "turns_per_sec_32": tps_hi,
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "sf": lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

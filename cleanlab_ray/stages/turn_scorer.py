@@ -1,0 +1,76 @@
+"""Fused per-turn scoring actor — the flagship pipeline's hot stage.
+
+One actor-pool ``map_batches`` pass that applies, in order: heuristic
+features -> PII/toxicity scrub -> language-ID -> perplexity -> fused
+pred_probs -> self-confidence score. Fusing everything into a single
+stateful stage means each Arrow batch crosses the object store once and
+both trigram tables are built once per actor (the cleanlab stateful
+pattern, cf. /root/reference/cleanlab/outlier.py:26-370), instead of
+five separate map stages re-shipping ever-wider batches.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from cleanlab_ray.functions.rank import self_confidence
+from cleanlab_ray.stages.heuristics import heuristic_features
+from cleanlab_ray.stages.langid import LANGS, build_langid_table, langid_probs_arrow
+from cleanlab_ray.stages.perplexity import build_lm_table, perplexity_arrow
+from cleanlab_ray.stages.scoring import K, fused_pred_probs
+from cleanlab_ray.stages.scrub import scrub_batch
+from cleanlab_ray.state.confident import labels_to_numpy
+
+
+class TurnScorer:
+    """Callable class for ``map_batches(TurnScorer, concurrency=N,
+    batch_format="pyarrow")``. Emits all scoring columns plus
+    ``pred_probs`` and (when a ``label`` column is present)
+    ``score_self_confidence``."""
+
+    def __init__(self, text_col: str = "text", label_col: str = "label"):
+        self.langid_table = build_langid_table()
+        self.lm_table = build_lm_table()
+        self.text_col = text_col
+        self.label_col = label_col
+
+    #: columns this stage owns — dropped from the input if present so the
+    #: pipeline is re-runnable over already-scored data
+    OUTPUT_COLS = (
+        "n_chars", "n_tokens", "repetition_ratio", "symbol_ratio", "short_flag",
+        "empty_flag", "scrubbed_text", "lang", "lang_prob_en", "lang_prob_de",
+        "lang_prob_fr", "lang_prob_und", "ppl", "pred_probs", "score_self_confidence",
+    )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        stale = [c for c in self.OUTPUT_COLS if c in batch.column_names]
+        if stale:
+            batch = batch.drop_columns(stale)
+        batch = heuristic_features(batch, self.text_col)
+        batch = scrub_batch(batch, self.text_col)
+        lowered = pc.utf8_lower(pc.fill_null(batch[self.text_col], ""))
+        probs_lang = langid_probs_arrow(self.langid_table, lowered)
+        top = np.argmax(probs_lang, axis=1)
+        lang_codes = np.array(LANGS, dtype=object)
+        batch = batch.append_column("lang", pa.array(lang_codes[top], type=pa.string()))
+        for j, code in enumerate(LANGS):
+            batch = batch.append_column(
+                f"lang_prob_{code}", pa.array(probs_lang[:, j], type=pa.float32())
+            )
+        ppl = perplexity_arrow(self.lm_table, lowered)
+        batch = batch.append_column("ppl", pa.array(ppl, type=pa.float32()))
+
+        probs = fused_pred_probs(batch).astype(np.float32)
+        batch = batch.append_column(
+            "pred_probs",
+            pa.FixedSizeListArray.from_arrays(pa.array(probs.reshape(-1)), K),
+        )
+        if self.label_col in batch.column_names:
+            labels = labels_to_numpy(batch[self.label_col])
+            sc = self_confidence(labels, probs.astype(np.float64))
+            batch = batch.append_column(
+                "score_self_confidence", pa.array(sc.astype(np.float32), type=pa.float32())
+            )
+        return batch

@@ -1,0 +1,70 @@
+"""Dedup: exact keep-first semantics and MinHash-LSH near-dup recovery."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dup_corpus(ray_session):
+    """Corpus with planted exact and near duplicates."""
+    import ray.data as rd
+
+    from cleanlab_ray.fixtures.transcripts import DE_WORDS, EN_WORDS, FR_WORDS
+
+    vocab = np.array(EN_WORDS + DE_WORDS + FR_WORDS)
+    rng = np.random.default_rng(3)
+    base = [" ".join(rng.choice(vocab, 30)) for _ in range(50)]
+    rows = []
+    for i, t in enumerate(base):
+        rows.append({"conv_id": f"c{i:04d}", "turn_idx": 0, "text": t})
+    # exact duplicates of doc 0 (should keep only c0000/0)
+    for j in range(3):
+        rows.append({"conv_id": f"d{j:04d}", "turn_idx": j, "text": base[0]})
+    # near duplicates of doc 1 (one word changed)
+    nd = base[1].split()
+    nd[5] = "CHANGED"
+    rows.append({"conv_id": "n0000", "turn_idx": 0, "text": " ".join(nd)})
+    return rd.from_items(rows), base
+
+
+def test_exact_dedup(dup_corpus):
+    from cleanlab_ray.stages.dedup import exact_dedup
+
+    ds, base = dup_corpus
+    out = exact_dedup(ds).to_pandas()
+    # 50 distinct base texts + 1 near-dup text = 51 distinct contents
+    assert len(out) == 51
+    kept_for_base0 = out[out["text"] == base[0]]
+    assert len(kept_for_base0) == 1
+    assert kept_for_base0.iloc[0]["conv_id"] == "c0000"  # stable minimal key
+
+
+def test_exact_dedup_oracle_equivalence(dup_corpus):
+    from cleanlab_ray.stages.dedup import exact_dedup
+
+    ds, _ = dup_corpus
+    out = (
+        exact_dedup(ds).to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    df = ds.to_pandas().sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    expected = (
+        df.drop_duplicates(subset=["text"], keep="first")
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[expected.columns], expected)
+
+
+def test_near_dup(dup_corpus):
+    from cleanlab_ray.stages.dedup import near_dup_groups
+
+    ds, base = dup_corpus
+    flagged = near_dup_groups(ds, jaccard_threshold=0.7).to_pandas()
+    flagged_keys = set(zip(flagged["conv_id"], flagged["turn_idx"]))
+    # the exact dups and near-dup should be flagged along with their bases
+    assert ("d0000", 0) in flagged_keys
+    assert ("c0000", 0) in flagged_keys
+    assert ("n0000", 0) in flagged_keys and ("c0001", 0) in flagged_keys
+    # unrelated docs should not be flagged en masse
+    assert len(flagged) < 15
