@@ -144,3 +144,71 @@ def oracle_pool_conversations(
             oracle_softmin_pool(s, temperature),
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Prune-filter oracles (filter.py:829-907 semantics, deterministic ties)
+# ---------------------------------------------------------------------------
+
+def oracle_prune_by_class(
+    labels: np.ndarray,
+    pred_probs: np.ndarray,
+    pcm: np.ndarray,
+    keys,
+    min_examples_per_class: int = 1,
+) -> np.ndarray:
+    """Direct full-array _prune_by_class (filter.py:829-864) with
+    (score, key) tie-break. ``keys`` = (conv_id array, turn_idx array)."""
+    conv, turn = keys
+    mask = np.zeros(len(labels), dtype=bool)
+    for c in range(pred_probs.shape[1]):
+        idx = np.nonzero(labels == c)[0]
+        n_c = len(idx)
+        if n_c <= min_examples_per_class:
+            continue
+        t = n_c - int(pcm[c, c])
+        if t < 1:
+            continue
+        sc = pred_probs[idx, c]
+        order = np.lexsort((turn[idx], conv[idx], sc))
+        mask[idx[order[:t]]] = True
+    return mask
+
+
+def oracle_prune_by_count(
+    labels: np.ndarray,
+    pred_probs: np.ndarray,
+    pcm: np.ndarray,
+    keys,
+    min_examples_per_class: int = 1,
+) -> np.ndarray:
+    """Direct full-array _prune_by_count (filter.py:867-907) with
+    (margin desc, key asc) tie-break."""
+    conv, turn = keys
+    k = pred_probs.shape[1]
+    mask = np.zeros(len(labels), dtype=bool)
+    for c in range(k):
+        idx = np.nonzero(labels == c)[0]
+        if len(idx) <= min_examples_per_class:
+            continue
+        for j in range(k):
+            if j == c:
+                continue
+            t = int(pcm[j, c])
+            if t < 1:
+                continue
+            margin = pred_probs[idx, j] - pred_probs[idx, c]
+            order = np.lexsort((turn[idx], conv[idx], -margin))
+            mask[idx[order[:t]]] = True
+    return mask
+
+
+def oracle_confident_learning_mask(labels: np.ndarray, pred_probs: np.ndarray) -> np.ndarray:
+    thresholds = oracle_confident_thresholds(labels, pred_probs)
+    pp_bool = pred_probs >= thresholds - FLOATING_POINT_COMPARISON
+    num_conf = pp_bool.sum(axis=1)
+    at_least_one = num_conf > 0
+    guess = np.where(num_conf > 1, pred_probs.argmax(axis=1), pp_bool.argmax(axis=1))
+    mask = at_least_one & (guess != labels)
+    mask[oracle_reduce_mask(labels, pred_probs)] = False
+    return mask

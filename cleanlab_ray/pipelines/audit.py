@@ -1,0 +1,248 @@
+"""Datalab-parity audit framework: registered issue stages over one Dataset.
+
+Mirrors the reference's Datalab architecture
+(/root/reference/cleanlab/datalab/datalab.py:151,
+datalab/internal/issue_finder.py:232-320,
+datalab/internal/issue_manager/issue_manager.py:67-190): a registry of
+issue types, each stage appending ``is_<type>_issue`` + ``<type>_score``
+columns to the audited Dataset and contributing a dataset-level summary
+row; per-stage failures are caught and reported, not fatal
+(issue_finder.py:315-317).
+
+Engine differences (documented, deliberate):
+- stages transform a shared Ray Dataset (columns appended per batch)
+  instead of mutating a pandas issues frame;
+- the kNN-graph-based managers (outlier-by-features, noniid) use the
+  pred_probs-based scores or LSH approximations — exact global kNN does
+  not scale (SURVEY.md §4.3.2).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+
+from cleanlab_ray.state.confident import (
+    compute_confident_stats,
+    confident_rows,
+    labels_to_numpy,
+    pred_probs_to_numpy,
+    reduce_issues_mask,
+)
+
+KEYS = ("conv_id", "turn_idx")
+
+
+@dataclass
+class AuditResult:
+    dataset: "object"                      # Dataset with issue columns appended
+    summaries: list = field(default_factory=list)  # [{issue_type, num_issues, score}]
+    info: dict = field(default_factory=dict)
+    errors: dict = field(default_factory=dict)
+
+    def summary_frame(self):
+        import pandas as pd
+
+        return pd.DataFrame(self.summaries)
+
+
+# --- individual issue stages ------------------------------------------------
+
+def _label_stage(ds, ctx):
+    """Label issues: confident_learning mask + self-confidence score
+    (datalab/internal/issue_manager/label.py via filter.py semantics)."""
+    stats = ctx["stats"]
+    thresholds = stats.thresholds
+    label_col, probs_col = ctx["label_col"], ctx["probs_col"]
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        labels = labels_to_numpy(batch[label_col])
+        probs = pred_probs_to_numpy(batch[probs_col]).astype(np.float64)
+        at_least_one, guess = confident_rows(labels, probs, thresholds)
+        mask = at_least_one & (guess != labels)
+        mask &= ~reduce_issues_mask(labels, probs)
+        score = probs[np.arange(len(labels)), labels]
+        batch = batch.append_column("is_label_issue", pa.array(mask, type=pa.bool_()))
+        return batch.append_column("label_score", pa.array(score, type=pa.float32()))
+
+    from ray.data.aggregate import Mean, Sum
+
+    out = ds.map_batches(kernel, batch_format="pyarrow")
+    agg = out.aggregate(Sum("is_label_issue", alias_name="n"), Mean("label_score", alias_name="s"))
+    return out, {"issue_type": "label", "num_issues": int(agg["n"]), "score": float(agg["s"])}
+
+
+def _outlier_stage(ds, ctx):
+    """OOD score from pred_probs (outlier.py:482-564, method='entropy',
+    adjust_pred_probs=True); flagged below ``outlier_threshold``."""
+    from cleanlab_ray.functions.numerics import normalized_entropy
+    from cleanlab_ray.functions.rank import subtract_confident_thresholds
+
+    stats = ctx["stats"]
+    thresholds = stats.thresholds
+    cutoff = ctx.get("outlier_threshold", 0.1)
+    probs_col = ctx["probs_col"]
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        probs = pred_probs_to_numpy(batch[probs_col]).astype(np.float64)
+        adj = subtract_confident_thresholds(probs, thresholds)
+        score = 1.0 - normalized_entropy(adj)
+        batch = batch.append_column(
+            "is_outlier_issue", pa.array(score < cutoff, type=pa.bool_())
+        )
+        return batch.append_column("outlier_score", pa.array(score, type=pa.float32()))
+
+    from ray.data.aggregate import Mean, Sum
+
+    out = ds.map_batches(kernel, batch_format="pyarrow")
+    agg = out.aggregate(Sum("is_outlier_issue", alias_name="n"), Mean("outlier_score", alias_name="s"))
+    return out, {"issue_type": "outlier", "num_issues": int(agg["n"]), "score": float(agg["s"])}
+
+
+def _class_imbalance_stage(ds, ctx):
+    """Exact reference semantics (imbalance.py:41-69): rarest class
+    flagged when its prior < threshold/K; score = rarest prior for its
+    rows else 1."""
+    stats = ctx["stats"]
+    label_col = ctx["label_col"]
+    k = stats.num_classes
+    class_probs = stats.label_counts / max(stats.n, 1)
+    rarest = int(np.argmin(class_probs))
+    threshold = ctx.get("imbalance_threshold", 0.1)
+    exists = class_probs[rarest] < threshold * (1.0 / k)
+    rarest_issue = rarest if exists else -1
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        labels = labels_to_numpy(batch[label_col])
+        score = np.where(labels == rarest, class_probs[rarest], 1.0)
+        batch = batch.append_column(
+            "is_class_imbalance_issue", pa.array(labels == rarest_issue, type=pa.bool_())
+        )
+        return batch.append_column(
+            "class_imbalance_score", pa.array(score, type=pa.float32())
+        )
+
+    out = ds.map_batches(kernel, batch_format="pyarrow")
+    n_issues = int(stats.label_counts[rarest]) if exists else 0
+    return out, {
+        "issue_type": "class_imbalance",
+        "num_issues": n_issues,
+        "score": float(class_probs[rarest]),
+    }
+
+
+def _null_stage(ds, ctx):
+    """Per-row null fraction over the audited columns (null.py:36-74):
+    score = non-null fraction; issue = every audited column null."""
+    cols = ctx.get("null_cols")
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        audit_cols = cols or [
+            c for c in batch.column_names
+            if not c.startswith("is_") and not c.endswith("_score")
+        ]
+        null_counts = np.zeros(batch.num_rows, dtype=np.int64)
+        for c in audit_cols:
+            null_counts += pc.is_null(batch[c]).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(audit_cols)
+        score = (n - null_counts) / n
+        batch = batch.append_column(
+            "is_null_issue", pa.array(null_counts == n, type=pa.bool_())
+        )
+        return batch.append_column("null_score", pa.array(score, type=pa.float32()))
+
+    from ray.data.aggregate import Mean, Sum
+
+    out = ds.map_batches(kernel, batch_format="pyarrow")
+    agg = out.aggregate(Sum("is_null_issue", alias_name="n"), Mean("null_score", alias_name="s"))
+    return out, {"issue_type": "null", "num_issues": int(agg["n"]), "score": float(agg["s"])}
+
+
+def _near_duplicate_stage(ds, ctx):
+    """MinHash-LSH near-dup flags joined back by key broadcast
+    (duplicate.py:52-120 semantics, LSH approximation)."""
+    from cleanlab_ray.stages.dedup import near_dup_groups
+
+    text_col = ctx.get("text_col", "text")
+    flagged = near_dup_groups(
+        ds, text_col=text_col, key_cols=KEYS,
+        jaccard_threshold=ctx.get("jaccard_threshold", 0.8),
+    ).to_pandas()
+    keys = set(zip(flagged[KEYS[0]], flagged[KEYS[1]]))
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        k0 = batch[KEYS[0]].to_pylist()
+        k1 = batch[KEYS[1]].to_pylist()
+        mask = np.fromiter(((a, b) in keys for a, b in zip(k0, k1)), dtype=bool, count=len(k0))
+        batch = batch.append_column("is_near_duplicate_issue", pa.array(mask, type=pa.bool_()))
+        return batch.append_column(
+            "near_duplicate_score", pa.array(np.where(mask, 0.0, 1.0), type=pa.float32())
+        )
+
+    out = ds.map_batches(kernel, batch_format="pyarrow")
+    return out, {
+        "issue_type": "near_duplicate",
+        "num_issues": len(keys),
+        "score": float(1.0 - len(keys) / max(ds.count(), 1)),
+    }
+
+
+REGISTRY = {
+    "label": _label_stage,
+    "outlier": _outlier_stage,
+    "class_imbalance": _class_imbalance_stage,
+    "null": _null_stage,
+    "near_duplicate": _near_duplicate_stage,
+}
+
+
+def register_issue_stage(name: str, fn):
+    """User-extension hook (cleanlab's register decorator,
+    issue_manager_factory.py:140-213)."""
+    REGISTRY[name] = fn
+    return fn
+
+
+def find_issues(
+    ds,
+    issue_types: list[str] | dict | None = None,
+    *,
+    num_classes: int = 3,
+    label_col: str = "label",
+    probs_col: str = "pred_probs",
+    **ctx_extra,
+) -> AuditResult:
+    """Run the registered issue stages over a (materialized or
+    parquet-backed) Dataset carrying label + pred_probs columns."""
+    if issue_types is None:
+        issue_types = list(REGISTRY)
+    if isinstance(issue_types, dict):
+        names = list(issue_types)
+        per_type = issue_types
+    else:
+        names = list(issue_types)
+        per_type = {}
+
+    stats = compute_confident_stats(ds, num_classes, label_col, probs_col)
+    ctx = {"stats": stats, "label_col": label_col, "probs_col": probs_col, **ctx_extra}
+
+    result = AuditResult(dataset=ds)
+    result.info["confident_stats"] = stats.to_json_dict()
+    current = ds
+    for name in names:
+        stage = REGISTRY.get(name)
+        if stage is None:
+            result.errors[name] = f"unknown issue type {name!r}"
+            continue
+        stage_ctx = {**ctx, **per_type.get(name, {})}
+        try:
+            current, summary = stage(current, stage_ctx)
+            result.summaries.append(summary)
+        except Exception as exc:  # per-stage failure isolation
+            result.errors[name] = f"{type(exc).__name__}: {exc}"
+    result.dataset = current
+    return result

@@ -70,11 +70,12 @@ def run_streaming(
     concurrency: int | tuple = 4,
     batch_size: int = 8192,
     columns: list[str] | None = None,
+    override_num_blocks: int | None = None,
 ):
     """Returns (final Dataset with keep/drop + scrubbed_text, ConfidentStats)."""
     import ray.data as rd
 
-    ds = rd.read_parquet(input_dir, columns=columns)
+    ds = rd.read_parquet(input_dir, columns=columns, override_num_blocks=override_num_blocks)
     scored = score_turns(ds, concurrency, batch_size).materialize()
     stats = compute_confident_stats(scored, K)
     bin_lo, boundary = resolve_bottom_t(scored, stats.num_issues)

@@ -590,3 +590,160 @@ ORACLE_SQL = {
     "self_confidence": SQL_SELF_CONFIDENCE,
     "confident_joint": SQL_CONFIDENT_JOINT,
 }
+
+
+# ---------------------------------------------------------------------------
+# Multi-annotator consensus (SQL-checked via a derived annotations table)
+# ---------------------------------------------------------------------------
+
+def q_annotator_consensus(sf_dir: str):
+    """Majority-vote consensus over a deterministic long-format
+    annotations table derived from embeddings (example = vec_id // 4,
+    annotator = vec_id % 4, label = label % 3). Tie-breaks: global
+    minority class, then lowest class index — SQL-replicable."""
+    from cleanlab_ray.stages.multiannotator import majority_vote_consensus
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        vec_id = batch["vec_id"].to_numpy(zero_copy_only=False)
+        label = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64) % 3
+        return pa.table(
+            {
+                "conv_id": pa.array((vec_id // 4).astype(str), type=pa.string()),
+                "turn_idx": pa.array(np.zeros(len(vec_id), dtype=np.int32)),
+                "annotator_id": pa.array((vec_id % 4).astype(str), type=pa.string()),
+                "label": pa.array(label, type=pa.int32()),
+            }
+        )
+
+    ann = ds.map_batches(derive, batch_format="pyarrow")
+    consensus, _stats = majority_vote_consensus(ann, num_classes=3)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "example_id": pc.cast(batch["conv_id"], pa.int64()),
+                "consensus_label": pc.cast(batch["consensus_label"], pa.int64()),
+                "num_annotations": pc.cast(batch["num_annotations"], pa.int64()),
+            }
+        )
+
+    return consensus.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_ANNOTATOR_CONSENSUS = """
+WITH ann AS (
+  SELECT vec_id // 4 AS example_id, vec_id % 4 AS annotator_id, label % 3 AS label
+  FROM embeddings),
+counts AS (SELECT example_id, label, count(*) AS c FROM ann GROUP BY 1, 2),
+freq AS (SELECT label, count(*) AS f FROM ann GROUP BY 1),
+modes AS (
+  SELECT example_id, label, c FROM counts
+  QUALIFY c = max(c) OVER (PARTITION BY example_id)),
+pick AS (
+  SELECT m.example_id, m.label,
+         row_number() OVER (PARTITION BY m.example_id ORDER BY f.f ASC, m.label ASC) AS rn
+  FROM modes m JOIN freq f ON m.label = f.label),
+n_ann AS (SELECT example_id, count(*) AS num_annotations FROM ann GROUP BY 1)
+SELECT p.example_id, p.label AS consensus_label, n.num_annotations
+FROM pick p JOIN n_ann n ON p.example_id = n.example_id WHERE p.rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# Rows-only: label-issue filters, audit, health, simhash, fingerprint
+# ---------------------------------------------------------------------------
+
+def _derived_pair_ds(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        labels, probs = _derived_label_probs(batch)
+        vec_id = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "conv_id": pa.array(vec_id.astype(str), type=pa.string()),
+                "turn_idx": pa.array(np.zeros(len(vec_id), dtype=np.int32)),
+                "label": pa.array(labels, type=pa.int64()),
+                "pred_probs": pa.FixedSizeListArray.from_arrays(
+                    pa.array(probs.reshape(-1)), 3
+                ),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow").materialize()
+
+
+def q_prune_by_noise_rate(sf_dir: str):
+    """find_label_issues(filter_by='prune_by_noise_rate') on the derived
+    pair (rows-only: the prune-count matrix math isn't SQL-practical)."""
+    from cleanlab_ray.pipelines.label_issues import find_label_issues
+
+    out, _ = find_label_issues(_derived_pair_ds(sf_dir), filter_by="prune_by_noise_rate")
+    return out.select_columns(["conv_id", "turn_idx", "is_label_issue"])
+
+
+def q_prune_by_class(sf_dir: str):
+    from cleanlab_ray.pipelines.label_issues import find_label_issues
+
+    out, _ = find_label_issues(_derived_pair_ds(sf_dir), filter_by="prune_by_class")
+    return out.select_columns(["conv_id", "turn_idx", "is_label_issue"])
+
+
+def q_audit_summary(sf_dir: str):
+    """Datalab-style audit over the derived pair (rows-only)."""
+    from cleanlab_ray.pipelines.audit import find_issues
+
+    result = find_issues(
+        _derived_pair_ds(sf_dir), ["label", "outlier", "class_imbalance", "null"]
+    )
+    return result.summary_frame()
+
+
+def q_health_summary(sf_dir: str):
+    """Dataset health report (rows-only; K rows, one per class)."""
+    from cleanlab_ray.pipelines.health import rank_classes_by_label_quality
+    from cleanlab_ray.state.confident import compute_confident_stats
+
+    stats = compute_confident_stats(_derived_pair_ds(sf_dir), 3)
+    return rank_classes_by_label_quality(stats)
+
+
+def q_simhash_documents(sf_dir: str):
+    from cleanlab_ray.stages.dedup import simhash_near_dup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return simhash_near_dup(ds, key_cols=("doc_id",))
+
+
+def q_embedding_near_dup(sf_dir: str):
+    from cleanlab_ray.stages.dedup import embedding_near_dup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_near_dup(ds, key_cols=("vec_id",))
+
+
+def q_fingerprint_documents(sf_dir: str):
+    from cleanlab_ray.stages.dedup import add_fingerprint
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(add_fingerprint, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+
+
+QUERIES.update(
+    {
+        "annotator_consensus": q_annotator_consensus,
+        "prune_by_noise_rate": q_prune_by_noise_rate,
+        "prune_by_class": q_prune_by_class,
+        "audit_summary": q_audit_summary,
+        "health_summary": q_health_summary,
+        "simhash_documents": q_simhash_documents,
+        "embedding_near_dup": q_embedding_near_dup,
+        "fingerprint_documents": q_fingerprint_documents,
+    }
+)
+
+ORACLE_SQL["annotator_consensus"] = SQL_ANNOTATOR_CONSENSUS

@@ -172,3 +172,179 @@ def near_dup_groups(
         return out
 
     return flagged.groupby(list(key_cols)).map_groups(collapse, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate detection
+# ---------------------------------------------------------------------------
+
+def _simhash_batch(texts: list[str], shingle_k: int = 4) -> np.ndarray:
+    """64-bit SimHash per text: sign of summed +/-1 bit votes from
+    shingle hashes."""
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        sh = char_shingles(t or "", shingle_k)
+        if len(sh) == 0:
+            continue
+        bits = ((sh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        votes = (2 * bits - 1).sum(axis=0)
+        out[i] = np.bitwise_or.reduce(
+            (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        )
+    return out
+
+
+def simhash_near_dup(
+    ds,
+    text_col: str = "text",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+    bands: int = 4,
+    max_hamming: int = 3,
+    shingle_k: int = 4,
+):
+    """SimHash LSH: 64-bit signature split into ``bands`` 16-bit bands;
+    rows sharing any band bucket are verified by full hamming distance
+    against the bucket's minimal-key row. Returns flagged keys."""
+    bits_per_band = 64 // bands
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        sigs = _simhash_batch(texts, shingle_k)
+        n = len(texts)
+        pdf = batch.to_pandas()
+        tiled = pdf.loc[pdf.index.repeat(bands)].reset_index(drop=True)
+        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+        shifts = (band_ids * bits_per_band).astype(np.uint64)
+        mask = np.uint64((1 << bits_per_band) - 1)
+        band_hash = (np.repeat(sigs, bands) >> shifts) & mask
+        tiled["band_id"] = band_ids
+        tiled["band_hash"] = band_hash.astype(np.int64)
+        tiled["simhash"] = np.repeat(sigs.astype(np.int64), bands)
+        return pa.Table.from_pandas(tiled, preserve_index=False)
+
+    banded = ds.select_columns([*key_cols, text_col]).map_batches(
+        kernel, batch_format="pyarrow"
+    )
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(columns=list(key_cols))
+        g = g.sort_values(list(key_cols), kind="mergesort")
+        sigs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        base = sigs[0]
+        ham = np.array([bin(int(base ^ s)).count("1") for s in sigs])
+        keep = np.nonzero(ham <= max_hamming)[0]
+        if len(keep) < 2:
+            return pd.DataFrame(columns=list(key_cols))
+        return g.iloc[keep][list(key_cols)]
+
+    flagged = banded.groupby(["band_id", "band_hash"]).map_groups(
+        verify_bucket, batch_format="pandas"
+    )
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.iloc[[0]][list(key_cols)].copy()
+        out["is_simhash_dup"] = True
+        return out
+
+    return flagged.groupby(list(key_cols)).map_groups(collapse, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (random-hyperplane LSH)
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup(
+    ds,
+    embedding_col: str = "embedding",
+    key_cols: tuple[str, ...] = ("vec_id",),
+    num_planes: int = 16,
+    num_tables: int = 4,
+    cosine_threshold: float = 0.95,
+    seed: int = 11,
+):
+    """Near-duplicate vectors: ``num_tables`` independent random-hyperplane
+    sign buckets (num_planes bits each) -> groupby bucket -> exact cosine
+    verification against the bucket's minimal-key row."""
+    def make_planes(dim):
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal((num_tables, num_planes, dim))
+
+    planes_cache = {}
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        col = batch[embedding_col].combine_chunks()
+        flat = np.asarray(col.values, dtype=np.float64)
+        mat = flat.reshape(len(col), -1)
+        dim = mat.shape[1]
+        if dim not in planes_cache:
+            planes_cache[dim] = make_planes(dim)
+        planes = planes_cache[dim]
+        pdf = batch.to_pandas()
+        frames = []
+        for t in range(num_tables):
+            signs = (mat @ planes[t].T) > 0          # (B, P)
+            bucket = signs.dot(1 << np.arange(num_planes)).astype(np.int64)
+            f = pdf.copy()
+            f["table_id"] = t
+            f["bucket"] = bucket
+            frames.append(f)
+        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False)
+
+    banded = ds.select_columns([*key_cols, embedding_col]).map_batches(
+        kernel, batch_format="pyarrow"
+    )
+
+    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(columns=list(key_cols))
+        g = g.sort_values(list(key_cols), kind="mergesort")
+        mat = np.stack(g[embedding_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        base = mat[0] / max(norms[0], 1e-300)
+        cs = (mat @ base) / np.maximum(norms, 1e-300)
+        keep = np.nonzero(cs >= cosine_threshold)[0]
+        if len(keep) < 2:
+            return pd.DataFrame(columns=list(key_cols))
+        return g.iloc[keep][list(key_cols)]
+
+    flagged = banded.groupby(["table_id", "bucket"]).map_groups(
+        verify_bucket, batch_format="pandas"
+    )
+
+    def collapse(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.iloc[[0]][list(key_cols)].copy()
+        out["is_embedding_dup"] = True
+        return out
+
+    return flagged.groupby(list(key_cols)).map_groups(collapse, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting (rolling polynomial hash)
+# ---------------------------------------------------------------------------
+
+def add_fingerprint(batch: pa.Table, text_col: str = "text",
+                    out_col: str = "fingerprint") -> pa.Table:
+    """64-bit polynomial rolling hash of the whole text (vectorized
+    Horner evaluation over the concatenated byte buffer)."""
+    import pyarrow.compute as pc
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "").cast(pa.large_string())
+    bufs = col.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64)[col.offset : col.offset + len(col) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[offsets[0] : offsets[-1]]
+    offsets = offsets - offsets[0]
+    out = np.zeros(len(col), dtype=np.uint64)
+    P = np.uint64(1099511628211)
+    for i in range(len(col)):
+        h = np.uint64(14695981039346656037)
+        for b in data[offsets[i] : offsets[i + 1]]:
+            h = h * P ^ np.uint64(b)
+        out[i] = h
+    return batch.append_column(out_col, pa.array(out.astype(np.int64), type=pa.int64()))

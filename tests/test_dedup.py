@@ -68,3 +68,44 @@ def test_near_dup(dup_corpus):
     assert ("n0000", 0) in flagged_keys and ("c0001", 0) in flagged_keys
     # unrelated docs should not be flagged en masse
     assert len(flagged) < 15
+
+
+def test_simhash_near_dup(dup_corpus):
+    from cleanlab_ray.stages.dedup import simhash_near_dup
+
+    ds, base = dup_corpus
+    flagged = simhash_near_dup(ds).to_pandas()
+    keys = set(zip(flagged["conv_id"], flagged["turn_idx"]))
+    # exact duplicates share identical simhash -> must be flagged
+    assert ("c0000", 0) in keys and ("d0000", 0) in keys
+    assert len(flagged) < 20
+
+
+def test_embedding_near_dup(ray_session):
+    import ray.data as rd
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((100, 16)).astype(np.float32)
+    vecs[50] = vecs[0] + 0.001 * rng.standard_normal(16)  # planted near-dup
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(100)]
+    ds = rd.from_items(rows)
+
+    from cleanlab_ray.stages.dedup import embedding_near_dup
+
+    flagged = embedding_near_dup(ds, cosine_threshold=0.98).to_pandas()
+    ids = set(flagged["vec_id"])
+    assert 0 in ids and 50 in ids
+    assert len(ids) < 10
+
+
+def test_fingerprint_deterministic(dup_corpus):
+    import ray.data as rd
+
+    from cleanlab_ray.stages.dedup import add_fingerprint
+
+    ds, base = dup_corpus
+    out = ds.map_batches(add_fingerprint, batch_format="pyarrow").to_pandas()
+    by_text = out.groupby("text")["fingerprint"].nunique()
+    assert (by_text == 1).all()  # same text -> same fingerprint
+    assert out["fingerprint"].nunique() == out["text"].nunique()

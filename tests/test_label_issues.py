@@ -1,0 +1,96 @@
+"""find_label_issues: every filter strategy vs the full-array oracle."""
+
+import numpy as np
+import pytest
+
+from cleanlab_ray.fixtures.oracle import (
+    oracle_confident_learning_mask,
+    oracle_confident_joint,
+    oracle_low_self_confidence_mask,
+    oracle_prune_by_class,
+    oracle_prune_by_count,
+    oracle_reduce_mask,
+)
+from cleanlab_ray.state.prune import keep_at_least_n_per_class
+
+K = 3
+
+
+@pytest.fixture(scope="module")
+def ds_and_arrays(ray_session, corpus_dir, small_corpus):
+    import ray.data as rd
+
+    from cleanlab_ray.state.confident import labels_to_numpy, pred_probs_to_numpy
+
+    ds = rd.read_parquet(
+        corpus_dir, columns=["conv_id", "turn_idx", "label", "pred_probs"]
+    ).materialize()
+    df = ds.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    labels = df["label"].to_numpy().astype(np.int64)
+    probs = np.stack(df["pred_probs"].to_numpy()).astype(np.float64)
+    keys = (df["conv_id"].to_numpy(), df["turn_idx"].to_numpy())
+    return ds, df, labels, probs, keys
+
+
+def _engine_mask(ds, filter_by, **kw):
+    from cleanlab_ray.pipelines.label_issues import find_label_issues
+
+    out, stats = find_label_issues(ds, filter_by=filter_by, num_classes=K, **kw)
+    got = out.to_pandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    return got["is_label_issue"].to_numpy(), stats
+
+
+def test_confident_learning(ds_and_arrays):
+    ds, df, labels, probs, keys = ds_and_arrays
+    mask, _ = _engine_mask(ds, "confident_learning")
+    np.testing.assert_array_equal(mask, oracle_confident_learning_mask(labels, probs))
+
+
+def test_predicted_neq_given(ds_and_arrays):
+    ds, df, labels, probs, keys = ds_and_arrays
+    mask, _ = _engine_mask(ds, "predicted_neq_given")
+    expected = probs.argmax(axis=1) != labels
+    expected[oracle_reduce_mask(labels, probs)] = False
+    np.testing.assert_array_equal(mask, expected)
+
+
+def test_low_self_confidence(ds_and_arrays):
+    ds, df, labels, probs, keys = ds_and_arrays
+    mask, stats = _engine_mask(ds, "low_self_confidence")
+    tie = np.arange(len(labels))
+    expected = oracle_low_self_confidence_mask(labels, probs, tie_break=tie)
+    # identical count and >= 99% agreement (boundary ties may differ)
+    assert mask.sum() == expected.sum()
+    assert (mask == expected).mean() >= 0.999
+
+
+def test_prune_by_class(ds_and_arrays):
+    ds, df, labels, probs, keys = ds_and_arrays
+    cj = oracle_confident_joint(labels, probs)
+    pcm = keep_at_least_n_per_class(cj.T, n=1)
+    expected = oracle_prune_by_class(labels, probs, pcm, keys)
+    expected[oracle_reduce_mask(labels, probs)] = False
+    mask, _ = _engine_mask(ds, "prune_by_class")
+    np.testing.assert_array_equal(mask, expected)
+
+
+def test_prune_by_noise_rate(ds_and_arrays):
+    ds, df, labels, probs, keys = ds_and_arrays
+    cj = oracle_confident_joint(labels, probs)
+    pcm = keep_at_least_n_per_class(cj.T, n=1)
+    expected = oracle_prune_by_count(labels, probs, pcm, keys)
+    expected[oracle_reduce_mask(labels, probs)] = False
+    mask, _ = _engine_mask(ds, "prune_by_noise_rate")
+    np.testing.assert_array_equal(mask, expected)
+
+
+def test_both(ds_and_arrays):
+    ds, df, labels, probs, keys = ds_and_arrays
+    cj = oracle_confident_joint(labels, probs)
+    pcm = keep_at_least_n_per_class(cj.T, n=1)
+    expected = oracle_prune_by_class(labels, probs, pcm, keys) & oracle_prune_by_count(
+        labels, probs, pcm, keys
+    )
+    expected[oracle_reduce_mask(labels, probs)] = False
+    mask, _ = _engine_mask(ds, "both")
+    np.testing.assert_array_equal(mask, expected)
