@@ -115,6 +115,7 @@ def generate_transcripts(
     avg_trace: float = 0.8,
     max_turns: int = 512,
     with_pred_probs: bool = True,
+    conv_offset: int = 0,
 ) -> pa.Table:
     """Build the transcript table (shuffled row order, per FIXTURES.md).
 
@@ -131,7 +132,9 @@ def generate_transcripts(
     n_turns = np.clip(raw, 1, max_turns).astype(np.int64)
     total = int(n_turns.sum())
 
-    conv_ids = np.repeat([f"c{i:08d}" for i in range(n_convs)], n_turns)
+    conv_ids = np.repeat(
+        [f"c{i + conv_offset:08d}" for i in range(n_convs)], n_turns
+    )
     turn_idx = np.concatenate([np.arange(t, dtype=np.int32) for t in n_turns])
     conv_ordinal = np.repeat(np.arange(n_convs), n_turns)
 
@@ -198,4 +201,37 @@ def write_transcripts(
         chunk = table.slice(start, rows_per_file)
         pq.write_table(chunk, os.path.join(out_dir, f"part-{part:05d}.parquet"))
         part += 1
+    return out_dir
+
+
+def write_transcripts_parallel(
+    out_dir: str,
+    n_convs: int,
+    seed: int = 42,
+    shards: int = 16,
+    **kwargs,
+) -> str:
+    """Generate a large corpus as ``shards`` deterministic Ray tasks
+    (shard i seeds its own RNG with seed+i and owns a disjoint conv_id
+    range, so output is independent of shard count only per-shard)."""
+    import os
+
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    per = n_convs // shards
+
+    @ray.remote
+    def _gen(i: int) -> str:
+        import pyarrow.parquet as pq
+
+        count = per if i < shards - 1 else n_convs - per * (shards - 1)
+        table = generate_transcripts(
+            n_convs=count, seed=seed + i, conv_offset=i * per, **kwargs
+        )
+        path = os.path.join(out_dir, f"part-{i:05d}.parquet")
+        pq.write_table(table, path)
+        return path
+
+    ray.get([_gen.remote(i) for i in range(shards)])
     return out_dir

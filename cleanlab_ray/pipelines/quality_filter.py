@@ -43,14 +43,44 @@ from cleanlab_ray.state.confident import ConfidentStats, compute_confident_stats
 K = 3
 
 
-def score_turns(ds, concurrency: int | tuple = 4, batch_size: int = 8192):
-    """The fused scoring stage (actor pool)."""
-    return ds.map_batches(
-        TurnScorer,
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-    )
+def score_turns(
+    ds,
+    concurrency: int | tuple | None = 4,
+    batch_size: int = 8192,
+    keep_input_columns: bool = True,
+):
+    """The fused scoring stage.
+
+    ``concurrency=None`` runs stateless tasks with a per-worker-process
+    cached scorer (lowest overhead on one node); an int/tuple runs a
+    bounded actor pool (the right shape when the model is heavy or
+    per-stage resource isolation matters on a shared cluster).
+
+    ``keep_input_columns=False`` drops the raw ``text``/``role``/
+    ``tool``/``ts`` pass-through columns after scoring — halves the
+    bytes every downstream exchange moves (scrubbed_text is kept).
+    """
+    from cleanlab_ray.stages.turn_scorer import turn_scorer_task
+
+    if concurrency is None:
+        scored = ds.map_batches(
+            turn_scorer_task, batch_format="pyarrow", batch_size=batch_size
+        )
+    else:
+        scored = ds.map_batches(
+            TurnScorer,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+    if not keep_input_columns:
+        scored = scored.map_batches(
+            lambda b: b.drop_columns(
+                [c for c in ("text", "role", "tool", "ts") if c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+    return scored
 
 
 def _decision_columns(bin_lo: float, boundary_keys: set):
@@ -65,6 +95,37 @@ def _decision_columns(bin_lo: float, boundary_keys: set):
     return kernel
 
 
+def _make_fused_pass2_aggfn(k: int, thresholds, num_bins: int, score_col: str):
+    """Pass-2 aggregate fused with the decision histogram: one scan
+    produces [cj (K,K) | n_issues | label_counts (K,) | score hist]."""
+    import numpy as np
+    from ray.data.aggregate import AggregateFn
+
+    from cleanlab_ray.state.confident import cj_partials, labels_to_numpy, pred_probs_to_numpy
+
+    thresholds = np.asarray(thresholds, dtype=np.float64)
+    size = k * k + 1 + k + num_bins + 1
+
+    def accumulate_block(acc, block):
+        labels = labels_to_numpy(block["label"])
+        probs = pred_probs_to_numpy(block["pred_probs"]).astype(np.float64)
+        cj, n_issues, label_counts = cj_partials(labels, probs, thresholds, k)
+        s = block[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.clip((s * num_bins).astype(np.int64), 0, num_bins)
+        hist = np.bincount(idx, minlength=num_bins + 1)
+        partial = np.concatenate([cj.reshape(-1), [n_issues], label_counts, hist]).astype(
+            np.float64
+        )
+        return np.asarray(acc, dtype=np.float64) + partial
+
+    return AggregateFn(
+        init=lambda _: np.zeros(size, dtype=np.float64),
+        accumulate_block=accumulate_block,
+        merge=lambda a, b: np.asarray(a, dtype=np.float64) + np.asarray(b, dtype=np.float64),
+        name="fused_pass2",
+    )
+
+
 def run_streaming(
     input_dir: str,
     concurrency: int | tuple = 4,
@@ -73,12 +134,58 @@ def run_streaming(
     override_num_blocks: int | None = None,
 ):
     """Returns (final Dataset with keep/drop + scrubbed_text, ConfidentStats)."""
+    import numpy as np
     import ray.data as rd
 
+    from cleanlab_ray.stages.decision import DEFAULT_BINS, resolve_bottom_t_from_hist
+    from cleanlab_ray.state.confident import (
+        ConfidentStats,
+        calibrate_confident_joint,
+        estimate_latent,
+        finalize_confident_joint,
+        make_threshold_aggfn,
+        thresholds_from_partials,
+    )
+
     ds = rd.read_parquet(input_dir, columns=columns, override_num_blocks=override_num_blocks)
-    scored = score_turns(ds, concurrency, batch_size).materialize()
-    stats = compute_confident_stats(scored, K)
-    bin_lo, boundary = resolve_bottom_t(scored, stats.num_issues)
+    # Drop raw pass-through columns before materializing: the flagship
+    # output contract is (keys, scrubbed_text, scores, keep) — halving
+    # the materialized bytes keeps two consecutive runs out of
+    # object-store eviction territory.
+    scored = score_turns(
+        ds, concurrency, batch_size, keep_input_columns=False
+    ).materialize()
+
+    # pass 1: confident thresholds
+    acc1 = np.asarray(scored.aggregate(make_threshold_aggfn(K))["threshold_partials"])
+    thresholds = thresholds_from_partials(acc1[:K], acc1[K:].astype(np.int64))
+
+    # pass 2 (fused): confident joint + issue count + decision histogram
+    acc2 = np.asarray(
+        scored.aggregate(
+            _make_fused_pass2_aggfn(K, thresholds, DEFAULT_BINS, "score_self_confidence")
+        )["fused_pass2"]
+    )
+    cj = finalize_confident_joint(acc2[: K * K].astype(np.int64).reshape(K, K))
+    num_issues = int(acc2[K * K])
+    label_counts = acc2[K * K + 1 : K * K + 1 + K].astype(np.int64)
+    hist = acc2[K * K + 1 + K :].astype(np.int64)
+    py, noise_matrix, inv_noise_matrix = estimate_latent(cj, label_counts)
+    stats = ConfidentStats(
+        num_classes=K,
+        n=int(label_counts.sum()),
+        thresholds=thresholds,
+        label_counts=label_counts,
+        confident_joint=cj,
+        calibrated_joint=calibrate_confident_joint(cj, label_counts),
+        num_issues=num_issues,
+        py=py,
+        noise_matrix=noise_matrix,
+        inv_noise_matrix=inv_noise_matrix,
+    )
+
+    # boundary-bin pull (tiny filter pass) + final mask pass
+    bin_lo, boundary = resolve_bottom_t_from_hist(scored, hist, stats.num_issues)
     final = scored.map_batches(
         _decision_columns(bin_lo, boundary), batch_format="pyarrow"
     )

@@ -36,7 +36,7 @@ def _scorer_concurrency():
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return (1, max(2, cpus - 2))
+    return max(2, cpus - 2)
 
 
 def _round_col(batch: pa.Table, name: str, digits: int) -> pa.Table:
@@ -747,3 +747,256 @@ QUERIES.update(
 )
 
 ORACLE_SQL["annotator_consensus"] = SQL_ANNOTATOR_CONSENSUS
+
+
+# ---------------------------------------------------------------------------
+# Per-row aggregators / regression / folds (SQL-checked)
+# ---------------------------------------------------------------------------
+
+def q_ema_scores(sf_dir: str):
+    """Per-row EMA score pool (multilabel_scorer.py:134-203 semantics)
+    over the derived 3-class probabilities; alpha = 2/(K+1) = 0.5."""
+    from cleanlab_ray.functions.aggregators import exponential_moving_average
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        _, probs = _derived_label_probs(batch)
+        ema = exponential_moving_average(probs)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "ema_e6": pa.array(np.round(ema * 1e6).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+SQL_EMA_SCORES = f"""
+WITH derived AS ({_SQL_DERIVED}),
+m AS (
+  SELECT vec_id, greatest(p0, p1, p2) AS m1, least(p0, p1, p2) AS m3,
+         p0 + p1 + p2 - greatest(p0, p1, p2) - least(p0, p1, p2) AS m2
+  FROM derived)
+SELECT vec_id,
+       CAST(round((0.5 * m3 + 0.25 * m2 + 0.25 * m1) * 1000000) AS BIGINT) AS ema_e6
+FROM m
+"""
+
+
+def q_softmin_scores(sf_dir: str):
+    """Per-row softmin pool (multilabel_scorer.py:206-233), T=0.1."""
+    from cleanlab_ray.functions.aggregators import softmin
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        _, probs = _derived_label_probs(batch)
+        sm = softmin(probs, temperature=0.1)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "softmin_e6": pa.array(np.round(sm * 1e6).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+SQL_SOFTMIN_SCORES = f"""
+WITH derived AS ({_SQL_DERIVED}),
+w AS (
+  SELECT vec_id, p0, p1, p2,
+         exp((1 - p0) / 0.1) AS w0, exp((1 - p1) / 0.1) AS w1, exp((1 - p2) / 0.1) AS w2
+  FROM derived)
+SELECT vec_id,
+       CAST(round((p0 * w0 + p1 * w1 + p2 * w2) / (w0 + w1 + w2) * 1000000) AS BIGINT)
+           AS softmin_e6
+FROM w
+"""
+
+
+def q_regression_quality(sf_dir: str):
+    """Regression label-quality score exp(-|pred - y|)
+    (regression/rank.py:90-120) with y = l_extendedprice/10000,
+    pred = l_quantity/10 (deterministic toy pairing)."""
+    from cleanlab_ray.functions.aggregators import residual_score
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        y = batch["l_extendedprice"].to_numpy(zero_copy_only=False) / 10000.0
+        pred = batch["l_quantity"].to_numpy(zero_copy_only=False) / 10.0
+        score = residual_score(y, pred)
+        return pa.table(
+            {
+                "l_orderkey": batch["l_orderkey"],
+                "l_linenumber": batch["l_linenumber"],
+                "quality_e6": pa.array(np.round(score * 1e6).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+SQL_REGRESSION_QUALITY = """
+SELECT l_orderkey, l_linenumber,
+       CAST(round(exp(-abs(l_quantity / 10.0 - l_extendedprice / 10000.0)) * 1000000) AS BIGINT)
+           AS quality_e6
+FROM lineitem
+"""
+
+
+def q_cv_folds(sf_dir: str):
+    """Deterministic hash-fold assignment (cleanlab CV split analogue,
+    count.py:989-997): per-fold row counts."""
+    from cleanlab_ray.functions.aggregators import stratified_hash_folds
+
+    ds = _read(sf_dir, "embeddings", ["vec_id"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        folds = stratified_hash_folds(ids, n_folds=5)
+        return pa.table({"fold": pa.array(folds, type=pa.int64())})
+
+    return (
+        ds.map_batches(kernel, batch_format="pyarrow")
+        .groupby("fold")
+        .count()
+        .map_batches(lambda b: b.rename_columns(["fold", "n"]), batch_format="pyarrow")
+    )
+
+
+SQL_CV_FOLDS = """
+SELECT (vec_id * 2654435761) % 4294967296 % 5 AS fold, count(*) AS n
+FROM embeddings GROUP BY 1
+"""
+
+
+def q_top_issues(sf_dir: str):
+    """find_top_issues (rank.py:369-395): the 20 lowest-quality examples
+    by self-confidence with deterministic tie-break."""
+    return q_self_confidence(sf_dir).sort(["self_confidence_e6", "vec_id"]).limit(20)
+
+
+SQL_TOP_ISSUES = f"""
+WITH derived AS ({_SQL_DERIVED})
+SELECT vec_id,
+       CAST(round((CASE label3 WHEN 0 THEN p0 WHEN 1 THEN p1 ELSE p2 END) * 1000000) AS BIGINT)
+           AS self_confidence_e6
+FROM derived
+ORDER BY self_confidence_e6, vec_id LIMIT 20
+"""
+
+
+def q_ann_lsh(sf_dir: str):
+    """LSH-bucketed ANN (rows-only; approximate by construction)."""
+    import ray
+
+    from cleanlab_ray.stages.ann import ann_lsh
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    first = emb.take(4)
+    queries = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in first])
+    return ann_lsh(emb, queries, k=5)
+
+
+QUERIES.update(
+    {
+        "ema_scores": q_ema_scores,
+        "softmin_scores": q_softmin_scores,
+        "regression_quality": q_regression_quality,
+        "cv_folds": q_cv_folds,
+        "top_issues": q_top_issues,
+        "ann_lsh": q_ann_lsh,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "ema_scores": SQL_EMA_SCORES,
+        "softmin_scores": SQL_SOFTMIN_SCORES,
+        "regression_quality": SQL_REGRESSION_QUALITY,
+        "cv_folds": SQL_CV_FOLDS,
+        "top_issues": SQL_TOP_ISSUES,
+    }
+)
+
+
+def q_bpe_token_stats(sf_dir: str):
+    """BPE-ish tokenization counts: letter runs / digit runs / single
+    symbols as separate tokens (SQL-checked with the same regex)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pattern = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        filled = pc.fill_null(batch["text"], "")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": pc.count_substring_regex(filled, pattern).cast(pa.int64()),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+SQL_BPE_TOKEN_STATS = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+FROM documents
+"""
+
+
+def q_ood_scores(sf_dir: str):
+    """OOD entropy scores with threshold adjustment over the derived
+    pair (cleanlab/outlier.py:482-570). SQL-checkable: thresholds are
+    per-class AVG self-confidence; the adjusted-entropy formula is
+    closed-form."""
+    from cleanlab_ray.stages.outlier import OutOfDistribution
+
+    derived = _derived_pair_ds(sf_dir)
+    ood = OutOfDistribution(method="entropy", adjust_pred_probs=True).fit(derived, 3)
+    out = ood.score(derived)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = batch["ood_score"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch["conv_id"], pa.int64()),
+                "ood_e6": pa.array(np.round(s * 1e6).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_OOD_SCORES = f"""
+WITH derived AS ({_SQL_DERIVED}),
+thresholds AS (
+  SELECT avg(CASE WHEN label3 = 0 THEN p0 END) AS t0,
+         avg(CASE WHEN label3 = 1 THEN p1 END) AS t1,
+         avg(CASE WHEN label3 = 2 THEN p2 END) AS t2
+  FROM derived),
+adj AS (
+  SELECT d.vec_id,
+         d.p0 - t.t0 + greatest(t.t0, t.t1, t.t2) AS a0,
+         d.p1 - t.t1 + greatest(t.t0, t.t1, t.t2) AS a1,
+         d.p2 - t.t2 + greatest(t.t0, t.t1, t.t2) AS a2
+  FROM derived d CROSS JOIN thresholds t),
+norm AS (
+  SELECT vec_id, a0 / (a0+a1+a2) AS q0, a1 / (a0+a1+a2) AS q1, a2 / (a0+a1+a2) AS q2
+  FROM adj)
+SELECT vec_id,
+       CAST(round((1.0 + (
+            CASE WHEN q0 > 0 THEN q0 * ln(q0) ELSE 0 END +
+            CASE WHEN q1 > 0 THEN q1 * ln(q1) ELSE 0 END +
+            CASE WHEN q2 > 0 THEN q2 * ln(q2) ELSE 0 END) / ln(3)) * 1000000) AS BIGINT)
+           AS ood_e6
+FROM norm
+"""
+
+
+QUERIES.update({"bpe_token_stats": q_bpe_token_stats, "ood_scores": q_ood_scores})
+ORACLE_SQL.update({"bpe_token_stats": SQL_BPE_TOKEN_STATS, "ood_scores": SQL_OOD_SCORES})

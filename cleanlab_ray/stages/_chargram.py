@@ -48,12 +48,9 @@ def batch_trigrams(texts: list[bytes]):
     return codes, row_ids
 
 
-def batch_trigrams_arrow(col):
-    """Zero-copy trigram extraction straight from an Arrow string column.
-
-    Reads the UTF-8 data buffer + offsets of the (large_)string array —
-    no per-row Python, no buffer copies. Returns (codes, row_ids).
-    """
+def _arrow_bytes(col):
+    """(data bytes, per-byte row ids, n_rows) zero-copy from an Arrow
+    string column."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -71,15 +68,77 @@ def batch_trigrams_arrow(col):
     offsets = offsets - offsets[0]
     lens = np.diff(offsets)
     n = len(col)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    return data, row_of, n
+
+
+def batch_trigrams_arrow(col):
+    """Zero-copy trigram extraction straight from an Arrow string column.
+
+    Reads the UTF-8 data buffer + offsets of the (large_)string array —
+    no per-row Python, no buffer copies. Returns (codes, row_ids).
+    """
+    data, row_of, n = _arrow_bytes(col)
     if data.size < 3:
         return np.empty(0, np.uint32), np.empty(0, np.int64)
-    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
     valid = row_of[:-2] == row_of[2:]
     a, b, c = data[:-2], data[1:-1], data[2:]
     codes = (
         a.astype(np.uint32) * 65536 + b.astype(np.uint32) * 256 + c.astype(np.uint32)
     )[valid]
     return codes, row_of[:-2][valid]
+
+
+# 256-entry byte remap: space->0, a-z->1..26, digits/punct folded into
+# 27..31. Dense trigram space = 32^3 = 32768 -> direct table indexing
+# (no searchsorted); rare byte collisions just merge model bins.
+_BYTE_REMAP = np.full(256, 27, dtype=np.uint32)
+_BYTE_REMAP[ord(" ")] = 0
+for _c in range(ord("a"), ord("z") + 1):
+    _BYTE_REMAP[_c] = _c - ord("a") + 1
+for _c in range(ord("0"), ord("9") + 1):
+    _BYTE_REMAP[_c] = 28
+for _c in b".,;:!?'\"":
+    _BYTE_REMAP[_c] = 29
+for _c in range(0x80, 0x100):  # non-ASCII (utf-8 continuation/lead bytes)
+    _BYTE_REMAP[_c] = 30 if _c < 0xC0 else 31
+
+_DENSE_SIZE = 32 * 32 * 32
+
+
+class DenseTrigramTable:
+    """Dense (32768, L) log-prob table over remapped byte trigrams —
+    lookup is a single gather, no binary search."""
+
+    def __init__(self, logprobs: np.ndarray):
+        self.logprobs = logprobs  # (32768, L) float64
+        self.oov = logprobs.min(axis=0)  # only used for empty rows
+
+    def lookup(self, codes: np.ndarray) -> np.ndarray:
+        return self.logprobs[codes]
+
+
+def dense_codes(data: np.ndarray, row_of: np.ndarray):
+    """Remapped trigram codes + validity from a byte buffer."""
+    m = _BYTE_REMAP[data]
+    valid = row_of[:-2] == row_of[2:]
+    codes = (m[:-2] * 1024 + m[1:-1] * 32 + m[2:])[valid]
+    return codes, row_of[:-2][valid]
+
+
+def train_dense_table(corpora: list[bytes], alpha: float = 0.5) -> DenseTrigramTable:
+    logprobs = np.zeros((_DENSE_SIZE, len(corpora)))
+    for j, corpus in enumerate(corpora):
+        buf = np.frombuffer(corpus, dtype=np.uint8)
+        if buf.size >= 3:
+            row_of = np.zeros(buf.size, dtype=np.int64)
+            codes, _ = dense_codes(buf, row_of)
+            counts = np.bincount(codes, minlength=_DENSE_SIZE).astype(np.float64)
+        else:
+            counts = np.zeros(_DENSE_SIZE)
+        total = counts.sum() + alpha * _DENSE_SIZE
+        logprobs[:, j] = np.log((counts + alpha) / total)
+    return DenseTrigramTable(logprobs)
 
 
 class TrigramTable:
@@ -125,11 +184,15 @@ def train_trigram_table(corpora: list[bytes], alpha: float = 0.5) -> TrigramTabl
 
 def _accumulate(table: TrigramTable, codes, row_ids, n_rows):
     lp = table.lookup(codes)                      # (M, L)
-    out = np.zeros((n_rows, lp.shape[1]))
-    counts = np.zeros(n_rows)
+    n_cols = lp.shape[1]
+    out = np.zeros((n_rows, n_cols))
     if len(codes):
-        np.add.at(out, row_ids, lp)
-        np.add.at(counts, row_ids, 1.0)
+        # bincount-with-weights is several times faster than np.add.at
+        for col in range(n_cols):
+            out[:, col] = np.bincount(row_ids, weights=lp[:, col], minlength=n_rows)
+        counts = np.bincount(row_ids, minlength=n_rows).astype(np.float64)
+    else:
+        counts = np.zeros(n_rows)
     return out, counts
 
 
@@ -141,7 +204,29 @@ def score_batch(
     return _accumulate(table, codes, row_ids, n_rows)
 
 
-def score_arrow_column(table: TrigramTable, col) -> tuple[np.ndarray, np.ndarray]:
-    """Zero-copy variant of ``score_batch`` over an Arrow string column."""
+def score_arrow_column(table, col) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy variant of ``score_batch`` over an Arrow string column.
+
+    Dense tables take the fast path: remapped direct-index codes +
+    segment-sum via np.add.reduceat (row_ids are nondecreasing by
+    construction)."""
+    if isinstance(table, DenseTrigramTable):
+        data, row_of, n = _arrow_bytes(col)
+        n_cols = table.logprobs.shape[1]
+        if data.size < 3:
+            return np.zeros((n, n_cols)), np.zeros(n)
+        codes, row_ids = dense_codes(data, row_of)
+        m = len(codes)
+        out = np.zeros((n, n_cols))
+        counts = np.zeros(n)
+        if m:
+            lp = table.lookup(codes)  # (M, L) gather
+            starts = np.searchsorted(row_ids, np.arange(n))
+            seg_counts = np.diff(np.append(starts, m))
+            nonempty = seg_counts > 0
+            if nonempty.any():
+                out[nonempty] = np.add.reduceat(lp, starts[nonempty], axis=0)
+            counts = seg_counts.astype(np.float64)
+        return out, counts
     codes, row_ids = batch_trigrams_arrow(col)
     return _accumulate(table, codes, row_ids, len(col))

@@ -1,0 +1,143 @@
+"""Similarity search over an embedding column.
+
+- ``ann_brute_force``: the exact baseline — per-batch numpy matmul of
+  each block against a broadcast query matrix (``ray.put`` once, read in
+  every task), per-batch partial top-k, then a tiny groupby(query_id)
+  merge. No all-to-all shuffle: the only reduced data is Q×k rows per
+  block.
+- ``ann_lsh``: the scale path — random-hyperplane buckets; only rows
+  whose bucket matches a query bucket (within ``multiprobe`` hamming
+  distance) are scored. Recall/cost is tuned by num_planes/multiprobe;
+  partitioning assumption: bucket ids distribute uniformly, so the
+  candidate set per query is ~N / 2^planes × probes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _matrix_from_list_col(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.values, dtype=np.float64)
+    return flat.reshape(len(col), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+
+
+def ann_brute_force(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Exact cosine top-k for each query row. Returns
+    Dataset[(query_id, vec_id, cos_sim)] with k rows per query."""
+    import ray
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qref = ray.put(qn)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)  # (Q, D)
+        mat = _normalize(_matrix_from_list_col(batch[embedding_col]))
+        sims = mat @ q.T  # (B, Q)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        kk = min(k, sims.shape[0])
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (k, Q)
+        rows = {"query_id": [], "vec_id": [], "cos_sim": []}
+        for qi in range(q.shape[0]):
+            sel = top[:, qi]
+            rows["query_id"].extend([qi] * len(sel))
+            rows["vec_id"].extend(ids[sel].tolist())
+            rows["cos_sim"].extend(sims[sel, qi].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], type=pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
+                "cos_sim": pa.array(rows["cos_sim"], type=pa.float64()),
+            }
+        )
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
+def ann_lsh(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    num_planes: int = 8,
+    multiprobe: int = 1,
+    seed: int = 13,
+):
+    """LSH-bucketed approximate top-k: score only rows whose hyperplane
+    bucket is within ``multiprobe`` bit flips of a query's bucket."""
+    import ray
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    dim = qn.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_planes, dim))
+
+    def bucket_of(m: np.ndarray) -> np.ndarray:
+        return ((m @ planes.T) > 0).dot(1 << np.arange(num_planes)).astype(np.int64)
+
+    q_buckets = bucket_of(qn)
+    candidate_buckets: set[int] = set()
+    for b in q_buckets:
+        candidate_buckets.add(int(b))
+        if multiprobe >= 1:
+            for bit in range(num_planes):
+                candidate_buckets.add(int(b) ^ (1 << bit))
+    qref = ray.put((qn, candidate_buckets))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q, cand = ray.get(qref)
+        mat = _matrix_from_list_col(batch[embedding_col])
+        buckets = bucket_of(_normalize(mat))
+        keep = np.fromiter((int(b) in cand for b in buckets), dtype=bool, count=len(buckets))
+        idx = np.nonzero(keep)[0]
+        if len(idx) == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cos_sim": pa.array([], type=pa.float64()),
+                }
+            )
+        sub = _normalize(mat[idx])
+        sims = sub @ q.T
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[idx]
+        kk = min(k, sims.shape[0])
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        rows = {"query_id": [], "vec_id": [], "cos_sim": []}
+        for qi in range(q.shape[0]):
+            sel = top[:, qi]
+            rows["query_id"].extend([qi] * len(sel))
+            rows["vec_id"].extend(ids[sel].tolist())
+            rows["cos_sim"].extend(sims[sel, qi].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(rows["query_id"], type=pa.int64()),
+                "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
+                "cos_sim": pa.array(rows["cos_sim"], type=pa.float64()),
+            }
+        )
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")

@@ -63,6 +63,22 @@ def resolve_bottom_t(
         ds.aggregate(make_histogram_aggfn(score_col, num_bins))["score_histogram"],
         dtype=np.int64,
     )
+    return resolve_bottom_t_from_hist(ds, hist, t, score_col, key_cols, num_bins)
+
+
+def resolve_bottom_t_from_hist(
+    ds,
+    hist: np.ndarray,
+    t: int,
+    score_col: str = "score_self_confidence",
+    key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+    num_bins: int = DEFAULT_BINS,
+):
+    """Same as resolve_bottom_t but with a precomputed histogram (lets the
+    caller fuse the histogram into another aggregate pass)."""
+    if t <= 0:
+        return 0.0, set()
+    hist = np.asarray(hist, dtype=np.int64)
     cum = np.cumsum(hist)
     b = int(np.searchsorted(cum, t))  # first bin where cum >= t
     count_below = int(cum[b - 1]) if b > 0 else 0

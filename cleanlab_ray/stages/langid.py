@@ -20,7 +20,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from cleanlab_ray.fixtures.transcripts import DE_WORDS, EN_WORDS, FR_WORDS, GIB_WORDS
-from cleanlab_ray.stages._chargram import score_arrow_column, train_trigram_table
+from cleanlab_ray.stages._chargram import score_arrow_column, train_dense_table
 
 LANGS = ["en", "de", "fr", "und"]
 
@@ -33,7 +33,7 @@ def build_langid_table():
         (" ".join(FR_WORDS)).encode("utf-8"),
         (" ".join(GIB_WORDS)).encode("utf-8"),
     ]
-    return train_trigram_table(corpora)
+    return train_dense_table(corpora)
 
 
 def langid_probs_arrow(table, col) -> np.ndarray:

@@ -15,11 +15,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from cleanlab_ray.fixtures.transcripts import EN_WORDS
-from cleanlab_ray.stages._chargram import score_arrow_column, train_trigram_table
+from cleanlab_ray.stages._chargram import score_arrow_column, train_dense_table
 
 
 def build_lm_table():
-    return train_trigram_table([(" ".join(EN_WORDS)).encode("utf-8")])
+    return train_dense_table([(" ".join(EN_WORDS)).encode("utf-8")])
 
 
 def perplexity_arrow(table, col) -> np.ndarray:

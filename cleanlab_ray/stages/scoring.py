@@ -21,9 +21,9 @@ from cleanlab_ray.state.confident import labels_to_numpy, pred_probs_to_numpy
 
 K = 3
 
-# Perplexity normalization anchor: ppl of clean wordlist text is ~exp(4.5);
-# OOV-heavy junk saturates near exp(11).
-_PPL_LO, _PPL_HI = 4.0, 11.0
+# Perplexity normalization anchors under the dense trigram LM:
+# clean wordlist text sits near exp(9), OOV-heavy junk near exp(10.5).
+_PPL_LO, _PPL_HI = 8.5, 11.0
 
 
 def _get(batch: pa.Table, name: str) -> np.ndarray:

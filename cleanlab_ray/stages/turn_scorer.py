@@ -24,6 +24,20 @@ from cleanlab_ray.stages.scrub import scrub_batch
 from cleanlab_ray.state.confident import labels_to_numpy
 
 
+_PROCESS_SCORER: "TurnScorer | None" = None
+
+
+def turn_scorer_task(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant: the scorer is cached per worker PROCESS
+    (module global), so tasks get actor-style state amortization without
+    the actor pool's queue hop — Ray reuses worker processes across
+    tasks of one stage."""
+    global _PROCESS_SCORER
+    if _PROCESS_SCORER is None:
+        _PROCESS_SCORER = TurnScorer()
+    return _PROCESS_SCORER(batch)
+
+
 class TurnScorer:
     """Callable class for ``map_batches(TurnScorer, concurrency=N,
     batch_format="pyarrow")``. Emits all scoring columns plus
@@ -31,8 +45,11 @@ class TurnScorer:
     ``score_self_confidence``."""
 
     def __init__(self, text_col: str = "text", label_col: str = "label"):
+        # One fused trigram table: the langid posteriors and the
+        # perplexity both come from a single lookup pass (the LM is the
+        # English column of the langid table — one searchsorted + one
+        # accumulation per batch instead of two).
         self.langid_table = build_langid_table()
-        self.lm_table = build_lm_table()
         self.text_col = text_col
         self.label_col = label_col
 
@@ -50,8 +67,20 @@ class TurnScorer:
             batch = batch.drop_columns(stale)
         batch = heuristic_features(batch, self.text_col)
         batch = scrub_batch(batch, self.text_col)
-        lowered = pc.utf8_lower(pc.fill_null(batch[self.text_col], ""))
-        probs_lang = langid_probs_arrow(self.langid_table, lowered)
+        # Language-ID / perplexity saturate well before 160 chars — slice
+        # before trigram extraction (3x fewer trigrams on long turns).
+        lowered = pc.utf8_slice_codeunits(
+            pc.utf8_lower(pc.fill_null(batch[self.text_col], "")), 0, 160
+        )
+        from cleanlab_ray.stages._chargram import score_arrow_column
+
+        loglik, counts = score_arrow_column(self.langid_table, lowered)
+        denom = np.maximum(counts, 1.0)[:, None]
+        z = loglik / denom
+        z[counts == 0] = 0.0
+        z = z - z.max(axis=1, keepdims=True)
+        e = np.exp(z / 0.1)
+        probs_lang = e / e.sum(axis=1, keepdims=True)
         top = np.argmax(probs_lang, axis=1)
         lang_codes = np.array(LANGS, dtype=object)
         batch = batch.append_column("lang", pa.array(lang_codes[top], type=pa.string()))
@@ -59,7 +88,9 @@ class TurnScorer:
             batch = batch.append_column(
                 f"lang_prob_{code}", pa.array(probs_lang[:, j], type=pa.float32())
             )
-        ppl = perplexity_arrow(self.lm_table, lowered)
+        # perplexity from the English column of the same lookup
+        ppl = np.exp(-loglik[:, 0] / denom[:, 0])
+        ppl[counts == 0] = float(np.exp(-self.langid_table.oov[0]))
         batch = batch.append_column("ppl", pa.array(ppl, type=pa.float32()))
 
         probs = fused_pred_probs(batch).astype(np.float32)
