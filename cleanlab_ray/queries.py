@@ -1000,3 +1000,132 @@ FROM norm
 
 QUERIES.update({"bpe_token_stats": q_bpe_token_stats, "ood_scores": q_ood_scores})
 ORACLE_SQL.update({"bpe_token_stats": SQL_BPE_TOKEN_STATS, "ood_scores": SQL_OOD_SCORES})
+
+
+def q_normalized_margin(sf_dir: str):
+    """Per-row normalized margin (rank.py:499-542) on the derived pair."""
+    from cleanlab_ray.functions.rank import normalized_margin
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        labels, probs = _derived_label_probs(batch)
+        nm = normalized_margin(labels, probs)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "margin_e6": pa.array(np.round(nm * 1e6).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+SQL_NORMALIZED_MARGIN = f"""
+WITH derived AS ({_SQL_DERIVED})
+SELECT vec_id,
+       CAST(round(((CASE label3 WHEN 0 THEN p0 WHEN 1 THEN p1 ELSE p2 END)
+             - (CASE label3 WHEN 0 THEN greatest(p1, p2)
+                            WHEN 1 THEN greatest(p0, p2)
+                            ELSE greatest(p0, p1) END) + 1.0) / 2.0 * 1000000) AS BIGINT)
+           AS margin_e6
+FROM derived
+"""
+
+
+def q_null_patterns(sf_dir: str):
+    """Most-common-null-pattern stats (datalab null.py:71-139) over a
+    deterministically null-injected view of events."""
+    from cleanlab_ray.stages.datalab_extras import null_pattern_kernel
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def inject(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_pylist()
+        val = batch["value"].to_numpy(zero_copy_only=False)
+        et_null = [None if x == "click" else x for x in et]
+        val_null = [None if v < 50.0 else float(v) for v in val]
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "event_type": pa.array(et_null, type=pa.string()),
+                "value": pa.array(val_null, type=pa.float64()),
+            }
+        )
+
+    withpat = (
+        ds.map_batches(inject, batch_format="pyarrow")
+        .map_batches(null_pattern_kernel(["event_type", "value"]), batch_format="pyarrow")
+    )
+    out = withpat.groupby("null_pattern").count()
+    return out.map_batches(
+        lambda b: b.rename_columns(["null_pattern", "n"]), batch_format="pyarrow"
+    )
+
+
+SQL_NULL_PATTERNS = """
+WITH injected AS (
+  SELECT NULLIF(event_type, 'click') AS event_type,
+         CASE WHEN value < 50.0 THEN NULL ELSE value END AS value
+  FROM events)
+SELECT concat(CASE WHEN event_type IS NULL THEN '1' ELSE '0' END,
+              CASE WHEN value IS NULL THEN '1' ELSE '0' END) AS null_pattern,
+       count(*) AS n
+FROM injected GROUP BY 1
+"""
+
+
+def q_underperforming_groups(sf_dir: str):
+    """Per-cluster mean self-confidence + worst-group ratio
+    (underperforming_group.py:113-133), cluster = vec_id % 10."""
+    from ray.data.aggregate import Count, Mean
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        labels, probs = _derived_label_probs(batch)
+        sc = probs[np.arange(len(labels)), labels]
+        cluster = batch["vec_id"].to_numpy(zero_copy_only=False) % 10
+        return pa.table(
+            {
+                "cluster": pa.array(cluster, type=pa.int64()),
+                "sc": pa.array(sc, type=pa.float64()),
+            }
+        )
+
+    scored = ds.map_batches(kernel, batch_format="pyarrow")
+    per = scored.groupby("cluster").aggregate(
+        Count(alias_name="n"), Mean("sc", alias_name="mean_sc")
+    )
+    return per.map_batches(
+        lambda b: _scaled_int_col(b, "mean_sc", "mean_sc_e6", 1_000_000),
+        batch_format="pyarrow",
+    )
+
+
+SQL_UNDERPERFORMING = f"""
+WITH derived AS ({_SQL_DERIVED}),
+scored AS (
+  SELECT vec_id % 10 AS cluster,
+         CASE label3 WHEN 0 THEN p0 WHEN 1 THEN p1 ELSE p2 END AS sc
+  FROM derived)
+SELECT cluster, count(*) AS n,
+       CAST(round(avg(sc) * 1000000) AS BIGINT) AS mean_sc_e6
+FROM scored GROUP BY cluster
+"""
+
+
+QUERIES.update(
+    {
+        "normalized_margin": q_normalized_margin,
+        "null_patterns": q_null_patterns,
+        "underperforming_groups": q_underperforming_groups,
+    }
+)
+ORACLE_SQL.update(
+    {
+        "normalized_margin": SQL_NORMALIZED_MARGIN,
+        "null_patterns": SQL_NULL_PATTERNS,
+        "underperforming_groups": SQL_UNDERPERFORMING,
+    }
+)

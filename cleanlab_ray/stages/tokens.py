@@ -1,0 +1,79 @@
+"""Ragged token / tensor column operators.
+
+- Token flatten/unflatten (/root/reference/cleanlab/token_classification/
+  rank.py:107-119): explode per-sentence ``list<float>`` token scores to
+  one row per token (sentence keys carried), and re-nest flat token rows
+  back into per-sentence lists via groupby with in-group position sort.
+- Segmentation downsample (/root/reference/cleanlab/segmentation/
+  filter.py:76-100): block-mean downsample of dense per-pixel
+  probability tensors stored as flattened fixed-size lists, renormalized.
+
+Both are pure per-batch Arrow/numpy kernels — flatten uses
+``pc.list_flatten`` + ``pc.list_parent_indices`` (zero per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def flatten_token_scores(
+    batch: pa.Table, list_col: str = "token_scores", keys: tuple[str, ...] = ("conv_id", "turn_idx")
+) -> pa.Table:
+    """One output row per token: keys + token_pos + token_score."""
+    col = batch[list_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col)
+    parents = pc.list_parent_indices(col)
+    lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    pos = np.concatenate([np.arange(n, dtype=np.int32) for n in lens]) if len(lens) else np.array([], np.int32)
+    cols = {k: batch[k].take(parents) for k in keys}
+    cols["token_pos"] = pa.array(pos, type=pa.int32())
+    cols["token_score"] = flat
+    return pa.table(cols)
+
+
+def unflatten_token_scores(
+    ds, keys: tuple[str, ...] = ("conv_id", "turn_idx"), out_col: str = "token_scores"
+):
+    """groupby(keys) re-nest: token rows -> per-sentence sorted list."""
+
+    def nest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("token_pos")
+        out = g.iloc[[0]][list(keys)].copy()
+        out[out_col] = [g["token_score"].tolist()]
+        return out
+
+    return ds.groupby(list(keys)).map_groups(nest, batch_format="pandas")
+
+
+def downsample_prob_tensor(
+    batch: pa.Table,
+    tensor_col: str,
+    k: int,
+    h: int,
+    w: int,
+    factor: int,
+    out_col: str | None = None,
+) -> pa.Table:
+    """Block-mean downsample of (K,H,W) per-row probability tensors
+    (stored flattened as fixed_size_list<float>[K*H*W]); output
+    renormalized over K (segmentation/filter.py:76-100 semantics)."""
+    col = batch[tensor_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    arr = np.asarray(col.values, dtype=np.float64).reshape(n, k, h, w)
+    hh, ww = h // factor, w // factor
+    down = arr[:, :, : hh * factor, : ww * factor].reshape(n, k, hh, factor, ww, factor).mean(
+        axis=(3, 5)
+    )
+    down /= np.clip(down.sum(axis=1, keepdims=True), 1e-300, None)
+    out = pa.FixedSizeListArray.from_arrays(
+        pa.array(down.reshape(-1).astype(np.float32)), k * hh * ww
+    )
+    return batch.append_column(out_col or f"{tensor_col}_ds{factor}", out)
