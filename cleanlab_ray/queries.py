@@ -1129,3 +1129,67 @@ ORACLE_SQL.update(
         "underperforming_groups": SQL_UNDERPERFORMING,
     }
 )
+
+
+def q_drift_windows(sf_dir: str):
+    """Event-time drift detection (noniid analogue): per-hour KS
+    statistic of the value distribution vs global (rows-only)."""
+    from cleanlab_ray.stages.drift import drift_by_window
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    out = drift_by_window(ds, window="day")
+    return out
+
+
+def q_spurious_correlations(sf_dir: str):
+    """Per-property spurious-correlation scores over document heuristic
+    features vs a derived label (rows-only; model-fit diagnostic)."""
+    from cleanlab_ray.pipelines.spurious import spurious_correlations
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        filled = pc.fill_null(batch["text"], "")
+        n_tokens = pc.count_substring_regex(filled, r"[^\s]+").to_numpy(zero_copy_only=False)
+        lang = batch["lang"].to_pylist()
+        label = np.array([0 if x == "en" else (1 if x in ("de", "fr") else 2) for x in lang])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars_prop": pc.cast(batch["n_chars"], pa.float64()),
+                "n_tokens_prop": pa.array(n_tokens.astype(np.float64)),
+                "label": pa.array(label, type=pa.int64()),
+            }
+        )
+
+    derived = ds.map_batches(kernel, batch_format="pyarrow")
+    return spurious_correlations(
+        derived, ["n_chars_prop", "n_tokens_prop"], id_col="doc_id"
+    )
+
+
+def q_clean_learning(sf_dir: str):
+    """CleanLearning over embeddings (rows-only: CV training loop)."""
+    from cleanlab_ray.pipelines.clean_learning import CleanLearning
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def mod_label(batch: pa.Table) -> pa.Table:
+        lab = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64) % 3
+        i = batch.column_names.index("label")
+        return batch.set_column(i, "label", pa.array(lab, type=pa.int64()))
+
+    ds3 = ds.map_batches(mod_label, batch_format="pyarrow").materialize()
+    cl = CleanLearning(num_classes=3).fit(ds3)
+    return cl.label_issues_ds.select_columns(
+        ["vec_id", "is_label_issue", "score_self_confidence"]
+    )
+
+
+QUERIES.update(
+    {
+        "drift_windows": q_drift_windows,
+        "spurious_correlations": q_spurious_correlations,
+        "clean_learning": q_clean_learning,
+    }
+)
