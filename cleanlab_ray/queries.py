@@ -1193,3 +1193,88 @@ QUERIES.update(
         "clean_learning": q_clean_learning,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# Multi-label one-vs-rest confident joint (SQL-checked)
+# ---------------------------------------------------------------------------
+
+_ML_K = 4
+
+
+def q_multilabel_joint(sf_dir: str):
+    """(K,2,2) one-vs-rest confident joint on a derived multilabel pair:
+    class c applies iff embedding[c] > 0; p_c = sigmoid(embedding[c])."""
+    from cleanlab_ray.state.multilabel import compute_multilabel_stats
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        mat = np.asarray(col.values, dtype=np.float64).reshape(len(col), -1)[:, :_ML_K]
+        probs = 1.0 / (1.0 + np.exp(-mat))
+        onehot = mat > 0
+        labels = [list(np.nonzero(r)[0].astype(int)) for r in onehot]
+        return pa.table(
+            {
+                "labels": pa.array(labels, type=pa.list_(pa.int32())),
+                "pred_probs": pa.FixedSizeListArray.from_arrays(
+                    pa.array(probs.reshape(-1)), _ML_K
+                ),
+            }
+        )
+
+    derived = ds.map_batches(derive, batch_format="pyarrow").materialize()
+    thresholds, cj = compute_multilabel_stats(derived, _ML_K)
+    import pandas as pd
+
+    rows = [
+        {"class_idx": c, "given": g, "guess": u, "n": int(cj[c, g, u])}
+        for c in range(_ML_K)
+        for g in (0, 1)
+        for u in (0, 1)
+        if cj[c, g, u] > 0
+    ]
+    return pd.DataFrame(rows)
+
+
+def _ml_joint_sql() -> str:
+    parts = []
+    for c in range(_ML_K):
+        e = f"embedding[{c + 1}]::DOUBLE"
+        parts.append(f"""
+SELECT {c} AS class_idx, given, guess, count(*) AS n FROM (
+  WITH derived AS (
+    SELECT CASE WHEN {e} > 0 THEN 1 ELSE 0 END AS given,
+           1.0 / (1.0 + exp(-{e})) AS p
+    FROM embeddings),
+  thr AS (
+    SELECT avg(CASE WHEN given = 0 THEN 1.0 - p END) AS t0,
+           avg(CASE WHEN given = 1 THEN p END) AS t1
+    FROM derived),
+  conf AS (
+    SELECT d.given, d.p,
+           (1.0 - d.p >= t.t0 - 1e-6) AS c0, (d.p >= t.t1 - 1e-6) AS c1
+    FROM derived d CROSS JOIN thr t)
+  SELECT given,
+         CASE WHEN c0 AND c1 THEN (CASE WHEN 1.0 - p >= p THEN 0 ELSE 1 END)
+              WHEN c0 THEN 0 ELSE 1 END AS guess
+  FROM conf WHERE c0 OR c1
+) GROUP BY 1, 2, 3""")
+    return " UNION ALL ".join(parts)
+
+
+QUERIES["multilabel_joint"] = q_multilabel_joint
+ORACLE_SQL["multilabel_joint"] = _ml_joint_sql()
+
+
+def q_data_valuation(sf_dir: str):
+    """Partition-local KNN-Shapley data valuation over embeddings
+    (rows-only: approximate by LSH partitioning)."""
+    from cleanlab_ray.stages.valuation import data_valuation
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    return data_valuation(ds)
+
+
+QUERIES["data_valuation"] = q_data_valuation

@@ -1,0 +1,93 @@
+"""Data valuation — KNN-Shapley, partition-local.
+
+Reference: /root/reference/cleanlab/data_valuation.py:14-51 (the O(N^2)
+recursion from Jia et al. 2019 eqs. 18-19, training set as its own test
+set). A global N x N score matrix cannot exist at engine scale, so the
+engine computes the SAME recursion within LSH partitions: rows are
+bucketed by random-hyperplane signs (locality-preserving), each bucket
+computes its exact in-bucket KNN-Shapley, and the per-row value is
+averaged over the bucket's rows only. Documented approximation:
+neighbors outside the bucket are not considered — the partitioning
+assumption is that hyperplane buckets keep near neighbors together
+(same assumption as stages/ann.ann_lsh).
+
+Per datalab's issue manager the exported score is ``0.5 * (1 + value)``
+(rescaled to [0, 1]) with low-score rows flagged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def knn_shapley_score(neighbor_indices: np.ndarray, y: np.ndarray, k: int) -> np.ndarray:
+    """Exact reference recursion (data_valuation.py:14-51)."""
+    n = y.shape[0]
+    scores = np.zeros((n, n))
+    for y_alpha, s_alpha, idx in zip(y, scores, neighbor_indices):
+        y_neighbors = y[idx]
+        matches = (y_neighbors == y_alpha).flatten()
+        # NOTE: like the reference, the j = k-1 seed stays 0 (the
+        # pre-allocated zeros incorporate its eq.-18 simplification)
+        for j in range(k - 2, -1, -1):
+            s_alpha[idx[j]] = s_alpha[idx[j + 1]] + float(int(matches[j]) - int(matches[j + 1]))
+    return np.mean(scores / k, axis=0)
+
+
+def data_valuation(
+    ds,
+    embedding_col: str = "embedding",
+    label_col: str = "label",
+    key_cols: tuple[str, ...] = ("vec_id",),
+    k: int = 10,
+    num_planes: int = 4,
+    seed: int = 17,
+    threshold: float = 0.5,
+):
+    """Dataset[(keys, embedding, label)] ->
+    Dataset[(keys, data_valuation_score, is_data_valuation_issue)]."""
+
+    planes_cache: dict[int, np.ndarray] = {}
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        col = batch[embedding_col].combine_chunks() if isinstance(
+            batch[embedding_col], pa.ChunkedArray
+        ) else batch[embedding_col]
+        flat = np.asarray(col.values, dtype=np.float64)
+        mat = flat.reshape(len(col), -1)
+        dim = mat.shape[1]
+        if dim not in planes_cache:
+            planes_cache[dim] = np.random.default_rng(seed).standard_normal((num_planes, dim))
+        signs = (mat @ planes_cache[dim].T) > 0
+        bucket = signs.dot(1 << np.arange(num_planes)).astype(np.int64)
+        return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(key_cols), kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        kk = min(k, n - 1)
+        out = g[list(key_cols)].copy()
+        if kk < 1:
+            out["data_valuation_score"] = 0.5
+            out["is_data_valuation_issue"] = False
+            return out
+        mat = np.stack(g[embedding_col].to_numpy()).astype(np.float64)
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        sims = (mat / norms) @ (mat / norms).T
+        np.fill_diagonal(sims, -np.inf)  # leave-self-out
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        y = g[label_col].to_numpy()
+        values = knn_shapley_score(order, y, kk)
+        score = 0.5 * (1.0 + values)
+        out["data_valuation_score"] = score
+        out["is_data_valuation_issue"] = score < threshold
+        return out
+
+    return (
+        ds.select_columns([*key_cols, embedding_col, label_col])
+        .map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
