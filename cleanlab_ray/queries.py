@@ -1322,3 +1322,85 @@ def q_crowdlab_consensus(sf_dir: str):
 
 
 QUERIES["crowdlab_consensus"] = q_crowdlab_consensus
+
+
+def q_sessionization(sf_dir: str):
+    """Session windowing (streaming-shaped op, SURVEY §2.9 guide shape):
+    per-user sessions split at >30min gaps; groupby(user).map_groups
+    does the in-group ts sort + gap scan. SQL oracle uses LAG + a
+    cumulative session counter."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        ts = g["ts"].astype("int64").to_numpy() // 1000  # ms
+        gap = np.diff(ts, prepend=ts[0])
+        new_session = gap > 30 * 60 * 1000
+        session_id = np.cumsum(new_session)
+        out = (
+            pd.DataFrame(
+                {"session_id": session_id, "value": g["value"].to_numpy()}
+            )
+            .groupby("session_id")
+            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
+            .reset_index()
+        )
+        out["user_id"] = g["user_id"].iloc[0]
+        out["sum_value_c"] = np.round(out["sum_value"] * 100).astype(np.int64)
+        return out[["user_id", "session_id", "n_events", "sum_value_c"]]
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+SQL_SESSIONIZATION = """
+WITH gaps AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM events),
+sessions AS (
+  SELECT user_id, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c
+FROM sessions GROUP BY user_id, session_id
+"""
+
+QUERIES["sessionization"] = q_sessionization
+ORACLE_SQL["sessionization"] = SQL_SESSIONIZATION
+
+
+def q_object_detection_ap(sf_dir: str):
+    """Per-class AP over synthetic boxes derived deterministically from
+    embeddings (rows-only: greedy IoU matching)."""
+    from cleanlab_ray.stages.object_detection import per_class_ap
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        mat = np.asarray(col.values, dtype=np.float64).reshape(len(col), -1)
+        label = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64) % 2
+        rows = {"gt_boxes": [], "gt_labels": [], "pred_boxes": [], "pred_labels": [], "pred_scores": []}
+        for i in range(len(label)):
+            x, y = 50 + 10 * mat[i, 0], 50 + 10 * mat[i, 1]
+            gt = [float(x), float(y), float(x + 20), float(y + 20)]
+            # class 0 predicted tightly, class 1 offset far
+            off = 2.0 if label[i] == 0 else 18.0
+            pred = [gt[0] + off, gt[1] + off, gt[2] + off, gt[3] + off]
+            rows["gt_boxes"].append([gt])
+            rows["gt_labels"].append([int(label[i])])
+            rows["pred_boxes"].append([pred])
+            rows["pred_labels"].append([int(label[i])])
+            rows["pred_scores"].append([float(1.0 / (1.0 + np.exp(-mat[i, 2])))])
+        return pa.table(rows)
+
+    images = ds.map_batches(derive, batch_format="pyarrow")
+    return per_class_ap(images, num_classes=2)
+
+
+QUERIES["object_detection_ap"] = q_object_detection_ap
