@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) for the aggregation math core:
+merge associativity and invariants must hold for ARBITRARY valid inputs,
+not just the fixture corpus."""
+
+import numpy as np
+from hypothesis import given, settings, strategies as st
+
+from cleanlab_ray.fixtures.oracle import (
+    oracle_confident_joint,
+    oracle_confident_thresholds,
+    oracle_num_label_issues,
+)
+from cleanlab_ray.functions.numerics import round_preserving_row_totals, round_preserving_sum
+from cleanlab_ray.state.confident import (
+    calibrate_confident_joint,
+    cj_partials,
+    finalize_confident_joint,
+    threshold_partials,
+    thresholds_from_partials,
+)
+
+
+@st.composite
+def label_prob_arrays(draw):
+    k = draw(st.integers(2, 5))
+    n = draw(st.integers(1, 200))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, k, size=n)
+    probs = rng.dirichlet(np.ones(k), size=n)
+    return labels, probs, k
+
+
+@settings(max_examples=40, deadline=None)
+@given(label_prob_arrays(), st.integers(2, 9))
+def test_partials_merge_equals_direct(data, n_blocks):
+    labels, probs, k = data
+    t_direct = thresholds_from_partials(*threshold_partials(labels, probs, k))
+    np.testing.assert_allclose(t_direct, oracle_confident_thresholds(labels, probs), atol=1e-9)
+
+    splits = np.array_split(np.arange(len(labels)), n_blocks)
+    sums = np.zeros(k)
+    counts = np.zeros(k, dtype=np.int64)
+    for s in splits:
+        ps, pc_ = threshold_partials(labels[s], probs[s], k)
+        sums += ps
+        counts += pc_
+    np.testing.assert_allclose(thresholds_from_partials(sums, counts), t_direct, atol=1e-9)
+
+    cj = np.zeros((k, k), dtype=np.int64)
+    issues = 0
+    for s in splits:
+        c, ni, _ = cj_partials(labels[s], probs[s], t_direct, k)
+        cj += c
+        issues += ni
+    np.testing.assert_array_equal(
+        finalize_confident_joint(cj), oracle_confident_joint(labels, probs)
+    )
+    assert issues == oracle_num_label_issues(labels, probs)
+
+
+@settings(max_examples=40, deadline=None)
+@given(label_prob_arrays())
+def test_calibration_invariants(data):
+    labels, probs, k = data
+    cj = oracle_confident_joint(labels, probs)
+    label_counts = np.bincount(labels, minlength=k)
+    cal = calibrate_confident_joint(cj, label_counts)
+    assert cal.sum() == len(labels)
+    np.testing.assert_array_equal(cal.sum(axis=1), label_counts)
+    assert (cal >= 0).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.floats(0, 1000, allow_nan=False), min_size=1, max_size=30))
+def test_round_preserving_sum_property(vals):
+    x = np.array(vals)
+    r = round_preserving_sum(x)
+    assert r.sum() == np.round(x.sum())
+    assert np.abs(r - x).max() <= len(x) + 1  # bounded adjustment
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**31 - 1), st.integers(2, 5), st.integers(2, 6))
+def test_row_totals_preserved(seed, k, scale):
+    rng = np.random.default_rng(seed)
+    m = rng.random((k, k)) * scale
+    r = round_preserving_row_totals(m)
+    np.testing.assert_array_equal(r.sum(axis=1), np.round(m.sum(axis=1)))
