@@ -549,11 +549,11 @@ def q_conv_pooling(sf_dir: str):
     """Per-conversation min/mean/softmin pooling of flagship scores over
     the derived transcripts (rows-only: scores are model-derived)."""
     from cleanlab_ray.pipelines.quality_filter import score_turns
-    from cleanlab_ray.stages.pooling import pool_conversations
+    from cleanlab_ray.stages.pooling import pool_conversations_fast
 
-    scored = score_turns(load_transcripts(sf_dir), concurrency=_scorer_concurrency(), batch_size=4096)
-    return pool_conversations(
-        scored.select_columns(["conv_id", "turn_idx", "score_self_confidence"])
+    scored = score_turns(load_transcripts(sf_dir), concurrency=None, batch_size=4096)
+    return pool_conversations_fast(
+        scored.select_columns(["conv_id", "score_self_confidence"])
     )
 
 

@@ -348,3 +348,4 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text",
             h = h * P ^ np.uint64(b)
         out[i] = h
     return batch.append_column(out_col, pa.array(out.astype(np.int64), type=pa.int64()))
+

@@ -104,3 +104,76 @@ def pool_conversations(
         .map_groups(pool_partial, batch_format="pandas")
     )
     return partials.groupby(conv_col).map_groups(pool_merge, batch_format="pandas")
+
+
+def pool_conversations_fast(
+    ds,
+    score_col: str = "score_self_confidence",
+    conv_col: str = "conv_id",
+    temperature: float = TEMPERATURE,
+):
+    """Pre-aggregated pooling: per-BATCH vectorized partials (one row per
+    conversation per batch, computed with factorize + bincount — no
+    per-group Python) merged by native Sum/Min aggregates, then a
+    finalize map. Same results as ``pool_conversations`` (the partials
+    are the same commutative decomposition); ~no map_groups overhead,
+    and the shuffle moves one row per (conv, batch) instead of every
+    turn — the 'pre-aggregate before groupby' pattern."""
+    import pyarrow as pa
+    from ray.data.aggregate import Min, Sum
+
+    def batch_partials(batch: pa.Table) -> pa.Table:
+        conv = batch[conv_col].to_pandas()
+        s = batch[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        codes, uniques = pd.factorize(conv)
+        n_groups = len(uniques)
+        e = np.exp((1.0 - s) / temperature)
+        return pa.table(
+            {
+                conv_col: pa.array(uniques, type=pa.string()),
+                "_min": pa.array(
+                    np.full(n_groups, np.inf)
+                    if n_groups == 0
+                    else np.minimum.reduceat(
+                        s[np.argsort(codes, kind="stable")],
+                        np.searchsorted(np.sort(codes), np.arange(n_groups)),
+                    )
+                ),
+                "_sum": pa.array(np.bincount(codes, weights=s, minlength=n_groups)),
+                "_n": pa.array(np.bincount(codes, minlength=n_groups).astype(np.int64)),
+                "_a": pa.array(np.bincount(codes, weights=s * e, minlength=n_groups)),
+                "_b": pa.array(np.bincount(codes, weights=e, minlength=n_groups)),
+            }
+        )
+
+    merged = (
+        ds.map_batches(batch_partials, batch_format="pyarrow")
+        .groupby(conv_col)
+        .aggregate(
+            Min("_min", alias_name="_min"),
+            Sum("_sum", alias_name="_sum"),
+            Sum("_n", alias_name="_n"),
+            Sum("_a", alias_name="_a"),
+            Sum("_b", alias_name="_b"),
+        )
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = pa.table(
+            {
+                conv_col: batch[conv_col],
+                "n_turns": pa.array(n.astype(np.int64)),
+                "min_score": batch["_min"],
+                "mean_score": pa.array(
+                    batch["_sum"].to_numpy(zero_copy_only=False) / np.maximum(n, 1.0)
+                ),
+                "softmin_score": pa.array(
+                    batch["_a"].to_numpy(zero_copy_only=False)
+                    / np.maximum(batch["_b"].to_numpy(zero_copy_only=False), 1e-300)
+                ),
+            }
+        )
+        return out
+
+    return merged.map_batches(finalize, batch_format="pyarrow")

@@ -49,3 +49,9 @@ def test_pool_salted_matches_direct(scored_ds, oracle_pools):
     from cleanlab_ray.stages.pooling import pool_conversations
 
     _check(pool_conversations(scored_ds, salt=16).to_pandas(), oracle_pools)
+
+
+def test_pool_fast_matches_direct(scored_ds, oracle_pools):
+    from cleanlab_ray.stages.pooling import pool_conversations_fast
+
+    _check(pool_conversations_fast(scored_ds).to_pandas(), oracle_pools)
