@@ -518,7 +518,7 @@ def q_flagship_quality_filter(sf_dir: str):
     from cleanlab_ray.pipelines.quality_filter import _decision_columns, score_turns
     from cleanlab_ray.state.confident import compute_confident_stats
 
-    scored = score_turns(load_transcripts(sf_dir), concurrency=_scorer_concurrency(), batch_size=4096).materialize()
+    scored = score_turns(load_transcripts(sf_dir), concurrency=None, batch_size=4096).materialize()
     stats = compute_confident_stats(scored, 3)
     bin_lo, boundary = resolve_bottom_t(scored, stats.num_issues)
     final = scored.map_batches(_decision_columns(bin_lo, boundary), batch_format="pyarrow")

@@ -127,44 +127,86 @@ def near_dup_groups(
     jaccard_threshold: float = 0.8,
     shingle_k: int = 5,
 ):
-    """Flag near-duplicate rows: returns Dataset[key_cols + (is_near_dup,
-    dup_group)] where dup_group is the minimal key of the verified group.
+    """Flag near-duplicate rows: returns Dataset[key_cols + (is_near_dup,)].
 
-    Construction: minhash bands -> groupby((band_id, band_hash)) ->
-    within-bucket pairwise Jaccard verification against the bucket
-    minimum -> union of flags across bands (bool-OR via a final groupby
-    on the keys)."""
+    Construction (two shuffles, both COMPACT):
+      1. band shuffle carries only (keys, band_id, band_hash) — never the
+         text — to find candidate buckets (>= 2 members); each bucket
+         emits (key, group_rep=bucket-minimal key) rows;
+      2. candidate rows only (usually a tiny fraction) are re-shuffled BY
+         GROUP REP with their text for exact Jaccard verification
+         against the representative.
+    Partitioning assumption: the candidate set is sparse relative to the
+    corpus (true when bands/num_perm are tuned to the target threshold);
+    the candidate->rep map is broadcast, so candidate discovery adds no
+    text movement at all."""
 
     sel = ds.select_columns([*key_cols, text_col])
     banded = sel.map_batches(
         make_minhash_kernel(text_col, num_perm, bands, shingle_k),
         batch_format="pyarrow",
-    )
+    ).drop_columns([text_col])
 
-    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame(columns=[*key_cols, "_rep"])
+        g = g.sort_values(list(key_cols), kind="mergesort")
+        rep = "\x1f".join(str(g.iloc[0][c]) for c in key_cols)
+        out = g[list(key_cols)].copy()
+        out["_rep"] = rep
+        return out
+
+    candidates = (
+        banded.groupby(["band_id", "band_hash"])
+        .map_groups(candidate_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if candidates.empty:
+        import ray.data as rd
+
+        return rd.from_items([])
+    # (key -> rep) candidate table, broadcast (compact: candidate keys only)
+    candidates["_key"] = candidates[list(key_cols)].astype(str).agg("\x1f".join, axis=1)
+    cand_frame = candidates[["_key", "_rep"]].drop_duplicates()
+    import ray
+
+    map_ref = ray.put(cand_frame)
+
+    def attach_rep(batch: pa.Table) -> pa.Table:
+        cand = ray.get(map_ref)
+        pdf = batch.to_pandas()
+        pdf["_key"] = pdf[list(key_cols)].astype(str).agg("\x1f".join, axis=1)
+        merged = pdf.merge(cand, on="_key", how="inner").drop(columns=["_key"])
+        return pa.Table.from_pandas(merged, preserve_index=False)
+
+    candidate_rows = sel.map_batches(attach_rep, batch_format="pyarrow")
+
+    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(list(key_cols), kind="mergesort").drop_duplicates(subset=list(key_cols))
         if len(g) < 2:
             return pd.DataFrame(columns=[*key_cols, "peer_count"])
-        g = g.sort_values(list(key_cols), kind="mergesort")
-        texts = g[text_col].tolist()
-        sh = [char_shingles(t or "", shingle_k) for t in texts]
-        base = sh[0]
+        rep_key = g["_rep"].iloc[0]
+        gk = g[list(key_cols)].astype(str).agg("\x1f".join, axis=1)
+        base_rows = g[gk == rep_key]
+        if base_rows.empty:
+            return pd.DataFrame(columns=[*key_cols, "peer_count"])
+        base = char_shingles(base_rows.iloc[0][text_col] or "", shingle_k)
         keep = []
         for i in range(len(g)):
-            if i == 0:
+            if gk.iloc[i] == rep_key:
                 continue
-            inter = np.intersect1d(base, sh[i], assume_unique=True).size
-            union = base.size + sh[i].size - inter
+            sh = char_shingles(g.iloc[i][text_col] or "", shingle_k)
+            inter = np.intersect1d(base, sh, assume_unique=True).size
+            union = base.size + sh.size - inter
             if union > 0 and inter / union >= jaccard_threshold:
                 keep.append(i)
         if not keep:
             return pd.DataFrame(columns=[*key_cols, "peer_count"])
-        rows = g.iloc[[0] + keep][list(key_cols)].copy()
+        rows = pd.concat([base_rows.iloc[[0]], g.iloc[keep]])[list(key_cols)].copy()
         rows["peer_count"] = len(keep) + 1
         return rows
 
-    flagged = banded.groupby(["band_id", "band_hash"]).map_groups(
-        verify_bucket, batch_format="pandas"
-    )
+    flagged = candidate_rows.groupby("_rep").map_groups(verify_group, batch_format="pandas")
 
     def collapse(g: pd.DataFrame) -> pd.DataFrame:
         out = g.iloc[[0]][list(key_cols)].copy()
