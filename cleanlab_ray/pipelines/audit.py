@@ -246,3 +246,83 @@ def find_issues(
             result.errors[name] = f"{type(exc).__name__}: {exc}"
     result.dataset = current
     return result
+
+
+def _data_valuation_stage(ds, ctx):
+    """Partition-local KNN-Shapley values joined back by key broadcast
+    (requires an ``embedding`` column)."""
+    if "embedding" not in ds.schema().names:
+        raise ValueError("data_valuation requires an 'embedding' column")
+    from cleanlab_ray.stages.valuation import data_valuation
+
+    flagged = data_valuation(
+        ds, embedding_col="embedding", label_col=ctx["label_col"], key_cols=KEYS
+    ).to_pandas()
+    score_map = {
+        (r[KEYS[0]], r[KEYS[1]]): (r["data_valuation_score"], r["is_data_valuation_issue"])
+        for _, r in flagged.iterrows()
+    }
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        k0 = batch[KEYS[0]].to_pylist()
+        k1 = batch[KEYS[1]].to_pylist()
+        vals = [score_map.get((a, b), (0.5, False)) for a, b in zip(k0, k1)]
+        batch = batch.append_column(
+            "is_data_valuation_issue", pa.array([v[1] for v in vals], type=pa.bool_())
+        )
+        return batch.append_column(
+            "data_valuation_score", pa.array([v[0] for v in vals], type=pa.float32())
+        )
+
+    out = ds.map_batches(kernel, batch_format="pyarrow")
+    n = sum(1 for v in score_map.values() if v[1])
+    mean = float(np.mean([v[0] for v in score_map.values()])) if score_map else 0.5
+    return out, {"issue_type": "data_valuation", "num_issues": n, "score": mean}
+
+
+def _drift_stage(ds, ctx):
+    """Event-time drift KS per window (requires ``ts`` + a score col)."""
+    names = ds.schema().names
+    score_col = ctx.get("drift_score_col", "label_score")
+    if "ts" not in names or score_col not in names:
+        raise ValueError(f"drift requires 'ts' and '{score_col}' columns")
+    from cleanlab_ray.stages.drift import drift_by_window
+
+    windows = drift_by_window(ds, ts_col="ts", value_col=score_col,
+                              window=ctx.get("drift_window", "hour"))
+    return ds, {
+        "issue_type": "drift",
+        "num_issues": int((windows["ks_statistic"] > ctx.get("drift_ks_threshold", 0.3)).sum()),
+        "score": float(windows.attrs["dataset_score"]),
+    }
+
+
+REGISTRY["data_valuation"] = _data_valuation_stage
+REGISTRY["drift"] = _drift_stage
+
+
+def report(result: AuditResult, max_rows: int = 5) -> str:
+    """Human-readable audit report (Datalab.report analogue,
+    datalab/datalab.py:355-409)."""
+    lines = ["Audit report", "============", ""]
+    frame = result.summary_frame()
+    if not frame.empty:
+        frame = frame.sort_values("num_issues", ascending=False)
+        lines.append("Issue summary (sorted by prevalence):")
+        lines.append(frame.to_string(index=False))
+        lines.append("")
+    for s in result.summaries:
+        t = s["issue_type"]
+        col = f"{t}_score"
+        try:
+            worst = (
+                result.dataset.select_columns([*KEYS, col]).sort(col).limit(max_rows).to_pandas()
+            )
+            lines.append(f"--- {t}: {s['num_issues']} issues, dataset score {s['score']:.4f}")
+            lines.append(worst.to_string(index=False))
+            lines.append("")
+        except Exception:
+            lines.append(f"--- {t}: {s['num_issues']} issues, dataset score {s['score']:.4f}")
+    if result.errors:
+        lines.append(f"Stages skipped with errors: {result.errors}")
+    return "\n".join(lines)

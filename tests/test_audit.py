@@ -74,3 +74,25 @@ def test_health_report(ray_session, corpus_dir):
     np.testing.assert_allclose(np.sum(rep["joint"]), 1.0, atol=1e-9)
     # overlapping classes: K*(K-1)/2 symmetric pairs
     assert len(rep["overlapping_classes"]) == 3
+
+
+def test_report_renders(audited):
+    from cleanlab_ray.pipelines.audit import report
+
+    result, ds = audited
+    text = report(result)
+    assert "Audit report" in text and "label" in text and "outlier" in text
+
+
+def test_drift_and_valuation_stages_guarded(ray_session, corpus_dir):
+    import ray.data as rd
+
+    from cleanlab_ray.pipelines.audit import find_issues
+
+    ds = rd.read_parquet(corpus_dir).materialize()
+    result = find_issues(ds, ["label", "drift", "data_valuation"])
+    # label works; drift works (ts + label_score present after label stage);
+    # data_valuation errors cleanly (no embedding column)
+    types = [s["issue_type"] for s in result.summaries]
+    assert "label" in types and "drift" in types
+    assert "data_valuation" in result.errors
