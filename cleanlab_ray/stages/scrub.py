@@ -31,7 +31,10 @@ SCRUB_PATTERNS: list[tuple[str, str, str]] = [
     ("toxicity", r"(?i)\b(?:" + "|".join(TOXIC_WORDS) + r")\b", "[TOX]"),
 ]
 
-_COMPILED_PY = [(re.compile(p), r) for _, p, r in SCRUB_PATTERNS]
+# re.ASCII makes Python's \b an ASCII word boundary — RE2's semantics —
+# so the oracle agrees with the engine on non-ASCII neighbors of PII
+# (found by the hypothesis fuzzer: U+00B9 is \w in Unicode-re, not RE2).
+_COMPILED_PY = [(re.compile(p, re.ASCII), r) for _, p, r in SCRUB_PATTERNS]
 
 
 def scrub_array(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:

@@ -87,3 +87,32 @@ def test_row_totals_preserved(seed, k, scale):
     m = rng.random((k, k)) * scale
     r = round_preserving_row_totals(m)
     np.testing.assert_array_equal(r.sum(axis=1), np.round(m.sum(axis=1)))
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.text(alphabet=st.characters(codec="utf-8", exclude_categories=["Cs"]), max_size=30),
+            st.sampled_from([
+                "bob@example.com", "x 123-45-6789 y", "555-123-4567",
+                "10.0.0.1", "you idiot", "IDIOT", "a@b.co", "1.2.3.4.5",
+                "12-34-5678", "almost@nodot", "trash talk", "hatefulness",
+            ]),
+        ),
+        min_size=0,
+        max_size=8,
+    )
+)
+def test_scrub_engines_byte_identical(parts):
+    """RE2 (engine) and Python-re (oracle) scrub must agree byte-for-byte
+    on arbitrary text with planted and near-miss PII patterns."""
+    import pyarrow as pa
+
+    from cleanlab_ray.stages.scrub import scrub_array, scrub_text_py
+
+    texts = [" ".join(parts), "".join(parts)]
+    col = pa.array(texts, type=pa.large_string())
+    engine = scrub_array(col).to_pylist()
+    oracle = [scrub_text_py(t) for t in texts]
+    assert engine == oracle
