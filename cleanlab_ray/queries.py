@@ -31,8 +31,9 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _scorer_concurrency():
-    """Actor-pool size for the fused scorer: most of the cluster's CPUs,
-    leaving headroom for the read/aggregate stages."""
+    """Pool size when a bounded actor pool is explicitly requested:
+    most of the cluster's CPUs, leaving headroom for read/aggregate
+    stages (the flagship paths default to stateless tasks instead)."""
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4))
