@@ -163,31 +163,39 @@ def _null_stage(ds, ctx):
 
 
 def _near_duplicate_stage(ds, ctx):
-    """MinHash-LSH near-dup flags joined back by key broadcast
-    (duplicate.py:52-120 semantics, LSH approximation)."""
+    """MinHash-LSH near-dup flags attached by a distributed left_outer
+    key join (duplicate.py:52-120 semantics, LSH approximation) — the
+    flagged-key set never lands on the driver."""
+    import pyarrow.compute as pc
+
+    from cleanlab_ray.functions.joins import attach_flags_by_key
     from cleanlab_ray.stages.dedup import near_dup_groups
 
     text_col = ctx.get("text_col", "text")
     flagged = near_dup_groups(
         ds, text_col=text_col, key_cols=KEYS,
         jaccard_threshold=ctx.get("jaccard_threshold", 0.8),
-    ).to_pandas()
-    keys = set(zip(flagged[KEYS[0]], flagged[KEYS[1]]))
+    )
+    joined = attach_flags_by_key(ds, flagged, KEYS, {"is_near_dup": False})
 
     def kernel(batch: pa.Table) -> pa.Table:
-        k0 = batch[KEYS[0]].to_pylist()
-        k1 = batch[KEYS[1]].to_pylist()
-        mask = np.fromiter(((a, b) in keys for a, b in zip(k0, k1)), dtype=bool, count=len(k0))
-        batch = batch.append_column("is_near_duplicate_issue", pa.array(mask, type=pa.bool_()))
+        mask = batch["is_near_dup"]
+        batch = batch.drop_columns(["is_near_dup"])
+        batch = batch.append_column("is_near_duplicate_issue", pc.cast(mask, pa.bool_()))
+        score = np.where(mask.to_numpy(zero_copy_only=False), 0.0, 1.0)
         return batch.append_column(
-            "near_duplicate_score", pa.array(np.where(mask, 0.0, 1.0), type=pa.float32())
+            "near_duplicate_score", pa.array(score, type=pa.float32())
         )
 
-    out = ds.map_batches(kernel, batch_format="pyarrow")
+    from ray.data.aggregate import Count, Sum
+
+    out = joined.map_batches(kernel, batch_format="pyarrow")
+    agg = out.aggregate(Sum("is_near_duplicate_issue", alias_name="n"), Count(alias_name="c"))
+    n = int(agg["n"] or 0)
     return out, {
         "issue_type": "near_duplicate",
-        "num_issues": len(keys),
-        "score": float(1.0 - len(keys) / max(ds.count(), 1)),
+        "num_issues": n,
+        "score": float(1.0 - n / max(int(agg["c"]), 1)),
     }
 
 
@@ -249,35 +257,44 @@ def find_issues(
 
 
 def _data_valuation_stage(ds, ctx):
-    """Partition-local KNN-Shapley values joined back by key broadcast
-    (requires an ``embedding`` column)."""
+    """Partition-local KNN-Shapley values attached by a distributed
+    left_outer key join (requires an ``embedding`` column) — the per-key
+    score table never lands on the driver."""
     if "embedding" not in ds.schema().names:
         raise ValueError("data_valuation requires an 'embedding' column")
+    import pyarrow.compute as pc
+
+    from cleanlab_ray.functions.joins import attach_flags_by_key
     from cleanlab_ray.stages.valuation import data_valuation
 
     flagged = data_valuation(
         ds, embedding_col="embedding", label_col=ctx["label_col"], key_cols=KEYS
-    ).to_pandas()
-    score_map = {
-        (r[KEYS[0]], r[KEYS[1]]): (r["data_valuation_score"], r["is_data_valuation_issue"])
-        for _, r in flagged.iterrows()
+    )
+    out = attach_flags_by_key(
+        ds,
+        flagged,
+        KEYS,
+        {"data_valuation_score": 0.5, "is_data_valuation_issue": False},
+    ).map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("data_valuation_score"),
+            "data_valuation_score",
+            pc.cast(b["data_valuation_score"], pa.float32()),
+        ),
+        batch_format="pyarrow",
+    )
+
+    from ray.data.aggregate import Mean, Sum
+
+    agg = out.aggregate(
+        Sum("is_data_valuation_issue", alias_name="n"),
+        Mean("data_valuation_score", alias_name="s"),
+    )
+    return out, {
+        "issue_type": "data_valuation",
+        "num_issues": int(agg["n"] or 0),
+        "score": float(agg["s"]) if agg["s"] is not None else 0.5,
     }
-
-    def kernel(batch: pa.Table) -> pa.Table:
-        k0 = batch[KEYS[0]].to_pylist()
-        k1 = batch[KEYS[1]].to_pylist()
-        vals = [score_map.get((a, b), (0.5, False)) for a, b in zip(k0, k1)]
-        batch = batch.append_column(
-            "is_data_valuation_issue", pa.array([v[1] for v in vals], type=pa.bool_())
-        )
-        return batch.append_column(
-            "data_valuation_score", pa.array([v[0] for v in vals], type=pa.float32())
-        )
-
-    out = ds.map_batches(kernel, batch_format="pyarrow")
-    n = sum(1 for v in score_map.values() if v[1])
-    mean = float(np.mean([v[0] for v in score_map.values()])) if score_map else 0.5
-    return out, {"issue_type": "data_valuation", "num_issues": n, "score": mean}
 
 
 def _drift_stage(ds, ctx):

@@ -117,13 +117,20 @@ def q_segment_revenue(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Sum
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    cust = (
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .to_pandas()
+        .sort_values("c_custkey", kind="mergesort")
+    )
+    lookup_ref = ray.put(
+        (cust["c_custkey"].to_numpy(np.int64), cust["c_mktsegment"].to_numpy(dtype=object))
+    )
 
     def attach_segment(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        seg = np.array([lookup.get(k, "UNKNOWN") for k in keys], dtype=object)
+        lk, lv = ray.get(lookup_ref)  # sorted key/value arrays, searchsorted gather
+        q = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        idx = np.clip(np.searchsorted(lk, q), 0, len(lk) - 1)
+        seg = np.where(lk[idx] == q, lv[idx], "UNKNOWN")
         return batch.append_column("c_mktsegment", pa.array(seg, type=pa.string()))
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -1386,22 +1393,137 @@ def q_object_detection_ap(sf_dir: str):
         col = batch["embedding"].combine_chunks()
         mat = np.asarray(col.values, dtype=np.float64).reshape(len(col), -1)
         label = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64) % 2
-        rows = {"gt_boxes": [], "gt_labels": [], "pred_boxes": [], "pred_labels": [], "pred_scores": []}
-        for i in range(len(label)):
-            x, y = 50 + 10 * mat[i, 0], 50 + 10 * mat[i, 1]
-            gt = [float(x), float(y), float(x + 20), float(y + 20)]
-            # class 0 predicted tightly, class 1 offset far
-            off = 2.0 if label[i] == 0 else 18.0
-            pred = [gt[0] + off, gt[1] + off, gt[2] + off, gt[3] + off]
-            rows["gt_boxes"].append([gt])
-            rows["gt_labels"].append([int(label[i])])
-            rows["pred_boxes"].append([pred])
-            rows["pred_labels"].append([int(label[i])])
-            rows["pred_scores"].append([float(1.0 / (1.0 + np.exp(-mat[i, 2])))])
-        return pa.table(rows)
+        n = len(label)
+        x = 50 + 10 * mat[:, 0]
+        y = 50 + 10 * mat[:, 1]
+        gt = np.stack([x, y, x + 20, y + 20], axis=1)  # (n, 4)
+        off = np.where(label == 0, 2.0, 18.0)[:, None]  # class 0 tight, class 1 far
+        pred = gt + off
+        scores = 1.0 / (1.0 + np.exp(-mat[:, 2]))
+
+        def nested_boxes(arr):  # (n, 4) -> list<list<double>> with one box per row
+            inner = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * 4), pa.array(arr.reshape(-1))
+            )
+            return pa.ListArray.from_arrays(pa.array(np.arange(n + 1, dtype=np.int32)), inner)
+
+        def nested_vals(arr, typ):
+            return pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32)), pa.array(arr, type=typ)
+            )
+
+        return pa.table(
+            {
+                "gt_boxes": nested_boxes(gt),
+                "gt_labels": nested_vals(label, pa.int64()),
+                "pred_boxes": nested_boxes(pred),
+                "pred_labels": nested_vals(label, pa.int64()),
+                "pred_scores": nested_vals(scores, pa.float64()),
+            }
+        )
 
     images = ds.map_batches(derive, batch_format="pyarrow")
     return per_class_ap(images, num_classes=2)
 
 
 QUERIES["object_detection_ap"] = q_object_detection_ap
+
+
+# ---------------------------------------------------------------------------
+# kNN-distance outlier scores (feature-based OOD, SQL-checked exact kNN)
+# ---------------------------------------------------------------------------
+
+def q_knn_outlier_scores(sf_dir: str):
+    """Exact kNN mean-distance outlier scores over the embeddings table
+    (reference outlier.py:306-478 semantics: score = exp(-t*avg_dist /
+    max(median(avg_dist), eps)), precision-pinned to 1 near zero).
+    Broadcast brute-force kNN so an O(N^2) SQL oracle reproduces it
+    bit-for-bit; the LSH-bucketed scale path is
+    stages/knn_outlier.knn_outlier_scores_bucketed."""
+    from cleanlab_ray.stages.knn_outlier import knn_outlier_scores
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_outlier_scores(ds, key_cols=("vec_id",), k=10, t=1.0)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = batch["ood_score_knn"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "ood_knn_e6": pa.array(np.round(s * 1e6).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_KNN_OUTLIER = """
+WITH d AS (
+  SELECT a.vec_id AS i, b.vec_id AS j,
+         list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS dist
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id <> b.vec_id),
+knn AS (
+  SELECT i, j, dist, row_number() OVER (PARTITION BY i ORDER BY dist, j) AS rn FROM d),
+avgd AS (SELECT i AS vec_id, avg(dist) AS avg_dist FROM knn WHERE rn <= 10 GROUP BY i),
+sf AS (SELECT greatest(median(avg_dist), 0.000001) AS s FROM avgd)
+SELECT a.vec_id,
+       CAST(round(CASE WHEN a.avg_dist < 1.4901161193847656e-07 THEN 1.0
+                       ELSE exp(-a.avg_dist / s.s) END * 1000000) AS BIGINT) AS ood_knn_e6
+FROM avgd a CROSS JOIN sf s
+"""
+
+QUERIES["knn_outlier_scores"] = q_knn_outlier_scores
+ORACLE_SQL["knn_outlier_scores"] = SQL_KNN_OUTLIER
+
+
+def q_knn_outlier_bucketed(sf_dir: str):
+    """LSH-bucketed approximate kNN outlier scores (the 100-TB path:
+    per-bucket exact kNN, best avg distance across hash tables; rows-only
+    check — approximation has no SQL equivalent)."""
+    from cleanlab_ray.stages.knn_outlier import knn_outlier_scores_bucketed
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_outlier_scores_bucketed(ds, key_cols=("vec_id",), k=10, t=1.0)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = batch["ood_score_knn"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "ood_knn_e6": pa.array(np.round(s * 1e6).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["knn_outlier_bucketed"] = q_knn_outlier_bucketed
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprints now have a SQL oracle (documented polynomial hash)
+# ---------------------------------------------------------------------------
+
+# The fingerprint is h = fold(h*P + byte, init=0) mod 2^64 over UTF-8
+# bytes (stages/dedup.add_fingerprint). The documents corpus is ASCII,
+# so a codepoint fold in DuckDB reproduces it exactly; HUGEINT keeps the
+# 64-bit modular arithmetic exact, and the final CASE maps the unsigned
+# value onto int64 two's complement to match the engine's output column.
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       CAST(CASE WHEN fp >= 9223372036854775808::HUGEINT
+                 THEN fp - 18446744073709551616::HUGEINT ELSE fp END AS BIGINT)
+           AS fingerprint
+FROM (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(CAST(0 AS HUGEINT),
+             [CAST(unicode(c) AS HUGEINT)
+              for c in string_split_regex(text, '') IF c <> '']),
+           (h, b) -> (h * 1099511628211 + b) % 18446744073709551616::HUGEINT
+         ) AS fp
+  FROM documents)
+"""
+
+ORACLE_SQL["fingerprint_documents"] = SQL_FINGERPRINT

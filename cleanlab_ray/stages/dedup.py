@@ -12,6 +12,11 @@ MinHash-LSH follows the standard shingle -> minhash -> band-bucket
 groupby construction (near-duplicate sets, semantics of
 /root/reference/cleanlab/datalab/internal/issue_manager/duplicate.py:52-120,
 re-expressed for scale).
+
+All text kernels here are whole-column vectorized: an Arrow string
+column is processed as ONE contiguous byte buffer (offsets + data, the
+same zero-copy pattern as stages/_chargram.py) — no per-row Python in
+any hot path.
 """
 
 from __future__ import annotations
@@ -19,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def add_content_hash(
@@ -30,6 +36,52 @@ def add_content_hash(
     return batch.append_column(out_col, pa.array(h.astype(np.int64), type=pa.int64()))
 
 
+def _sorted_block_map(ds, sort_cols, fn):
+    """Sort-shuffle + whole-block vectorized map.
+
+    ``Dataset.sort`` range-partitions so that all rows with equal sort
+    keys land in ONE block — the exact guarantee GroupedData.map_groups
+    relies on (ray.data.grouped_data: sort + batch_size=None). Unlike
+    map_groups, ``fn`` receives the WHOLE sorted block (many groups) as
+    one pyarrow Table, so per-group work can be vectorized instead of
+    paying a Python/pandas roundtrip per group."""
+    return ds.sort(sort_cols).map_batches(
+        fn, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _run_starts(*sorted_cols) -> np.ndarray:
+    """Start indices of equal-key runs in block-sorted column(s)."""
+    n = len(sorted_cols[0])
+    if n == 0:
+        return np.empty(0, np.int64)
+    change = np.zeros(n, dtype=bool)
+    change[0] = True
+    for c in sorted_cols:
+        arr = np.asarray(c)
+        change[1:] |= arr[1:] != arr[:-1]
+    return np.flatnonzero(change)
+
+
+def _encode_keys(batch: pa.Table, key_cols: tuple[str, ...]) -> pa.Array:
+    """Deterministic fixed-order string encoding of the key columns
+    (ints are zero-padded so lexicographic order == numeric order for
+    non-negative ids) — vectorized in pyarrow."""
+    parts = []
+    for c in key_cols:
+        col = batch[c]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_integer(col.type):
+            col = pc.utf8_lpad(pc.cast(col, pa.string()), width=20, padding="0")
+        elif not (pa.types.is_string(col.type) or pa.types.is_large_string(col.type)):
+            col = pc.cast(col, pa.string())
+        parts.append(col)
+    if len(parts) == 1:
+        return parts[0]
+    return pc.binary_join_element_wise(*parts, "\x1f")
+
+
 def exact_dedup(
     ds,
     text_col: str = "text",
@@ -38,29 +90,38 @@ def exact_dedup(
 ):
     """Keep one row per distinct text: the minimal (key_cols) row.
 
-    Shuffle key = 64-bit content hash; within each hash group rows are
+    Shuffle key = 64-bit content hash; within each hash run rows are
     compared on the actual text so collisions cannot merge distinct
-    contents."""
+    contents. One sort all-to-all + a fully vectorized block kernel
+    (no per-group Python)."""
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(list(key_cols), kind="mergesort")
-        return g.drop_duplicates(subset=[text_col], keep="first")
+    def add_keys(batch: pa.Table) -> pa.Table:
+        batch = add_content_hash(batch, text_col, hash_col)
+        return batch.append_column("_ekey", _encode_keys(batch, key_cols))
 
-    with_hash = ds.map_batches(
-        lambda b: add_content_hash(b, text_col, hash_col), batch_format="pyarrow"
-    )
-    return (
-        with_hash.groupby(hash_col)
-        .map_groups(keep_first, batch_format="pandas")
-        .drop_columns([hash_col])
-    )
+    def keep_first_block(batch: pa.Table) -> pa.Table:
+        h = batch[hash_col].to_numpy(zero_copy_only=False)
+        if len(h) == 0:
+            return batch.drop_columns([hash_col, "_ekey"])
+        txt = np.asarray(batch[text_col].to_pandas(), dtype=object)
+        ekey = np.asarray(batch["_ekey"].to_pandas(), dtype=object)
+        order = np.lexsort((ekey, txt, h))
+        hs, ts = h[order], txt[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (ts[1:] != ts[:-1])
+        keep = np.sort(order[first])
+        return batch.take(pa.array(keep)).drop_columns([hash_col, "_ekey"])
+
+    with_hash = ds.map_batches(add_keys, batch_format="pyarrow")
+    return _sorted_block_map(with_hash, hash_col, keep_first_block)
 
 
 # ---------------------------------------------------------------------------
-# MinHash-LSH near-duplicate detection
+# Columnar shingle machinery (shared by MinHash and SimHash)
 # ---------------------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+_FNV_P = np.uint64(1099511628211)
 
 
 def _minhash_params(num_perm: int, seed: int = 7):
@@ -71,6 +132,8 @@ def _minhash_params(num_perm: int, seed: int = 7):
 
 
 def char_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Reference (single-row) shingle hasher — kept as the oracle the
+    vectorized column kernels are tested against."""
     data = text.lower().encode("utf-8")
     if len(data) < k:
         data = data + b" " * (k - len(data))
@@ -79,11 +142,12 @@ def char_shingles(text: str, k: int = 5) -> np.ndarray:
     # 64-bit FNV-ish rolling hash of each shingle, vectorized
     h = np.zeros(len(view), dtype=np.uint64)
     for i in range(k):
-        h = h * np.uint64(1099511628211) + view[:, i].astype(np.uint64)
+        h = h * _FNV_P + view[:, i].astype(np.uint64)
     return np.unique(h)
 
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Reference (single-row) minhash — oracle for the column kernel."""
     if len(shingles) == 0:
         return np.zeros(len(a), dtype=np.uint64)
     # (P, S) permuted hashes -> min per permutation
@@ -91,29 +155,125 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
     return vals.min(axis=1)
 
 
+def _lower_padded_bytes(col, k: int):
+    """(data, offsets) of a lowercased string column with every row
+    right-padded to at least ``k`` bytes — zero-copy view of the Arrow
+    buffers, no per-row Python.
+
+    NOTE: lowercasing + padding happen at the codepoint level via
+    pyarrow.compute; identical to the byte-level reference
+    ``char_shingles`` preprocessing for ASCII text (non-ASCII rows may
+    differ only in which near-dup candidates LSH surfaces — exact
+    Jaccard verification still decides membership)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    col = pc.utf8_lower(col)
+    col = pc.utf8_rpad(col, width=k, padding=" ")
+    col = col.cast(pa.large_string())
+    bufs = col.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64)[col.offset : col.offset + len(col) + 1]
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[offsets[0] : offsets[-1]]
+    return data, offsets - offsets[0]
+
+
+def shingle_hashes_column(col, k: int = 5):
+    """All k-byte shingle hashes of a string column in ONE vectorized
+    pass.
+
+    Returns (hashes uint64 (W,), seg_starts int64 (n,), widths int64
+    (n,)): ``hashes[seg_starts[i] : seg_starts[i] + widths[i]]`` are row
+    i's shingle hashes in positional order (NOT deduplicated — callers
+    needing set semantics dedupe per segment). Every row has >= 1
+    shingle (short rows are space-padded to k, as in char_shingles)."""
+    data, offsets = _lower_padded_bytes(col, k)
+    n = len(offsets) - 1
+    lens = np.diff(offsets)
+    widths = lens - k + 1  # >= 1 after padding
+    if n == 0 or data.size == 0:
+        return np.empty(0, np.uint64), np.zeros(n, np.int64), widths
+    view = np.lib.stride_tricks.sliding_window_view(data, k)
+    h_all = np.zeros(len(view), dtype=np.uint64)
+    for i in range(k):
+        h_all = h_all * _FNV_P + view[:, i].astype(np.uint64)
+    # valid window start positions: row i contributes offsets[i] .. offsets[i+1]-k
+    seg_starts = np.concatenate([[0], np.cumsum(widths)[:-1]])
+    pos = np.arange(int(widths.sum()), dtype=np.int64) + np.repeat(
+        offsets[:-1] - seg_starts, widths
+    )
+    return h_all[pos], seg_starts, widths
+
+
+def _unique_per_segment(hashes: np.ndarray, seg_starts: np.ndarray, widths: np.ndarray):
+    """Per-row sorted-unique shingle sets, vectorized: global lexsort by
+    (row, hash) then first-occurrence mask.
+
+    Returns (uniq uint64, row_ids int64, useg_starts int64 (n,),
+    usizes int64 (n,)); every input row has >= 1 unique hash."""
+    n = len(seg_starts)
+    row_ids = np.repeat(np.arange(n, dtype=np.int64), widths)
+    order = np.lexsort((hashes, row_ids))
+    hs, rs = hashes[order], row_ids[order]
+    first = np.ones(len(hs), dtype=bool)
+    if len(hs) > 1:
+        first[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+    hu, ru = hs[first], rs[first]
+    useg = np.searchsorted(ru, np.arange(n))
+    usizes = np.diff(np.append(useg, len(ru)))
+    return hu, ru, useg, usizes
+
+
+def minhash_signatures_column(col, a: np.ndarray, b: np.ndarray, k: int = 5) -> np.ndarray:
+    """(n, num_perm) minhash signatures for a whole Arrow string column —
+    identical values to per-row minhash_signature(char_shingles(t)), but
+    computed as num_perm vectorized passes + np.minimum.reduceat over
+    the column's shingle-hash buffer (duplicate shingles cannot change a
+    min, so no per-row dedup is needed)."""
+    hashes, seg_starts, widths = shingle_hashes_column(col, k)
+    n = len(seg_starts)
+    num_perm = len(a)
+    sigs = np.empty((n, num_perm), dtype=np.uint64)
+    if n == 0:
+        return sigs
+    m = np.uint64(_MERSENNE)
+    for j in range(num_perm):
+        vals = (hashes * a[j] + b[j]) % m
+        sigs[:, j] = np.minimum.reduceat(vals, seg_starts)
+    return sigs
+
+
 def make_minhash_kernel(
-    text_col: str = "text", num_perm: int = 64, bands: int = 16, shingle_k: int = 5
+    text_col: str = "text",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
 ):
-    """map_batches kernel emitting one row per (row, band):
-    (key cols..., band_id, band_hash) for the LSH bucket groupby."""
+    """map_batches kernel emitting one compact row per (row, band):
+    (key cols..., _ekey, bucket) for the LSH bucket sort. The text
+    column never leaves the kernel; band id is mixed into the single
+    int64 ``bucket`` key so downstream needs only one sort column."""
     a, b = _minhash_params(num_perm)
     rows_per_band = num_perm // bands
+    band_salt = (np.arange(bands, dtype=np.uint64) + np.uint64(1)) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
 
     def kernel(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        n = len(texts)
-        sigs = np.empty((n, num_perm), dtype=np.uint64)
-        for i, t in enumerate(texts):
-            sigs[i] = minhash_signature(char_shingles(t or "", shingle_k), a, b)
+        n = batch.num_rows
+        sigs = minhash_signatures_column(batch[text_col], a, b, shingle_k)
         band_view = sigs.reshape(n, bands, rows_per_band)
         band_hash = np.zeros((n, bands), dtype=np.uint64)
         for j in range(rows_per_band):
-            band_hash = band_hash * np.uint64(1099511628211) + band_view[:, :, j]
-        pdf = batch.to_pandas()
-        tiled = pdf.loc[pdf.index.repeat(bands)].reset_index(drop=True)
-        tiled["band_id"] = np.tile(np.arange(bands, dtype=np.int32), n)
-        tiled["band_hash"] = band_hash.reshape(-1).astype(np.int64)
-        return pa.Table.from_pandas(tiled, preserve_index=False)
+            band_hash = band_hash * _FNV_P + band_view[:, :, j]
+        bucket = band_hash ^ band_salt[None, :]
+        ekey = _encode_keys(batch, key_cols)
+        keep = batch.select(list(key_cols)).append_column("_ekey", ekey)
+        idx = np.repeat(np.arange(n, dtype=np.int64), bands)
+        tiled = keep.take(pa.array(idx))
+        return tiled.append_column(
+            "bucket", pa.array(bucket.reshape(-1).astype(np.int64))
+        )
 
     return kernel
 
@@ -129,100 +289,181 @@ def near_dup_groups(
 ):
     """Flag near-duplicate rows: returns Dataset[key_cols + (is_near_dup,)].
 
-    Construction (two shuffles, both COMPACT):
-      1. band shuffle carries only (keys, band_id, band_hash) — never the
-         text — to find candidate buckets (>= 2 members); each bucket
-         emits (key, group_rep=bucket-minimal key) rows;
-      2. candidate rows only (usually a tiny fraction) are re-shuffled BY
-         GROUP REP with their text for exact Jaccard verification
-         against the representative.
-    Partitioning assumption: the candidate set is sparse relative to the
-    corpus (true when bands/num_perm are tuned to the target threshold);
-    the candidate->rep map is broadcast, so candidate discovery adds no
-    text movement at all."""
+    Construction — four sort all-to-alls, every block kernel vectorized,
+    NOTHING materialized on the driver:
+      1. band map emits compact (keys, _ekey, bucket) rows ×bands (text
+         never rides the band exchange); sort by bucket; runs of >= 2
+         become candidate (member, _rep=bucket-min _ekey) pairs;
+      2. texts are attached by a UNION + single sort on _ekey (a
+         cogroup: each key's text row and its candidate-pair rows land
+         in the same block), which also dedups pairs found by several
+         bands — text moves through exactly one shuffle, same volume as
+         exact_dedup's;
+      3. sort by _rep co-locates each candidate group with its
+         representative for exact Jaccard verification (whole-block
+         shingle hashing; only the isin per candidate group loops, over
+         numpy slices);
+      4. a final tiny sort dedups flagged keys.
+    Partitioning assumption: LSH bucket runs fit in a block (same
+    assumption as any groupby); candidate volume is tuned by
+    bands/num_perm."""
 
     sel = ds.select_columns([*key_cols, text_col])
     banded = sel.map_batches(
-        make_minhash_kernel(text_col, num_perm, bands, shingle_k),
+        make_minhash_kernel(text_col, num_perm, bands, shingle_k, key_cols),
         batch_format="pyarrow",
-    ).drop_columns([text_col])
-
-    def candidate_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(columns=[*key_cols, "_rep"])
-        g = g.sort_values(list(key_cols), kind="mergesort")
-        rep = "\x1f".join(str(g.iloc[0][c]) for c in key_cols)
-        out = g[list(key_cols)].copy()
-        out["_rep"] = rep
-        return out
-
-    candidates = (
-        banded.groupby(["band_id", "band_hash"])
-        .map_groups(candidate_pairs, batch_format="pandas")
-        .to_pandas()
     )
-    if candidates.empty:
-        import ray.data as rd
 
-        return rd.from_items([])
-    # (key -> rep) candidate table, broadcast (compact: candidate keys only)
-    candidates["_key"] = candidates[list(key_cols)].astype(str).agg("\x1f".join, axis=1)
-    cand_frame = candidates[["_key", "_rep"]].drop_duplicates()
-    import ray
+    def emit_pairs(batch: pa.Table) -> pa.Table:
+        bucket = batch["bucket"].to_numpy(zero_copy_only=False)
+        base = batch.select([*key_cols, "_ekey"])
+        if len(bucket) == 0:
+            return base.append_column("_rep", pa.array([], type=pa.string()))
+        ekey = np.asarray(batch["_ekey"].to_pandas(), dtype=object)
+        starts = _run_starts(bucket)
+        sizes = np.diff(np.append(starts, len(bucket)))
+        # min _ekey per run: lexsort (bucket asc, ekey asc) -> run head
+        order = np.lexsort((ekey, bucket))
+        rep_per_run = ekey[order[starts]]
+        run_of_row = np.repeat(np.arange(len(starts)), sizes)
+        member = np.repeat(sizes, sizes) >= 2
+        idx = np.flatnonzero(member)
+        out = base.take(pa.array(idx))
+        return out.append_column(
+            "_rep", pa.array(rep_per_run[run_of_row[idx]], type=pa.string())
+        )
 
-    map_ref = ray.put(cand_frame)
+    cand = _sorted_block_map(banded, "bucket", emit_pairs)
 
-    def attach_rep(batch: pa.Table) -> pa.Table:
-        cand = ray.get(map_ref)
-        pdf = batch.to_pandas()
-        pdf["_key"] = pdf[list(key_cols)].astype(str).agg("\x1f".join, axis=1)
-        merged = pdf.merge(cand, on="_key", how="inner").drop(columns=["_key"])
-        return pa.Table.from_pandas(merged, preserve_index=False)
+    # --- cogroup pairs with texts on _ekey (one text shuffle, dedups pairs)
+    def text_side(batch: pa.Table) -> pa.Table:
+        ekey = _encode_keys(batch, key_cols)
+        t = batch[text_col]
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        return pa.table(
+            {
+                **{c: batch[c] for c in key_cols},
+                "_ekey": ekey,
+                text_col: pc.cast(pc.fill_null(t, ""), pa.string()),
+                "_rep": pa.nulls(batch.num_rows, pa.string()),
+            }
+        )
 
-    candidate_rows = sel.map_batches(attach_rep, batch_format="pyarrow")
+    def pair_side(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                **{c: batch[c] for c in key_cols},
+                "_ekey": pc.cast(batch["_ekey"], pa.string()),
+                text_col: pa.nulls(batch.num_rows, pa.string()),
+                "_rep": pc.cast(batch["_rep"], pa.string()),
+            }
+        )
 
-    def verify_group(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(list(key_cols), kind="mergesort").drop_duplicates(subset=list(key_cols))
-        if len(g) < 2:
-            return pd.DataFrame(columns=[*key_cols, "peer_count"])
-        rep_key = g["_rep"].iloc[0]
-        gk = g[list(key_cols)].astype(str).agg("\x1f".join, axis=1)
-        base_rows = g[gk == rep_key]
-        if base_rows.empty:
-            return pd.DataFrame(columns=[*key_cols, "peer_count"])
-        base = char_shingles(base_rows.iloc[0][text_col] or "", shingle_k)
-        keep = []
-        for i in range(len(g)):
-            if gk.iloc[i] == rep_key:
+    unioned = sel.map_batches(text_side, batch_format="pyarrow").union(
+        cand.map_batches(pair_side, batch_format="pyarrow")
+    )
+
+    def fill_text(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        keep = np.empty(0, np.int64)
+        fill_vals = np.empty(0, dtype=object)
+        if n:
+            ekey = np.asarray(batch["_ekey"].to_pandas(), dtype=object)
+            rep = np.asarray(batch["_rep"].to_pandas(), dtype=object)
+            txt = np.asarray(batch[text_col].to_pandas(), dtype=object)
+            is_text_row = pc.is_null(batch["_rep"]).to_numpy(zero_copy_only=False)
+            starts = _run_starts(ekey)
+            sizes = np.diff(np.append(starts, n))
+            run_of_row = np.repeat(np.arange(len(starts)), sizes)
+            # one text row per key (engine-keyed data); take the first
+            text_rows = np.flatnonzero(is_text_row)
+            run_text = np.full(len(starts), None, dtype=object)
+            run_text[run_of_row[text_rows]] = txt[text_rows]
+            # dedup (ekey, rep) pairs: lexsort within block
+            pair_rows = np.flatnonzero(~is_text_row)
+            if len(pair_rows):
+                pr_ekey, pr_rep = ekey[pair_rows], rep[pair_rows]
+                order = np.lexsort((pr_rep, pr_ekey))
+                e_s, r_s = pr_ekey[order], pr_rep[order]
+                first = np.ones(len(order), dtype=bool)
+                first[1:] = (e_s[1:] != e_s[:-1]) | (r_s[1:] != r_s[:-1])
+                keep = pair_rows[order[first]]
+                fill_vals = run_text[run_of_row[keep]]
+                has_text = pd.notna(fill_vals)
+                keep, fill_vals = keep[has_text], fill_vals[has_text]
+        out = batch.take(pa.array(keep)).drop_columns([text_col])
+        return out.append_column(text_col, pa.array(fill_vals, type=pa.string()))
+
+    cand_rows = _sorted_block_map(unioned, "_ekey", fill_text)
+
+    def verify_block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        base_cols = batch.select([*key_cols, "_ekey"])
+        if n == 0:
+            return base_cols
+        rep = np.asarray(batch["_rep"].to_pandas(), dtype=object)
+        ekey = np.asarray(batch["_ekey"].to_pandas(), dtype=object)
+        hashes, seg_starts, widths = shingle_hashes_column(batch[text_col], shingle_k)
+        hu, _, useg, usizes = _unique_per_segment(hashes, seg_starts, widths)
+        useg_end = np.append(useg[1:], len(hu))
+        starts = _run_starts(rep)
+        bounds = np.append(starts, n)
+        keep_rows: list[int] = []
+        for gi in range(len(starts)):
+            lo, hi = bounds[gi], bounds[gi + 1]
+            if hi - lo < 2:
                 continue
-            sh = char_shingles(g.iloc[i][text_col] or "", shingle_k)
-            inter = np.intersect1d(base, sh, assume_unique=True).size
-            union = base.size + sh.size - inter
-            if union > 0 and inter / union >= jaccard_threshold:
-                keep.append(i)
-        if not keep:
-            return pd.DataFrame(columns=[*key_cols, "peer_count"])
-        rows = pd.concat([base_rows.iloc[[0]], g.iloc[keep]])[list(key_cols)].copy()
-        rows["peer_count"] = len(keep) + 1
-        return rows
+            grp_rep = rep[lo]
+            base_local = np.flatnonzero(ekey[lo:hi] == grp_rep)
+            if len(base_local) == 0:
+                continue
+            bi = lo + int(base_local[0])
+            base_set = hu[useg[bi] : useg_end[bi]]
+            members = hu[useg[lo] : useg_end[hi - 1]]
+            inter = np.add.reduceat(
+                np.isin(members, base_set).astype(np.int64),
+                useg[lo:hi] - useg[lo],
+            )
+            union = usizes[bi] + usizes[lo:hi] - inter
+            jac = inter / np.maximum(union, 1)
+            ok = np.flatnonzero(jac >= jaccard_threshold) + lo
+            ok = ok[ok != bi]
+            if len(ok):
+                keep_rows.append(bi)
+                keep_rows.extend(ok.tolist())
+        return base_cols.take(pa.array(np.array(keep_rows, dtype=np.int64)))
 
-    flagged = candidate_rows.groupby("_rep").map_groups(verify_group, batch_format="pandas")
-
-    def collapse(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.iloc[[0]][list(key_cols)].copy()
-        out["is_near_dup"] = True
-        return out
-
-    return flagged.groupby(list(key_cols)).map_groups(collapse, batch_format="pandas")
+    flagged = _sorted_block_map(cand_rows, "_rep", verify_block)
+    return _sorted_block_map(
+        flagged, "_ekey", _distinct_flag_block(key_cols, "is_near_dup")
+    )
 
 
 # ---------------------------------------------------------------------------
 # SimHash near-duplicate detection
 # ---------------------------------------------------------------------------
 
+def simhash_column(col, shingle_k: int = 4) -> np.ndarray:
+    """64-bit SimHash per row of a string column: sign of summed +/-1 bit
+    votes over each row's UNIQUE shingle hashes — whole-column
+    vectorized (lexsort dedup + 64 reduceat bit-count passes)."""
+    hashes, seg_starts, widths = shingle_hashes_column(col, shingle_k)
+    n = len(seg_starts)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0 or len(hashes) == 0:
+        return out
+    hu, _, useg, usizes = _unique_per_segment(hashes, seg_starts, widths)
+    one = np.uint64(1)
+    for s in range(64):
+        bit = ((hu >> np.uint64(s)) & one).astype(np.int64)
+        cnt1 = np.add.reduceat(bit, useg)
+        out |= (2 * cnt1 > usizes).astype(np.uint64) << np.uint64(s)
+    return out
+
+
 def _simhash_batch(texts: list[str], shingle_k: int = 4) -> np.ndarray:
-    """64-bit SimHash per text: sign of summed +/-1 bit votes from
-    shingle hashes."""
+    """Reference (per-row) SimHash — oracle for simhash_column."""
     out = np.zeros(len(texts), dtype=np.uint64)
     for i, t in enumerate(texts):
         sh = char_shingles(t or "", shingle_k)
@@ -238,6 +479,37 @@ def _simhash_batch(texts: list[str], shingle_k: int = 4) -> np.ndarray:
     return out
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count)."""
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x)
+    v = x.copy()
+    v = v - ((v >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    v = (v & np.uint64(0x3333333333333333)) + (
+        (v >> np.uint64(2)) & np.uint64(0x3333333333333333)
+    )
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return (v * np.uint64(0x0101010101010101)) >> np.uint64(56)
+
+
+def _distinct_flag_block(key_cols: tuple[str, ...], flag_name: str):
+    """Block kernel: first row per _ekey run -> keys + True flag."""
+
+    def distinct_keys(batch: pa.Table) -> pa.Table:
+        ekey = np.asarray(batch["_ekey"].to_pandas(), dtype=object)
+        out = batch.select(list(key_cols))
+        if len(ekey) == 0:
+            keep = np.empty(0, np.int64)
+        else:
+            first = np.ones(len(ekey), dtype=bool)
+            first[1:] = ekey[1:] != ekey[:-1]
+            keep = np.flatnonzero(first)
+        out = out.take(pa.array(keep))
+        return out.append_column(flag_name, pa.array(np.ones(len(keep), dtype=bool)))
+
+    return distinct_keys
+
+
 def simhash_near_dup(
     ds,
     text_col: str = "text",
@@ -248,50 +520,61 @@ def simhash_near_dup(
 ):
     """SimHash LSH: 64-bit signature split into ``bands`` 16-bit bands;
     rows sharing any band bucket are verified by full hamming distance
-    against the bucket's minimal-key row. Returns flagged keys."""
+    against the bucket's minimal-key row. Two sort all-to-alls, fully
+    vectorized block kernels (verification needs only the 8-byte
+    signature, so text never leaves the map stage)."""
     bits_per_band = 64 // bands
+    band_salt = (np.arange(bands, dtype=np.uint64) + np.uint64(1)) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
 
     def kernel(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        sigs = _simhash_batch(texts, shingle_k)
-        n = len(texts)
-        pdf = batch.to_pandas()
-        tiled = pdf.loc[pdf.index.repeat(bands)].reset_index(drop=True)
-        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
-        shifts = (band_ids * bits_per_band).astype(np.uint64)
+        n = batch.num_rows
+        sigs = simhash_column(batch[text_col], shingle_k)
+        keep = batch.select(list(key_cols)).append_column(
+            "_ekey", _encode_keys(batch, key_cols)
+        )
+        idx = np.repeat(np.arange(n, dtype=np.int64), bands)
+        tiled = keep.take(pa.array(idx))
+        shifts = (np.arange(bands, dtype=np.uint64) * np.uint64(bits_per_band))
         mask = np.uint64((1 << bits_per_band) - 1)
-        band_hash = (np.repeat(sigs, bands) >> shifts) & mask
-        tiled["band_id"] = band_ids
-        tiled["band_hash"] = band_hash.astype(np.int64)
-        tiled["simhash"] = np.repeat(sigs.astype(np.int64), bands)
-        return pa.Table.from_pandas(tiled, preserve_index=False)
+        bucket = ((sigs[:, None] >> shifts[None, :]) & mask) ^ band_salt[None, :]
+        tiled = tiled.append_column(
+            "bucket", pa.array(bucket.reshape(-1).astype(np.int64))
+        )
+        return tiled.append_column(
+            "simhash", pa.array(np.repeat(sigs.astype(np.int64), bands))
+        )
 
     banded = ds.select_columns([*key_cols, text_col]).map_batches(
         kernel, batch_format="pyarrow"
     )
 
-    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(columns=list(key_cols))
-        g = g.sort_values(list(key_cols), kind="mergesort")
-        sigs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        base = sigs[0]
-        ham = np.array([bin(int(base ^ s)).count("1") for s in sigs])
-        keep = np.nonzero(ham <= max_hamming)[0]
-        if len(keep) < 2:
-            return pd.DataFrame(columns=list(key_cols))
-        return g.iloc[keep][list(key_cols)]
+    def verify_block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        base_cols = batch.select([*key_cols, "_ekey"])
+        if n == 0:
+            return base_cols
+        bucket = batch["bucket"].to_numpy(zero_copy_only=False)
+        ekey = np.asarray(batch["_ekey"].to_pandas(), dtype=object)
+        sigs = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        starts = _run_starts(bucket)
+        sizes = np.diff(np.append(starts, n))
+        run_of_row = np.repeat(np.arange(len(starts)), sizes)
+        # base row per run = min _ekey
+        order = np.lexsort((ekey, bucket))
+        base_row = order[starts]
+        ham = _popcount64(sigs ^ sigs[base_row][run_of_row])
+        close = ham <= max_hamming
+        # a run is emitted only if >= 2 of its rows are close to the base
+        close_per_run = np.bincount(run_of_row, weights=close).astype(np.int64)
+        keep = close & (close_per_run[run_of_row] >= 2) & (np.repeat(sizes, sizes) >= 2)
+        return base_cols.take(pa.array(np.flatnonzero(keep)))
 
-    flagged = banded.groupby(["band_id", "band_hash"]).map_groups(
-        verify_bucket, batch_format="pandas"
+    flagged = _sorted_block_map(banded, "bucket", verify_block)
+    return _sorted_block_map(
+        flagged, "_ekey", _distinct_flag_block(key_cols, "is_simhash_dup")
     )
-
-    def collapse(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.iloc[[0]][list(key_cols)].copy()
-        out["is_simhash_dup"] = True
-        return out
-
-    return flagged.groupby(list(key_cols)).map_groups(collapse, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -308,72 +591,98 @@ def embedding_near_dup(
     seed: int = 11,
 ):
     """Near-duplicate vectors: ``num_tables`` independent random-hyperplane
-    sign buckets (num_planes bits each) -> groupby bucket -> exact cosine
-    verification against the bucket's minimal-key row."""
+    sign buckets (num_planes bits each, table id mixed into the single
+    int64 bucket key) -> sort by bucket -> exact cosine verification
+    against each bucket's minimal-key row. Two sort all-to-alls; the
+    verification block kernel is one batched matmul-style pass (no
+    per-bucket Python)."""
+    table_salt = (np.arange(num_tables, dtype=np.uint64) + np.uint64(1)) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+
     def make_planes(dim):
         rng = np.random.default_rng(seed)
         return rng.standard_normal((num_tables, num_planes, dim))
 
     planes_cache = {}
 
+    def _embed_matrix(batch: pa.Table) -> np.ndarray:
+        col = batch[embedding_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(batch.num_rows, -1)
+
     def kernel(batch: pa.Table) -> pa.Table:
-        col = batch[embedding_col].combine_chunks()
-        flat = np.asarray(col.values, dtype=np.float64)
-        mat = flat.reshape(len(col), -1)
+        n = batch.num_rows
+        mat = _embed_matrix(batch)
         dim = mat.shape[1]
         if dim not in planes_cache:
             planes_cache[dim] = make_planes(dim)
         planes = planes_cache[dim]
-        pdf = batch.to_pandas()
-        frames = []
+        bucket = np.empty((n, num_tables), dtype=np.uint64)
         for t in range(num_tables):
-            signs = (mat @ planes[t].T) > 0          # (B, P)
-            bucket = signs.dot(1 << np.arange(num_planes)).astype(np.int64)
-            f = pdf.copy()
-            f["table_id"] = t
-            f["bucket"] = bucket
-            frames.append(f)
-        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True), preserve_index=False)
+            signs = (mat @ planes[t].T) > 0  # (B, P)
+            bucket[:, t] = signs.dot(1 << np.arange(num_planes)).astype(np.uint64)
+        bucket ^= table_salt[None, :]
+        keep = batch.append_column("_ekey", _encode_keys(batch, key_cols))
+        tiled = keep.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), num_tables)))
+        return tiled.append_column(
+            "bucket", pa.array(bucket.reshape(-1).astype(np.int64))
+        )
 
     banded = ds.select_columns([*key_cols, embedding_col]).map_batches(
         kernel, batch_format="pyarrow"
     )
 
-    def verify_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame(columns=list(key_cols))
-        g = g.sort_values(list(key_cols), kind="mergesort")
-        mat = np.stack(g[embedding_col].to_numpy()).astype(np.float64)
-        norms = np.linalg.norm(mat, axis=1)
-        base = mat[0] / max(norms[0], 1e-300)
-        cs = (mat @ base) / np.maximum(norms, 1e-300)
-        keep = np.nonzero(cs >= cosine_threshold)[0]
-        if len(keep) < 2:
-            return pd.DataFrame(columns=list(key_cols))
-        return g.iloc[keep][list(key_cols)]
+    def verify_block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        base_cols = batch.select([*key_cols, "_ekey"])
+        if n == 0:
+            return base_cols
+        bucket = batch["bucket"].to_numpy(zero_copy_only=False)
+        ekey = np.asarray(batch["_ekey"].to_pandas(), dtype=object)
+        mat = _embed_matrix(batch)
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-300)
+        unit = mat / norms[:, None]
+        starts = _run_starts(bucket)
+        sizes = np.diff(np.append(starts, n))
+        run_of_row = np.repeat(np.arange(len(starts)), sizes)
+        order = np.lexsort((ekey, bucket))
+        base_row = order[starts]
+        cs = np.einsum("ij,ij->i", unit, unit[base_row][run_of_row])
+        close = cs >= cosine_threshold
+        close_per_run = np.bincount(run_of_row, weights=close).astype(np.int64)
+        keep = close & (close_per_run[run_of_row] >= 2) & (np.repeat(sizes, sizes) >= 2)
+        return base_cols.take(pa.array(np.flatnonzero(keep)))
 
-    flagged = banded.groupby(["table_id", "bucket"]).map_groups(
-        verify_bucket, batch_format="pandas"
+    flagged = _sorted_block_map(banded, "bucket", verify_block)
+    return _sorted_block_map(
+        flagged, "_ekey", _distinct_flag_block(key_cols, "is_embedding_dup")
     )
-
-    def collapse(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.iloc[[0]][list(key_cols)].copy()
-        out["is_embedding_dup"] = True
-        return out
-
-    return flagged.groupby(list(key_cols)).map_groups(collapse, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
 # Document fingerprinting (rolling polynomial hash)
 # ---------------------------------------------------------------------------
 
+_FP_P = np.uint64(1099511628211)
+# multiplicative inverse of the (odd) base mod 2^64 — lets the segmented
+# weighted-sum formulation below equal the sequential fold exactly
+_FP_INV = np.uint64(pow(int(_FP_P), -1, 1 << 64))
+
+
 def add_fingerprint(batch: pa.Table, text_col: str = "text",
                     out_col: str = "fingerprint") -> pa.Table:
-    """64-bit polynomial rolling hash of the whole text (vectorized
-    Horner evaluation over the concatenated byte buffer)."""
-    import pyarrow.compute as pc
+    """64-bit polynomial rolling hash of the whole text.
 
+    Definition (documented so an external oracle can reproduce it):
+    ``h = fold(h*P + byte, init=0) mod 2^64`` with P=1099511628211 over
+    the UTF-8 bytes; equivalently ``h = sum_j byte_j * P^(L-1-j)``.
+    Computed fully vectorized as a segmented weighted sum over the
+    column's concatenated byte buffer: weight(byte at p) = P^(distance
+    from its row's end), per-row totals via np.add.reduceat — O(total
+    bytes) numpy, no per-row or per-byte Python."""
     col = batch[text_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -382,12 +691,18 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text",
     offsets = np.frombuffer(bufs[1], dtype=np.int64)[col.offset : col.offset + len(col) + 1]
     data = np.frombuffer(bufs[2], dtype=np.uint8)[offsets[0] : offsets[-1]]
     offsets = offsets - offsets[0]
-    out = np.zeros(len(col), dtype=np.uint64)
-    P = np.uint64(1099511628211)
-    for i in range(len(col)):
-        h = np.uint64(14695981039346656037)
-        for b in data[offsets[i] : offsets[i + 1]]:
-            h = h * P ^ np.uint64(b)
-        out[i] = h
+    n = len(col)
+    lens = np.diff(offsets)
+    out = np.zeros(n, dtype=np.uint64)
+    if data.size:
+        max_len = int(lens.max())
+        pow_table = np.empty(max_len, dtype=np.uint64)
+        pow_table[0] = 1
+        if max_len > 1:
+            np.cumprod(np.full(max_len - 1, _FP_P, dtype=np.uint64), out=pow_table[1:])
+        # exponent of each byte = (row_end - 1 - position)
+        dist = np.repeat(offsets[1:], lens) - 1 - np.arange(data.size, dtype=np.int64)
+        terms = data.astype(np.uint64) * pow_table[dist]
+        nonempty = lens > 0
+        out[nonempty] = np.add.reduceat(terms, offsets[:-1][nonempty])
     return batch.append_column(out_col, pa.array(out.astype(np.int64), type=pa.int64()))
-
