@@ -1527,3 +1527,138 @@ FROM (
 """
 
 ORACLE_SQL["fingerprint_documents"] = SQL_FINGERPRINT
+
+
+# ---------------------------------------------------------------------------
+# Regression label issues (rank.py residual scores + bottom-T, SQL-checked)
+# and the full regression CleanLearning pipeline (rows-only)
+# ---------------------------------------------------------------------------
+
+def q_regression_label_issues(sf_dir: str):
+    """Regression label-quality + issue flags (regression/rank.py:90-120
+    + learn.py:476-496 with constant uncertainty): quality =
+    exp(-|resid| / median|resid|), flag the top ceil(N*0.05) residuals
+    with (residual DESC, rid ASC) tie order. Median and the rank
+    threshold are exact distributed order statistics
+    (functions/quantiles) — no full sort, no driver materialization
+    beyond one boundary bin."""
+    import math as _math
+
+    from cleanlab_ray.functions.quantiles import exact_median, exact_values_at_ranks
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["l_linenumber"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch["l_extendedprice"].to_numpy(zero_copy_only=False) / 10000.0
+        pred = batch["l_quantity"].to_numpy(zero_copy_only=False) / 10.0
+        return pa.table(
+            {
+                "rid": pa.array(ok * 10 + ln),
+                "ar": pa.array(np.abs(pred - y)),
+            }
+        )
+
+    base = ds.map_batches(derive, batch_format="pyarrow").materialize()
+    n = base.count()
+    t = _math.ceil(n * 0.05)
+    med = max(exact_median(base, "ar"), 1e-9)
+    thr = exact_values_at_ranks(base, "ar", [n - t])[n - t] if t else np.inf
+
+    # boundary: rows with ar == thr, flagged in ascending rid order
+    def at_thr(batch: pa.Table) -> pa.Table:
+        ar = batch["ar"].to_numpy(zero_copy_only=False)
+        m = ar == thr
+        return pa.table({"rid": pc.array_filter(batch["rid"], pa.array(m))})
+
+    def above_count(batch: pa.Table) -> pa.Table:
+        ar = batch["ar"].to_numpy(zero_copy_only=False)
+        return pa.table({"c": pa.array([int((ar > thr).sum())])})
+
+    if t:
+        above = int(
+            base.map_batches(above_count, batch_format="pyarrow").to_pandas()["c"].sum()
+        )
+        need = t - above
+        boundary = np.sort(
+            base.map_batches(at_thr, batch_format="pyarrow").to_pandas()["rid"].to_numpy()
+        )[:need].astype(np.int64) if need > 0 else np.empty(0, np.int64)
+    else:
+        boundary = np.empty(0, np.int64)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ar = batch["ar"].to_numpy(zero_copy_only=False)
+        rid = batch["rid"].to_numpy(zero_copy_only=False)
+        q = np.exp(-ar / med)
+        flag = (ar > thr) | ((ar == thr) & np.isin(rid, boundary))
+        return pa.table(
+            {
+                "rid": batch["rid"],
+                "quality_e6": pa.array(np.round(q * 1e6).astype(np.int64)),
+                "is_label_issue": pa.array(flag),
+            }
+        )
+
+    return base.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_REGRESSION_LABEL_ISSUES = """
+WITH base AS (
+  SELECT l_orderkey * 10 + l_linenumber AS rid,
+         abs(l_quantity / 10.0 - l_extendedprice / 10000.0) AS ar
+  FROM lineitem),
+med AS (SELECT greatest(median(ar), 0.000000001) AS m, count(*) AS n FROM base),
+rk AS (
+  SELECT rid, ar, row_number() OVER (ORDER BY ar DESC, rid) AS rn FROM base)
+SELECT r.rid,
+       CAST(round(exp(-r.ar / m.m) * 1000000) AS BIGINT) AS quality_e6,
+       r.rn <= CAST(ceil(m.n * 0.05) AS BIGINT) AS is_label_issue
+FROM rk r CROSS JOIN med m
+"""
+
+QUERIES["regression_label_issues"] = q_regression_label_issues
+ORACLE_SQL["regression_label_issues"] = SQL_REGRESSION_LABEL_ISSUES
+
+
+def q_regression_clean_learning(sf_dir: str):
+    """Full regression CleanLearning (pipelines/regression.py): ridge CV
+    via distributed normal equations over the embeddings table, target
+    derived deterministically with planted corruption on vec_id % 29 == 0
+    rows. Rows-only check (the learner has no SQL equivalent); the exact
+    CV math is pytest-verified against a NumPy oracle."""
+    from cleanlab_ray.pipelines.regression import RegressionCleanLearning
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        mat = np.asarray(col.values, dtype=np.float64).reshape(len(col), -1)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = 2.0 * mat[:, 0] - mat[:, 1] + 0.5
+        y = y + np.where(ids % 29 == 0, 4.0, 0.0)  # planted label noise
+        return batch.append_column("y", pa.array(y))
+
+    with_y = ds.map_batches(derive, batch_format="pyarrow")
+    # 64-dim features on a 500-row table: regularize and skip the
+    # aleatoric |residual| model (it would memorize the planted rows)
+    cl = RegressionCleanLearning(n_folds=5, l2=1e-2,
+                                 include_aleatoric_uncertainty=False)
+    out = cl.find_label_issues(with_y, feature_col="embedding",
+                               target_col="y", key_col="vec_id")
+
+    def stabilize(batch: pa.Table) -> pa.Table:
+        q = batch["label_quality"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "quality_e6": pa.array(np.round(q * 1e6).astype(np.int64)),
+                "is_label_issue": batch["is_label_issue"],
+            }
+        )
+
+    return out.map_batches(stabilize, batch_format="pyarrow")
+
+
+QUERIES["regression_clean_learning"] = q_regression_clean_learning
