@@ -1662,3 +1662,254 @@ def q_regression_clean_learning(sf_dir: str):
 
 
 QUERIES["regression_clean_learning"] = q_regression_clean_learning
+
+
+# ---------------------------------------------------------------------------
+# CROWDLAB posterior / annotator quality / ActiveLab — SQL-checked.
+# The whole CROWDLAB computation is closed-form deterministic arithmetic
+# (reference multiannotator.py:1394-1526), so the oracle reproduces it in
+# SQL end-to-end: consensus w/ tie-breaks, annotator-vs-annotator
+# agreement, annotator/model weights, per-example posterior, and the
+# derived quality scores.
+# ---------------------------------------------------------------------------
+
+_SQL_CROWDLAB_CTES = f"""
+ann AS (
+  SELECT vec_id // 4 AS example_id, CAST(vec_id % 4 AS VARCHAR) AS annotator_id,
+         label % 3 AS label
+  FROM embeddings),
+counts AS (SELECT example_id, label, count(*) AS c FROM ann GROUP BY 1, 2),
+freq AS (SELECT label, count(*) AS f FROM ann GROUP BY 1),
+modes AS (
+  SELECT example_id, label, c FROM counts
+  QUALIFY c = max(c) OVER (PARTITION BY example_id)),
+pick AS (
+  SELECT m.example_id, m.label AS consensus_label, m.c AS c_cons,
+         row_number() OVER (PARTITION BY m.example_id ORDER BY f.f ASC, m.label ASC) AS rn
+  FROM modes m JOIN freq f ON m.label = f.label),
+cons AS (
+  SELECT p.example_id, p.consensus_label,
+         p.c_cons::DOUBLE / n.n AS agreement, n.n AS num_annotations
+  FROM (SELECT * FROM pick WHERE rn = 1) p
+  JOIN (SELECT example_id, count(*) AS n FROM ann GROUP BY 1) n USING (example_id)),
+scalars AS (
+  SELECT avg(agreement) AS cl, count(*) AS n_multi FROM cons WHERE num_annotations != 1),
+modal AS (
+  SELECT consensus_label AS modal_label, count(*) AS cnt FROM cons
+  WHERE num_annotations != 1 GROUP BY 1
+  ORDER BY cnt DESC, consensus_label ASC LIMIT 1),
+mlc AS (
+  SELECT greatest(1.0 - m.cnt::DOUBLE / s.n_multi, 0.000001) AS mlc_err,
+         s.cl, (1.0 - s.cl) / 2.0 AS ncl
+  FROM modal m CROSS JOIN scalars s),
+agree_ann AS (
+  SELECT a.annotator_id,
+         sum(c.c - 1)::DOUBLE AS s, sum(n.n - 1)::DOUBLE AS t
+  FROM ann a
+  JOIN counts c ON a.example_id = c.example_id AND a.label = c.label
+  JOIN (SELECT example_id, count(*) AS n FROM ann GROUP BY 1) n
+    ON a.example_id = n.example_id
+  WHERE n.n > 1
+  GROUP BY 1),
+aw AS (
+  SELECT g.annotator_id,
+         greatest(1.0 - (1.0 - g.s / greatest(g.t, 0.000000000001)) / m.mlc_err, 0.000001) AS w
+  FROM agree_ann g CROSS JOIN mlc m),
+prior AS (
+  SELECT vec_id // 4 AS example_id,
+         CAST(CAST(exp(embedding[1]::DOUBLE) / (exp(embedding[1]::DOUBLE) + exp(embedding[2]::DOUBLE) + exp(embedding[3]::DOUBLE)) AS REAL) AS DOUBLE) AS p0,
+         CAST(CAST(exp(embedding[2]::DOUBLE) / (exp(embedding[1]::DOUBLE) + exp(embedding[2]::DOUBLE) + exp(embedding[3]::DOUBLE)) AS REAL) AS DOUBLE) AS p1,
+         CAST(CAST(exp(embedding[3]::DOUBLE) / (exp(embedding[1]::DOUBLE) + exp(embedding[2]::DOUBLE) + exp(embedding[3]::DOUBLE)) AS REAL) AS DOUBLE) AS p2
+  FROM embeddings WHERE vec_id % 4 = 0),
+model AS (
+  SELECT greatest(1.0 - (
+           avg(CASE WHEN (CASE WHEN p.p0 >= p.p1 AND p.p0 >= p.p2 THEN 0
+                               WHEN p.p1 >= p.p2 THEN 1 ELSE 2 END) != c.consensus_label
+                    THEN 1.0 ELSE 0.0 END)
+           FILTER (WHERE c.num_annotations != 1)) / m.mlc_err, 0.000001)
+         * sqrt(avg(c.num_annotations::DOUBLE)) AS mw
+  FROM prior p JOIN cons c USING (example_id) CROSS JOIN mlc m
+  GROUP BY m.mlc_err),
+wsums AS (
+  SELECT a.example_id,
+         sum(w.w) AS W,
+         sum(CASE WHEN a.label = 0 THEN w.w ELSE 0 END) AS W0,
+         sum(CASE WHEN a.label = 1 THEN w.w ELSE 0 END) AS W1,
+         sum(CASE WHEN a.label = 2 THEN w.w ELSE 0 END) AS W2
+  FROM ann a JOIN aw w USING (annotator_id) GROUP BY 1),
+post AS (
+  SELECT p.example_id, c.consensus_label, c.agreement, c.num_annotations, s.W,
+         (p.p0 * d.mw + m.ncl * s.W + (m.cl - m.ncl) * s.W0) / (d.mw + s.W) AS q0,
+         (p.p1 * d.mw + m.ncl * s.W + (m.cl - m.ncl) * s.W1) / (d.mw + s.W) AS q1,
+         (p.p2 * d.mw + m.ncl * s.W + (m.cl - m.ncl) * s.W2) / (d.mw + s.W) AS q2
+  FROM prior p
+  JOIN cons c USING (example_id)
+  JOIN wsums s USING (example_id)
+  CROSS JOIN mlc m CROSS JOIN model d),
+post_lab AS (
+  SELECT *,
+         CASE WHEN q0 >= q1 AND q0 >= q2 THEN 0
+              WHEN q1 >= q2 THEN 1 ELSE 2 END AS crowdlab_label,
+         CASE consensus_label WHEN 0 THEN q0 WHEN 1 THEN q1 ELSE q2 END AS cons_quality
+  FROM post)
+"""
+
+
+def q_crowdlab_consensus(sf_dir: str):
+    """CROWDLAB model-weighted consensus posterior over derived
+    annotations + derived model priors — now SQL-checked end-to-end
+    (the posterior is the closed form
+    (prior*mw + ncl*W + (cl-ncl)*W_k)/(mw+W))."""
+    from cleanlab_ray.stages.multiannotator import crowdlab_consensus
+
+    ann, examples = _derived_crowdlab_inputs(sf_dir)
+    out, _info = crowdlab_consensus(ann, examples, num_classes=3)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        q = batch["consensus_quality"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "example_id": pc.cast(batch["conv_id"], pa.int64()),
+                "crowdlab_label": pc.cast(batch["crowdlab_label"], pa.int64()),
+                "quality_e6": pa.array(np.round(q * 1e6).astype(np.int64)),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _derived_crowdlab_inputs(sf_dir: str):
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def derive_ann(batch: pa.Table) -> pa.Table:
+        vec_id = batch["vec_id"].to_numpy(zero_copy_only=False)
+        label = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64) % 3
+        return pa.table(
+            {
+                "conv_id": pa.array((vec_id // 4).astype(str), type=pa.string()),
+                "turn_idx": pa.array(np.zeros(len(vec_id), dtype=np.int32)),
+                "annotator_id": pa.array((vec_id % 4).astype(str), type=pa.string()),
+                "label": pa.array(label, type=pa.int32()),
+            }
+        )
+
+    def derive_examples(batch: pa.Table) -> pa.Table:
+        _, probs = _derived_label_probs(batch)
+        vec_id = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = vec_id % 4 == 0  # one prior row per example (vec_id//4)
+        probs = probs[keep]
+        ex = (vec_id[keep] // 4).astype(str)
+        return pa.table(
+            {
+                "conv_id": pa.array(ex, type=pa.string()),
+                "turn_idx": pa.array(np.zeros(int(keep.sum()), dtype=np.int32)),
+                "pred_probs": pa.FixedSizeListArray.from_arrays(
+                    pa.array(probs.reshape(-1).astype(np.float32)), 3
+                ),
+            }
+        )
+
+    ann = ds.map_batches(derive_ann, batch_format="pyarrow")
+    examples = ds.map_batches(derive_examples, batch_format="pyarrow")
+    return ann, examples
+
+
+SQL_CROWDLAB = f"""
+WITH {_SQL_CROWDLAB_CTES}
+SELECT example_id, crowdlab_label,
+       CAST(round((CASE crowdlab_label WHEN 0 THEN q0 WHEN 1 THEN q1 ELSE q2 END)
+                  * 1000000) AS BIGINT) AS quality_e6
+FROM post_lab
+"""
+
+ORACLE_SQL["crowdlab_consensus"] = SQL_CROWDLAB
+QUERIES["crowdlab_consensus"] = q_crowdlab_consensus
+
+
+def q_annotator_quality(sf_dir: str):
+    """Full annotator-quality scores (reference multiannotator.py:
+    1722-1905, quality_method='crowdlab'): annotator_quality =
+    w*mean(posterior label quality) + (1-w)*agreement-with-consensus,
+    plus worst_class. SQL-checked end-to-end."""
+    from cleanlab_ray.stages.multiannotator import label_quality_multiannotator
+
+    ann, examples = _derived_crowdlab_inputs(sf_dir)
+    _lq, stats, _info = label_quality_multiannotator(ann, examples, num_classes=3)
+    out = stats.copy()
+    out["annotator"] = out["annotator_id"].astype(np.int64)
+    out["quality_e6"] = np.round(out["annotator_quality"].to_numpy() * 1e6).astype(np.int64)
+    out["num_labeled"] = out["num_examples_labeled"].astype(np.int64)
+    out["worst_class"] = out["worst_class"].astype(np.int64)
+    return out[["annotator", "quality_e6", "num_labeled", "worst_class"]].reset_index(drop=True)
+
+
+SQL_ANNOTATOR_QUALITY = f"""
+WITH {_SQL_CROWDLAB_CTES},
+ann_lq AS (
+  SELECT a.annotator_id,
+         avg(CASE a.label WHEN 0 THEN p.q0 WHEN 1 THEN p.q1 ELSE p.q2 END) AS mean_lq,
+         count(*) AS num_labeled,
+         avg(CASE WHEN a.label = p.consensus_label THEN 1.0 ELSE 0.0 END)
+           FILTER (WHERE p.num_annotations != 1) AS agreement_multi
+  FROM ann a JOIN post_lab p USING (example_id)
+  GROUP BY 1),
+wq AS (
+  SELECT d.mw / (d.mw + (SELECT sum(w) FROM aw)
+                 * (SELECT avg(num_annotations::DOUBLE) FROM cons)
+                 / (SELECT count(*) FROM aw)) AS w
+  FROM model d),
+worst AS (
+  SELECT annotator_id, label AS worst_class FROM (
+    SELECT a.annotator_id, a.label,
+           avg(CASE WHEN a.label = p.consensus_label THEN 1.0 ELSE 0.0 END) AS acc,
+           row_number() OVER (PARTITION BY a.annotator_id
+                              ORDER BY avg(CASE WHEN a.label = p.consensus_label
+                                               THEN 1.0 ELSE 0.0 END) ASC, a.label ASC) AS rn
+    FROM ann a JOIN post_lab p USING (example_id)
+    GROUP BY 1, 2)
+  WHERE rn = 1)
+SELECT CAST(l.annotator_id AS BIGINT) AS annotator,
+       CAST(round((q.w * l.mean_lq + (1.0 - q.w) * coalesce(l.agreement_multi, l.mean_lq))
+                  * 1000000) AS BIGINT) AS quality_e6,
+       l.num_labeled,
+       w.worst_class
+FROM ann_lq l CROSS JOIN wq q JOIN worst w USING (annotator_id)
+"""
+
+QUERIES["annotator_quality"] = q_annotator_quality
+ORACLE_SQL["annotator_quality"] = SQL_ANNOTATOR_QUALITY
+
+
+def q_active_learning(sf_dir: str):
+    """ActiveLab scores for labeled examples (multiannotator.py:564-700,
+    temperature fixed 1.0): weighted average of (posterior consensus
+    quality, 1/K) with weights (sum of labeling annotators' weights +
+    model weight, average annotator weight). SQL-checked."""
+    from cleanlab_ray.stages.multiannotator import active_learning_scores
+
+    ann, examples = _derived_crowdlab_inputs(sf_dir)
+    labeled, _ = active_learning_scores(ann, examples, num_classes=3)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = batch["active_learning_score"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "example_id": pc.cast(batch["conv_id"], pa.int64()),
+                "al_score_e6": pa.array(np.round(s * 1e6).astype(np.int64)),
+            }
+        )
+
+    return labeled.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_ACTIVE_LEARNING = f"""
+WITH {_SQL_CROWDLAB_CTES},
+avg_aw AS (SELECT avg(w) AS a FROM aw)
+SELECT p.example_id,
+       CAST(round(((p.cons_quality * (p.W + d.mw) + (1.0/3.0) * v.a)
+                   / (p.W + d.mw + v.a)) * 1000000) AS BIGINT) AS al_score_e6
+FROM post_lab p CROSS JOIN model d CROSS JOIN avg_aw v
+"""
+
+QUERIES["active_learning"] = q_active_learning
+ORACLE_SQL["active_learning"] = SQL_ACTIVE_LEARNING

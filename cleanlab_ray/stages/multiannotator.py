@@ -82,13 +82,20 @@ def majority_vote_consensus(ds, num_classes: int):
 
     combined = ds.groupby(EX_KEYS).map_groups(per_example, batch_format="pandas").materialize()
 
-    consensus = combined.filter(
-        lambda row: row["annotator_id"] == "__consensus__"
-    ).select_columns(
-        [*EX_KEYS, "consensus_label", "num_annotations", "annotator_agreement"]
-    )
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def keep_consensus(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["annotator_id"], "__consensus__"))
+
+    def keep_annotators(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.not_equal(batch["annotator_id"], "__consensus__"))
+
+    consensus = combined.map_batches(
+        keep_consensus, batch_format="pyarrow"
+    ).select_columns([*EX_KEYS, "consensus_label", "num_annotations", "annotator_agreement"])
     annotator_stats = (
-        combined.filter(lambda row: row["annotator_id"] != "__consensus__")
+        combined.map_batches(keep_annotators, batch_format="pyarrow")
         .groupby("annotator_id")
         .aggregate(Sum("agree", alias_name="n_agree"), Count(alias_name="num_labeled"))
         .map_batches(_add_agreement, batch_format="pandas")
@@ -139,7 +146,7 @@ def generate_annotations(transcripts_table, num_annotators: int = 5, seed: int =
 # CROWDLAB — model-weighted consensus quality
 # ---------------------------------------------------------------------------
 
-def crowdlab_consensus(annotations_ds, examples_ds, num_classes: int,
+def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
                        num_join_partitions: int = 8):
     """CROWDLAB posterior label probabilities + weights, long-format.
 
@@ -171,16 +178,37 @@ def crowdlab_consensus(annotations_ds, examples_ds, num_classes: int,
     consensus, _stats = majority_vote_consensus(annotations_ds, num_classes=k)
     consensus = consensus.materialize()
 
-    # --- scalar state (tiny aggregates over the consensus table)
-    cons_df = consensus.to_pandas()  # one row per example; large-N path:
-    # every quantity below is a sum/count -> Dataset.aggregate; pandas here
-    # keeps the reference's exact edge-case handling readable.
-    multi = cons_df["num_annotations"] != 1
-    consensus_likelihood = float(cons_df.loc[multi, "annotator_agreement"].mean())
+    # --- scalar state: ONE flat aggregate over the consensus table
+    # (reference :1394-1440 quantities; nothing example-sized reaches
+    # the driver)
+    from ray.data.aggregate import AggregateFn
+
+    def cons_accumulate(acc, block):
+        a = np.asarray(acc, dtype=np.float64).copy()
+        n_ann = np.asarray(block["num_annotations"], dtype=np.int64)
+        agree = np.asarray(block["annotator_agreement"], dtype=np.float64)
+        lab = np.asarray(block["consensus_label"], dtype=np.int64)
+        m = n_ann != 1
+        a[0] += float(agree[m].sum())
+        a[1] += float(m.sum())
+        a[2 : 2 + k] += np.bincount(lab[m], minlength=k)
+        return a
+
+    cons_agg = consensus.aggregate(
+        AggregateFn(
+            init=lambda _: np.zeros(2 + k, dtype=np.float64),
+            accumulate_block=cons_accumulate,
+            merge=lambda a, b: np.asarray(a, dtype=np.float64) + np.asarray(b, dtype=np.float64),
+            name="consensus_scalars",
+        )
+    )["consensus_scalars"]
+    cons_agg = np.asarray(cons_agg, dtype=np.float64)
+    n_multi = max(cons_agg[1], 1.0)
+    consensus_likelihood = float(cons_agg[0] / n_multi)
     non_consensus_likelihood = (1.0 - consensus_likelihood) / (k - 1)
-    subset = cons_df.loc[multi, "consensus_label"].to_numpy()
-    modal = int(np.bincount(subset, minlength=k).argmax())
-    mlc_error = max(float((subset != modal).mean()), 1e-6)
+    class_counts = cons_agg[2 : 2 + k]
+    modal = int(class_counts.argmax())
+    mlc_error = max(float(1.0 - class_counts[modal] / n_multi), 1e-6)
 
     # --- per-annotator agreement-with-other-annotators (one groupby each way)
     def per_example_agreement(g: pd.DataFrame) -> pd.DataFrame:
@@ -279,18 +307,29 @@ def crowdlab_consensus(annotations_ds, examples_ds, num_classes: int,
     mean_annotations = part["n_sum"] / max(part["n_cnt"], 1.0)
     model_weight = max(1.0 - model_error / mlc_error, 1e-6) * float(np.sqrt(mean_annotations))
 
-    # --- posterior per example: shuffle-join annotations onto the joined
-    # example rows via a tagged union + groupby (annotations have no
-    # pred_probs; example rows have annotator_id NULL)
-    probs_type = pa.list_(pa.float32(), k)
-    union_cols = [*EX_KEYS, "annotator_id", "label", "pred_probs", "is_example_row"]
+    # --- posterior per example: tagged union + ONE sort on the example
+    # key, then a whole-block vectorized kernel (no per-group Python).
+    # post[k] = (prior[k]*mw + ncl*W + (cl-ncl)*W_k) / (mw + W), where
+    # W = sum of labeling annotators' weights and W_k the per-class part
+    # — the closed form of the reference's per-vote accumulation.
+    from cleanlab_ray.stages.dedup import _run_starts, _sorted_block_map
+
+    prob_f64 = [f"_q{i}" for i in range(k)]
+    union_cols = [
+        *EX_KEYS, "annotator_id", "label", "consensus_label",
+        "num_annotations", "annotator_agreement", *prob_f64, "is_example_row",
+    ]
 
     def tag_annotation(batch: pa.Table) -> pa.Table:
         batch = normalize_keys(batch)
         i = batch.column_names.index("label")
-        batch = batch.set_column(i, "label", pc.cast(batch["label"], pa.int32()))
-        batch = batch.append_column("pred_probs", pa.nulls(batch.num_rows, probs_type))
-        batch = batch.append_column("is_example_row", pa.array([False] * batch.num_rows))
+        batch = batch.set_column(i, "label", pc.cast(batch["label"], pa.int64()))
+        batch = batch.append_column("consensus_label", pa.nulls(batch.num_rows, pa.int64()))
+        batch = batch.append_column("num_annotations", pa.nulls(batch.num_rows, pa.int64()))
+        batch = batch.append_column("annotator_agreement", pa.nulls(batch.num_rows, pa.float64()))
+        for c in prob_f64:
+            batch = batch.append_column(c, pa.nulls(batch.num_rows, pa.float64()))
+        batch = batch.append_column("is_example_row", pa.array(np.zeros(batch.num_rows, bool)))
         return batch.select(union_cols)
 
     ann_tagged = annotations_ds.select_columns(
@@ -298,56 +337,311 @@ def crowdlab_consensus(annotations_ds, examples_ds, num_classes: int,
     ).map_batches(tag_annotation, batch_format="pyarrow")
 
     def tag_example(batch: pa.Table) -> pa.Table:
+        probs = pred_probs_to_numpy(batch["pred_probs"]).astype(np.float64)
+        batch = batch.drop_columns(["pred_probs"])
         batch = batch.append_column("annotator_id", pa.nulls(batch.num_rows, pa.string()))
-        batch = batch.append_column("label", pa.nulls(batch.num_rows, pa.int32()))
-        i = batch.column_names.index("pred_probs")
-        batch = batch.set_column(i, "pred_probs", batch["pred_probs"].cast(probs_type))
-        batch = batch.append_column("is_example_row", pa.array([True] * batch.num_rows))
+        batch = batch.append_column("label", pa.nulls(batch.num_rows, pa.int64()))
+        i = batch.column_names.index("consensus_label")
+        batch = batch.set_column(i, "consensus_label", pc.cast(batch["consensus_label"], pa.int64()))
+        i = batch.column_names.index("num_annotations")
+        batch = batch.set_column(i, "num_annotations", pc.cast(batch["num_annotations"], pa.int64()))
+        for j, c in enumerate(prob_f64):
+            batch = batch.append_column(c, pa.array(probs[:, j]))
+        batch = batch.append_column("is_example_row", pa.array(np.ones(batch.num_rows, bool)))
         return batch.select(union_cols)
 
-    ex_tagged = joined.select_columns([*EX_KEYS, "pred_probs"]).map_batches(
-        tag_example, batch_format="pyarrow"
-    )
-    aw = annotator_weight
+    ex_tagged = joined.select_columns(
+        [*EX_KEYS, "pred_probs", "consensus_label", "num_annotations", "annotator_agreement"]
+    ).map_batches(tag_example, batch_format="pyarrow")
+
+    aw_keys = np.array(sorted(annotator_weight), dtype=object)
+    aw_vals = np.array([annotator_weight[a] for a in aw_keys], dtype=np.float64)
     cl, ncl, mw = consensus_likelihood, non_consensus_likelihood, model_weight
 
-    def posterior(g: pd.DataFrame) -> pd.DataFrame:
-        ex = g[g["is_example_row"]]
-        ann = g[~g["is_example_row"]]
-        if ex.empty:
-            return pd.DataFrame(
-                columns=[*EX_KEYS, "post_pred_probs", "crowdlab_label", "consensus_quality"]
-            )
-        prior = np.asarray(ex.iloc[0]["pred_probs"], dtype=np.float64)
-        post = prior * mw
-        total = mw
-        for _, row in ann.iterrows():
-            w = aw.get(row["annotator_id"], 1e-6)
-            votes = np.full(len(prior), w * ncl)
-            votes[int(row["label"])] = w * cl
-            post += votes
-            total += w
-        post /= total
-        lab = int(post.argmax())
-        return pd.DataFrame(
-            {
-                EX_KEYS[0]: [ex.iloc[0][EX_KEYS[0]]],
-                EX_KEYS[1]: [ex.iloc[0][EX_KEYS[1]]],
-                "post_pred_probs": [post.tolist()],
-                "crowdlab_label": [lab],
-                "consensus_quality": [float(post[lab])],
-            }
-        )
+    def posterior_block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        conv = np.asarray(batch[EX_KEYS[0]].to_pandas(), dtype=object)
+        turn = batch[EX_KEYS[1]].to_numpy(zero_copy_only=False)
+        is_ex = batch["is_example_row"].to_numpy(zero_copy_only=False)
+        out_schema = {
+            EX_KEYS[0]: np.empty(0, object), EX_KEYS[1]: np.empty(0, np.int64),
+            "row_type": np.empty(0, object), "annotator_id": np.empty(0, object),
+            "post_pred_probs": np.empty((0, k)), "crowdlab_label": np.empty(0, np.int64),
+            "consensus_quality": np.empty(0, np.float64),
+            "consensus_quality_score": np.empty(0, np.float64),
+            "consensus_label": np.empty(0, np.int64),
+            "num_annotations": np.empty(0, np.int64),
+            "annotator_agreement": np.empty(0, np.float64),
+            "w_sum": np.empty(0, np.float64),
+            "lq": np.empty(0, np.float64), "agree": np.empty(0, np.float64),
+            "multi": np.empty(0, np.float64), "label": np.empty(0, np.int64),
+        }
 
-    out = (
-        ann_tagged.union(ex_tagged)
-        .groupby(EX_KEYS)
-        .map_groups(posterior, batch_format="pandas")
+        def emit(d):
+            probs_flat = np.ascontiguousarray(d.pop("post_pred_probs")).reshape(-1)
+            t = {name: pa.array(v) for name, v in d.items()}
+            t["post_pred_probs"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(probs_flat, type=pa.float64()), k
+            )
+            return pa.table(t)
+
+        if n == 0:
+            return emit(out_schema)
+        starts = _run_starts(conv, turn)
+        sizes = np.diff(np.append(starts, n))
+        run_of_row = np.repeat(np.arange(len(starts)), sizes)
+        n_runs = len(starts)
+        # exactly one example row per run (inner-join output); runs
+        # without one (annotation-only keys) are dropped
+        ex_rows = np.flatnonzero(is_ex)
+        has_ex = np.zeros(n_runs, dtype=bool)
+        ex_of_run = np.zeros(n_runs, dtype=np.int64)
+        has_ex[run_of_row[ex_rows]] = True
+        ex_of_run[run_of_row[ex_rows]] = ex_rows
+        prior = np.stack(
+            [batch[c].to_numpy(zero_copy_only=False) for c in prob_f64], axis=1
+        ).astype(np.float64)[ex_of_run]
+        ann_rows = np.flatnonzero(~is_ex & has_ex[run_of_row])
+        ann_run = run_of_row[ann_rows]
+        ann_ids = np.asarray(batch["annotator_id"].to_pandas(), dtype=object)[ann_rows]
+        ann_label = batch["label"].to_numpy(zero_copy_only=False)[ann_rows].astype(np.int64)
+        idx = np.clip(np.searchsorted(aw_keys, ann_ids), 0, max(len(aw_keys) - 1, 0))
+        if len(aw_keys):
+            w = np.where(aw_keys[idx] == ann_ids, aw_vals[idx], 1e-6)
+        else:
+            w = np.full(len(ann_rows), 1e-6)
+        W = np.bincount(ann_run, weights=w, minlength=n_runs)
+        Wk = np.bincount(ann_run * k + ann_label, weights=w, minlength=n_runs * k).reshape(
+            n_runs, k
+        )
+        post = prior * mw + ncl * W[:, None] + (cl - ncl) * Wk
+        post /= (mw + W)[:, None]
+        crowd_lab = post.argmax(axis=1)
+        cons_lab = batch["consensus_label"].to_numpy(zero_copy_only=False)[
+            ex_of_run
+        ].astype(np.int64)
+        keep = np.flatnonzero(has_ex)
+        r = np.arange(n_runs)
+        ex_out = {
+            EX_KEYS[0]: conv[ex_of_run[keep]],
+            EX_KEYS[1]: turn[ex_of_run[keep]].astype(np.int64),
+            "row_type": np.full(len(keep), "example", dtype=object),
+            "annotator_id": np.full(len(keep), None, dtype=object),
+            "post_pred_probs": post[keep],
+            "crowdlab_label": crowd_lab[keep],
+            "consensus_quality": post[r, crowd_lab][keep],
+            "consensus_quality_score": post[r, cons_lab][keep],
+            "consensus_label": cons_lab[keep],
+            "num_annotations": batch["num_annotations"].to_numpy(zero_copy_only=False)[
+                ex_of_run[keep]
+            ].astype(np.int64),
+            "annotator_agreement": batch["annotator_agreement"].to_numpy(
+                zero_copy_only=False
+            )[ex_of_run[keep]].astype(np.float64),
+            "w_sum": W[keep],
+            "lq": np.full(len(keep), np.nan),
+            "agree": np.full(len(keep), np.nan),
+            "multi": np.full(len(keep), np.nan),
+            "label": np.full(len(keep), -1, dtype=np.int64),
+        }
+        ann_out = {
+            EX_KEYS[0]: conv[ann_rows],
+            EX_KEYS[1]: turn[ann_rows].astype(np.int64),
+            "row_type": np.full(len(ann_rows), "annotation", dtype=object),
+            "annotator_id": ann_ids,
+            "post_pred_probs": np.zeros((len(ann_rows), k)),
+            "crowdlab_label": np.full(len(ann_rows), -1, dtype=np.int64),
+            "consensus_quality": np.full(len(ann_rows), np.nan),
+            "consensus_quality_score": np.full(len(ann_rows), np.nan),
+            "consensus_label": cons_lab[ann_run],
+            "num_annotations": np.zeros(len(ann_rows), dtype=np.int64),
+            "annotator_agreement": np.full(len(ann_rows), np.nan),
+            "w_sum": np.zeros(len(ann_rows)),
+            "lq": post[ann_run, ann_label],
+            "agree": (ann_label == cons_lab[ann_run]).astype(np.float64),
+            "multi": (
+                batch["num_annotations"].to_numpy(zero_copy_only=False)[
+                    ex_of_run[ann_run]
+                ].astype(np.int64) != 1
+            ).astype(np.float64),
+            "label": ann_label,
+        }
+        merged = {
+            name: np.concatenate([ex_out[name], ann_out[name]])
+            for name in out_schema
+        }
+        return emit(merged)
+
+    combined_out = _sorted_block_map(
+        ann_tagged.union(ex_tagged), EX_KEYS, posterior_block
     )
     info = {
         "model_weight": float(model_weight),
         "annotator_weight": annotator_weight,
         "consensus_likelihood": consensus_likelihood,
         "most_likely_class_error": mlc_error,
+        "mean_annotations": float(mean_annotations),
+        "num_classes": k,
     }
+    return combined_out, info
+
+
+def _filter_row_type(ds, row_type: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["row_type"], row_type))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def crowdlab_consensus(annotations_ds, examples_ds, num_classes: int,
+                       num_join_partitions: int = 8):
+    """CROWDLAB posteriors per example (back-compat surface): Dataset
+    [conv_id, turn_idx, post_pred_probs, crowdlab_label,
+    consensus_quality] + info dict with the fitted weights."""
+    combined, info = _crowdlab_combined(
+        annotations_ds, examples_ds, num_classes, num_join_partitions
+    )
+    out = _filter_row_type(combined, "example").select_columns(
+        [*EX_KEYS, "post_pred_probs", "crowdlab_label", "consensus_quality"]
+    )
     return out, info
+
+
+def label_quality_multiannotator(annotations_ds, examples_ds, num_classes: int,
+                                 num_join_partitions: int = 8):
+    """Full get_label_quality_multiannotator analogue (reference
+    multiannotator.py:46-350, quality_method='crowdlab').
+
+    Returns (label_quality Dataset, annotator_stats DataFrame, info):
+      label_quality: conv_id, turn_idx, consensus_label,
+        consensus_quality_score (= posterior prob of the majority-vote
+        consensus label), annotator_agreement, num_annotations,
+        crowdlab_label, consensus_quality;
+      annotator_stats (M rows, driver-sized): annotator_quality =
+        w*mean(annotator label quality) + (1-w)*agreement-with-consensus
+        on multi-annotated examples (reference :1722-1838), plus
+        num_examples_labeled and worst_class (:1839-1905; ties broken by
+        lowest class index, documented divergence from random choice).
+    """
+    import pandas as pd
+
+    combined, info = _crowdlab_combined(
+        annotations_ds, examples_ds, num_classes, num_join_partitions
+    )
+    combined = combined.materialize()
+    label_quality = _filter_row_type(combined, "example").select_columns(
+        [*EX_KEYS, "consensus_label", "consensus_quality_score",
+         "annotator_agreement", "num_annotations", "crowdlab_label",
+         "consensus_quality"]
+    )
+
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ann_rows = _filter_row_type(combined, "annotation")
+    per_ann = (
+        ann_rows.groupby("annotator_id")
+        .aggregate(
+            Mean("lq", alias_name="mean_lq"),
+            Count(alias_name="num_examples_labeled"),
+            Sum("agree", alias_name="_agree_any"),
+        )
+        .to_pandas()
+    )
+    # agreement restricted to multi-annotated examples (reference :1789-1800)
+    def multi_only(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch["multi"], 1.0))
+
+    per_ann_multi = (
+        ann_rows.map_batches(multi_only, batch_format="pyarrow")
+        .groupby("annotator_id")
+        .aggregate(Mean("agree", alias_name="agreement_multi"))
+        .to_pandas()
+    )
+    stats = per_ann.merge(per_ann_multi, on="annotator_id", how="left")
+    # worst class per annotator: lowest per-class agreement (tiny M*K table)
+    per_class = (
+        ann_rows.groupby(["annotator_id", "label"])
+        .aggregate(Mean("agree", alias_name="class_acc"))
+        .to_pandas()
+        .sort_values(["annotator_id", "class_acc", "label"], kind="mergesort")
+    )
+    worst = per_class.groupby("annotator_id").first().reset_index()[
+        ["annotator_id", "label"]
+    ].rename(columns={"label": "worst_class"})
+    stats = stats.merge(worst, on="annotator_id", how="left")
+
+    aw = info["annotator_weight"]
+    mw = info["model_weight"]
+    aw_adj = sum(aw.values()) * info["mean_annotations"] / max(len(aw), 1)
+    w = mw / (mw + aw_adj)
+    stats["annotator_quality"] = (
+        w * stats["mean_lq"] + (1.0 - w) * stats["agreement_multi"].fillna(stats["mean_lq"])
+    )
+    stats = stats.sort_values("annotator_quality").reset_index(drop=True)[
+        ["annotator_id", "annotator_quality", "mean_lq", "agreement_multi",
+         "num_examples_labeled", "worst_class"]
+    ]
+    return label_quality, stats, info
+
+
+def active_learning_scores(annotations_ds, examples_ds, num_classes: int,
+                           unlabeled_examples_ds=None,
+                           num_join_partitions: int = 8):
+    """ActiveLab scores (reference multiannotator.py:564-728, temperature
+    fixed at 1.0 — the temp-scaling grid search is a documented
+    omission).
+
+    labeled score_i = weighted_avg((consensus_quality_score_i, 1/K);
+                      weights = (w_sum_i + model_weight,
+                                 avg annotator weight));
+    unlabeled score = weighted_avg((max prob, 1/K);
+                      weights = (model_weight, avg annotator weight)).
+    Returns (labeled_scores Dataset, unlabeled_scores Dataset | None).
+    """
+    import pyarrow as pa
+
+    combined, info = _crowdlab_combined(
+        annotations_ds, examples_ds, num_classes, num_join_partitions
+    )
+    aw = info["annotator_weight"]
+    avg_aw = float(np.mean(list(aw.values()))) if aw else 1.0
+    mw = info["model_weight"]
+    k = num_classes
+
+    def labeled_kernel(batch: pa.Table) -> pa.Table:
+        q = batch["consensus_quality_score"].to_numpy(zero_copy_only=False)
+        wsum = batch["w_sum"].to_numpy(zero_copy_only=False)
+        wa = wsum + mw
+        score = (q * wa + (1.0 / k) * avg_aw) / (wa + avg_aw)
+        return pa.table(
+            {
+                EX_KEYS[0]: batch[EX_KEYS[0]],
+                EX_KEYS[1]: batch[EX_KEYS[1]],
+                "active_learning_score": pa.array(score),
+            }
+        )
+
+    labeled = _filter_row_type(combined, "example").map_batches(
+        labeled_kernel, batch_format="pyarrow"
+    )
+    if unlabeled_examples_ds is None:
+        return labeled, None
+
+    from cleanlab_ray.state.confident import pred_probs_to_numpy
+
+    def unlabeled_kernel(batch: pa.Table) -> pa.Table:
+        probs = pred_probs_to_numpy(batch["pred_probs"]).astype(np.float64)
+        q = probs.max(axis=1)
+        score = (q * mw + (1.0 / k) * avg_aw) / (mw + avg_aw)
+        out = {c: batch[c] for c in batch.column_names if c != "pred_probs"}
+        out["active_learning_score"] = pa.array(score)
+        return pa.table(out)
+
+    unlabeled = unlabeled_examples_ds.map_batches(unlabeled_kernel, batch_format="pyarrow")
+    return labeled, unlabeled

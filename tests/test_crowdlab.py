@@ -52,3 +52,46 @@ def test_crowdlab(crowd_setup):
     # posterior probs are valid distributions
     probs = np.stack(merged["post_pred_probs"].to_numpy())
     np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-9)
+
+
+def test_label_quality_multiannotator(crowd_setup):
+    from cleanlab_ray.stages.multiannotator import label_quality_multiannotator
+
+    ann, examples, _true, _corpus = crowd_setup
+    lq, stats, info = label_quality_multiannotator(ann, examples, num_classes=3)
+    lqdf = lq.to_pandas()
+    assert {"consensus_label", "consensus_quality_score", "crowdlab_label",
+            "num_annotations", "annotator_agreement"} <= set(lqdf.columns)
+    assert lqdf["consensus_quality_score"].between(0, 1).all()
+    # annotator stats: one row per annotator, qualities ordered ascending
+    assert {"annotator_quality", "num_examples_labeled", "worst_class"} <= set(stats.columns)
+    assert stats["annotator_quality"].between(0, 1).all()
+    assert stats["annotator_quality"].is_monotonic_increasing
+    # the deliberately-noisy last annotator (a4, acc .55) ranks below the
+    # best one (a0, acc .95)
+    q = stats.set_index("annotator_id")["annotator_quality"]
+    assert q["a4"] < q["a0"]
+
+
+def test_active_learning_scores(crowd_setup):
+    import ray.data as rd
+
+    from cleanlab_ray.stages.multiannotator import active_learning_scores
+
+    ann, examples, _true, _corpus = crowd_setup
+    unlabeled = rd.from_items(
+        [
+            {"conv_id": f"u{i}", "turn_idx": 0,
+             "pred_probs": [0.34, 0.33, 0.33] if i % 2 else [0.98, 0.01, 0.01]}
+            for i in range(10)
+        ]
+    )
+    labeled, unl = active_learning_scores(ann, examples, 3, unlabeled_examples_ds=unlabeled)
+    ldf = labeled.to_pandas()
+    assert ldf["active_learning_score"].between(0, 1).all()
+    udf = unl.to_pandas()
+    assert udf["active_learning_score"].between(0, 1).all()
+    even = udf[udf["conv_id"].str[1:].astype(int) % 2 == 0]["active_learning_score"]
+    odd = udf[udf["conv_id"].str[1:].astype(int) % 2 == 1]["active_learning_score"]
+    # confident unlabeled rows score higher than near-uniform ones
+    assert even.mean() > odd.mean()
