@@ -683,20 +683,37 @@ def _derived_pair_ds(sf_dir: str):
     return ds.map_batches(derive, batch_format="pyarrow").materialize()
 
 
+def _prune_output(out):
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch["conv_id"], pa.int64()),
+                "is_label_issue": batch["is_label_issue"],
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
 def q_prune_by_noise_rate(sf_dir: str):
     """find_label_issues(filter_by='prune_by_noise_rate') on the derived
-    pair (rows-only: the prune-count matrix math isn't SQL-practical)."""
+    pair — SQL-checked: at the default params the prune-count matrix
+    equals CJ.T exactly (keep_at_least_n is a no-op when every diagonal
+    >= 1 and frac_noise = 1), so per-(c,j) top-margin ranking is a
+    window function."""
     from cleanlab_ray.pipelines.label_issues import find_label_issues
 
     out, _ = find_label_issues(_derived_pair_ds(sf_dir), filter_by="prune_by_noise_rate")
-    return out.select_columns(["conv_id", "turn_idx", "is_label_issue"])
+    return _prune_output(out)
 
 
 def q_prune_by_class(sf_dir: str):
+    """find_label_issues(filter_by='prune_by_class') — SQL-checked (see
+    q_prune_by_noise_rate)."""
     from cleanlab_ray.pipelines.label_issues import find_label_issues
 
     out, _ = find_label_issues(_derived_pair_ds(sf_dir), filter_by="prune_by_class")
-    return out.select_columns(["conv_id", "turn_idx", "is_label_issue"])
+    return _prune_output(out)
 
 
 def q_audit_summary(sf_dir: str):
@@ -710,12 +727,25 @@ def q_audit_summary(sf_dir: str):
 
 
 def q_health_summary(sf_dir: str):
-    """Dataset health report (rows-only; K rows, one per class)."""
+    """Dataset health report (dataset.py:16-108 rank_classes) — now
+    SQL-checked: the calibrated joint is an integer matrix, so every
+    per-class statistic is a ratio of integers the oracle reproduces."""
     from cleanlab_ray.pipelines.health import rank_classes_by_label_quality
     from cleanlab_ray.state.confident import compute_confident_stats
 
     stats = compute_confident_stats(_derived_pair_ds(sf_dir), 3)
-    return rank_classes_by_label_quality(stats)
+    df = rank_classes_by_label_quality(stats)
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "class_index": df["Class Index"].astype(np.int64),
+            "label_issues": df["Label Issues"].astype(np.int64),
+            "inverse_label_issues": df["Inverse Label Issues"].astype(np.int64),
+            "label_noise_e6": np.round(df["Label Noise"].to_numpy() * 1e6).astype(np.int64),
+            "quality_e6": np.round(df["Label Quality Score"].to_numpy() * 1e6).astype(np.int64),
+        }
+    )
 
 
 def q_simhash_documents(sf_dir: str):
@@ -1140,13 +1170,23 @@ ORACLE_SQL.update(
 
 
 def q_drift_windows(sf_dir: str):
-    """Event-time drift detection (noniid analogue): per-hour KS
-    statistic of the value distribution vs global (rows-only)."""
+    """Event-time drift detection (noniid analogue, noniid.py:19-57
+    simplified-KS semantics): per-day KS statistic of the value
+    distribution vs global — SQL-checked (histogram CDFs are window
+    cumsums)."""
+    import pandas as pd
+
     from cleanlab_ray.stages.drift import drift_by_window
 
     ds = _read(sf_dir, "events", ["ts", "value"])
     out = drift_by_window(ds, window="day")
-    return out
+    return pd.DataFrame(
+        {
+            "window_us": out["window_us"].astype(np.int64),
+            "n": out["n"].astype(np.int64),
+            "ks_e6": np.round(out["ks_statistic"].to_numpy() * 1e6).astype(np.int64),
+        }
+    )
 
 
 def q_spurious_correlations(sf_dir: str):
@@ -1913,3 +1953,335 @@ FROM post_lab p CROSS JOIN model d CROSS JOIN avg_aw v
 
 QUERIES["active_learning"] = q_active_learning
 ORACLE_SQL["active_learning"] = SQL_ACTIVE_LEARNING
+
+
+# ---------------------------------------------------------------------------
+# Token-classification label quality (ragged tokens, SQL-checked via a
+# lateral generate_series explode)
+# ---------------------------------------------------------------------------
+
+def _derived_token_ds(sf_dir: str):
+    """Ragged per-sentence token table derived from embeddings:
+    sentence vec_id has T = 2 + vec_id%4 tokens; token j's class probs
+    are the softmax of embedding[3j:3j+3]; its label is (vec_id+j)%3."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        mat = np.asarray(col.values, dtype=np.float64).reshape(len(col), -1)
+        vec_id = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(vec_id)
+        T = 2 + (vec_id % 4)
+        total = int(T.sum())
+        row_idx = np.repeat(np.arange(n), T)
+        pos = np.arange(total) - np.repeat(np.concatenate([[0], np.cumsum(T)[:-1]]), T)
+        logits = np.stack(
+            [mat[row_idx, 3 * pos + c] for c in range(3)], axis=1
+        )
+        e = np.exp(logits)
+        probs = (e / e.sum(axis=1, keepdims=True)).astype(np.float32)
+        labels = ((vec_id[row_idx] + pos) % 3).astype(np.int64)
+        lab_offsets = pa.array(np.concatenate([[0], np.cumsum(T)]).astype(np.int32))
+        prob_offsets = pa.array((np.concatenate([[0], np.cumsum(T)]) * 3).astype(np.int32))
+        return pa.table(
+            {
+                "sentence_id": batch["vec_id"],
+                "token_labels": pa.ListArray.from_arrays(lab_offsets, pa.array(labels)),
+                "token_pred_probs": pa.ListArray.from_arrays(
+                    prob_offsets, pa.array(probs.reshape(-1))
+                ),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def q_token_label_issues(sf_dir: str):
+    """Token-classification quality (token_classification/rank.py:30-127
+    + issues_from_scores :156-274): per-token self-confidence, sentence
+    min-pooling, threshold issues. SQL-checked end-to-end."""
+    from cleanlab_ray.pipelines.token_classification import token_label_quality_scores
+
+    out = token_label_quality_scores(_derived_token_ds(sf_dir), num_classes=3)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ts = batch["token_score"].to_numpy(zero_copy_only=False)
+        ss = batch["sentence_score"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "sentence_id": pc.cast(batch["sentence_id"], pa.int64()),
+                "token_pos": batch["token_pos"],
+                "token_score_e6": pa.array(np.round(ts * 1e6).astype(np.int64)),
+                "sentence_score_e6": pa.array(np.round(ss * 1e6).astype(np.int64)),
+                "is_token_issue": batch["is_token_issue"],
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_TOKEN_LABEL_ISSUES = """
+WITH tok AS (
+  SELECT e.vec_id, s.j,
+         (e.vec_id + s.j) % 3 AS label,
+         CAST(CAST(exp(e.embedding[3*s.j+1]::DOUBLE)
+              / (exp(e.embedding[3*s.j+1]::DOUBLE) + exp(e.embedding[3*s.j+2]::DOUBLE) + exp(e.embedding[3*s.j+3]::DOUBLE)) AS REAL) AS DOUBLE) AS p0,
+         CAST(CAST(exp(e.embedding[3*s.j+2]::DOUBLE)
+              / (exp(e.embedding[3*s.j+1]::DOUBLE) + exp(e.embedding[3*s.j+2]::DOUBLE) + exp(e.embedding[3*s.j+3]::DOUBLE)) AS REAL) AS DOUBLE) AS p1,
+         CAST(CAST(exp(e.embedding[3*s.j+3]::DOUBLE)
+              / (exp(e.embedding[3*s.j+1]::DOUBLE) + exp(e.embedding[3*s.j+2]::DOUBLE) + exp(e.embedding[3*s.j+3]::DOUBLE)) AS REAL) AS DOUBLE) AS p2
+  FROM embeddings e CROSS JOIN generate_series(0, 4) AS s(j)
+  WHERE s.j <= 1 + e.vec_id % 4),
+scored AS (
+  SELECT vec_id, j,
+         CASE label WHEN 0 THEN p0 WHEN 1 THEN p1 ELSE p2 END AS sc
+  FROM tok)
+SELECT vec_id AS sentence_id, j AS token_pos,
+       CAST(round(sc * 1000000) AS BIGINT) AS token_score_e6,
+       CAST(round(min(sc) OVER (PARTITION BY vec_id) * 1000000) AS BIGINT)
+           AS sentence_score_e6,
+       sc < 0.1 AS is_token_issue
+FROM scored
+"""
+
+QUERIES["token_label_issues"] = q_token_label_issues
+ORACLE_SQL["token_label_issues"] = SQL_TOKEN_LABEL_ISSUES
+
+
+def q_token_cl_issues(sf_dir: str):
+    """Confident-learning token issues (token_classification/filter.py:
+    17-101): the full confident-joint machinery over the flattened token
+    table (rows-only: the prune-count matrix isn't SQL-practical)."""
+    from cleanlab_ray.pipelines.token_classification import token_find_label_issues
+
+    return token_find_label_issues(_derived_token_ds(sf_dir), num_classes=3)
+
+
+QUERIES["token_cl_issues"] = q_token_cl_issues
+
+
+# drift_windows SQL oracle: simplified KS = max |CDF_window - CDF_global|
+# over the same 64 fixed bins the engine uses (evaluating at every
+# globally-present bin is sufficient — both CDFs are step functions whose
+# change points are contained in the global support).
+SQL_DRIFT_WINDOWS = """
+WITH rng AS (
+  SELECT min(value)::DOUBLE AS lo,
+         greatest(max(value)::DOUBLE - min(value)::DOUBLE, 1e-300) AS span
+  FROM events),
+b AS (
+  SELECT epoch_us(date_trunc('day', ts)) AS w,
+         least(greatest(CAST(floor((value::DOUBLE - r.lo) / r.span * 64) AS BIGINT), 0), 63) AS bin
+  FROM events CROSS JOIN rng r),
+wb AS (SELECT w, bin, count(*) AS c FROM b GROUP BY 1, 2),
+gb AS (SELECT bin, count(*) AS c FROM b GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM b),
+wtot AS (SELECT w, count(*) AS n FROM b GROUP BY 1),
+cells AS (
+  SELECT ws.w, g.bin, coalesce(wb.c, 0) AS wc, g.c AS gc
+  FROM (SELECT DISTINCT w FROM b) ws
+  CROSS JOIN gb g
+  LEFT JOIN wb ON wb.w = ws.w AND wb.bin = g.bin),
+cdfs AS (
+  SELECT c.w, c.bin,
+         sum(c.wc) OVER (PARTITION BY c.w ORDER BY c.bin)::DOUBLE / wt.n AS cdf_w,
+         sum(c.gc) OVER (PARTITION BY c.w ORDER BY c.bin)::DOUBLE / t.n AS cdf_g
+  FROM cells c JOIN wtot wt ON c.w = wt.w CROSS JOIN tot t)
+SELECT w AS window_us, max(n_row) AS n,
+       CAST(round(max(abs(cdf_w - cdf_g)) * 1000000) AS BIGINT) AS ks_e6
+FROM (SELECT cdfs.*, wt.n AS n_row FROM cdfs JOIN wtot wt ON cdfs.w = wt.w)
+GROUP BY w
+"""
+
+ORACLE_SQL["drift_windows"] = SQL_DRIFT_WINDOWS
+
+
+# ---------------------------------------------------------------------------
+# Prune-filter SQL oracles (filter.py:829-907 semantics; pcm == CJ.T at
+# the default params because every CJ diagonal >= 1 and frac_noise = 1)
+# ---------------------------------------------------------------------------
+
+_SQL_CJ_PREFIX = f"""
+derived AS ({_SQL_DERIVED}),
+thresholds AS (
+  SELECT label3, avg(CASE label3 WHEN 0 THEN p0 WHEN 1 THEN p1 ELSE p2 END) AS t
+  FROM derived GROUP BY label3),
+conf AS (
+  SELECT d.vec_id, d.label3, d.p0, d.p1, d.p2,
+         (d.p0 >= (SELECT t FROM thresholds WHERE label3 = 0) - 1e-6) AS c0,
+         (d.p1 >= (SELECT t FROM thresholds WHERE label3 = 1) - 1e-6) AS c1,
+         (d.p2 >= (SELECT t FROM thresholds WHERE label3 = 2) - 1e-6) AS c2
+  FROM derived d),
+guessed AS (
+  SELECT label3 AS given_label,
+         CASE WHEN (c0::INT + c1::INT + c2::INT) > 1 THEN
+              CASE WHEN p0 >= p1 AND p0 >= p2 THEN 0 WHEN p1 >= p2 THEN 1 ELSE 2 END
+         ELSE CASE WHEN c0 THEN 0 WHEN c1 THEN 1 ELSE 2 END END AS guessed_label
+  FROM conf WHERE c0 OR c1 OR c2),
+cj AS (SELECT given_label, guessed_label, count(*) AS n FROM guessed GROUP BY 1, 2),
+labelcnt AS (SELECT label3 AS c, count(*) AS n_c FROM derived GROUP BY 1),
+veto AS (
+  SELECT vec_id,
+         (CASE WHEN q0 >= q1 AND q0 >= q2 THEN 0 WHEN q1 >= q2 THEN 1 ELSE 2 END)
+           = label3 AS vetoed
+  FROM (SELECT vec_id, label3,
+               p0 + CASE WHEN label3 = 0 THEN 1e-6 ELSE 0 END AS q0,
+               p1 + CASE WHEN label3 = 1 THEN 1e-6 ELSE 0 END AS q1,
+               p2 + CASE WHEN label3 = 2 THEN 1e-6 ELSE 0 END AS q2
+        FROM derived))
+"""
+
+SQL_PRUNE_BY_CLASS = f"""
+WITH {_SQL_CJ_PREFIX},
+tcut AS (
+  SELECT l.c, l.n_c,
+         l.n_c - coalesce((SELECT greatest(n, 1) FROM cj
+                           WHERE given_label = l.c AND guessed_label = l.c), 1) AS t
+  FROM labelcnt l),
+rk AS (
+  SELECT d.vec_id, d.label3 AS c,
+         row_number() OVER (PARTITION BY d.label3
+                            ORDER BY (CASE d.label3 WHEN 0 THEN d.p0 WHEN 1 THEN d.p1 ELSE d.p2 END),
+                                     CAST(d.vec_id AS VARCHAR)) AS rn
+  FROM derived d)
+SELECT r.vec_id,
+       (t.n_c > 1 AND t.t >= 1 AND r.rn <= t.t AND NOT v.vetoed) AS is_label_issue
+FROM rk r JOIN tcut t ON r.c = t.c JOIN veto v ON r.vec_id = v.vec_id
+"""
+
+SQL_PRUNE_BY_NOISE_RATE = f"""
+WITH {_SQL_CJ_PREFIX},
+margins AS (
+  SELECT d.vec_id, d.label3 AS c, j.j,
+         ((CASE j.j WHEN 0 THEN d.p0 WHEN 1 THEN d.p1 ELSE d.p2 END)
+          - (CASE d.label3 WHEN 0 THEN d.p0 WHEN 1 THEN d.p1 ELSE d.p2 END) + 1.0) / 2.0 AS s
+  FROM derived d CROSS JOIN (SELECT unnest([0, 1, 2]) AS j) j
+  WHERE j.j != d.label3),
+tcut AS (
+  SELECT m.c, m.j,
+         coalesce((SELECT n FROM cj WHERE given_label = m.c AND guessed_label = m.j), 0) AS t
+  FROM (SELECT DISTINCT c, j FROM margins) m),
+rk AS (
+  SELECT m.*, row_number() OVER (PARTITION BY m.c, m.j
+                                 ORDER BY m.s DESC, CAST(m.vec_id AS VARCHAR) ASC) AS rn
+  FROM margins m),
+flagged AS (
+  SELECT r.vec_id, bool_or(l.n_c > 1 AND t.t >= 1 AND r.rn <= t.t) AS flag
+  FROM rk r JOIN tcut t ON r.c = t.c AND r.j = t.j
+  JOIN labelcnt l ON l.c = r.c
+  GROUP BY r.vec_id)
+SELECT f.vec_id, (f.flag AND NOT v.vetoed) AS is_label_issue
+FROM flagged f JOIN veto v ON f.vec_id = v.vec_id
+"""
+
+ORACLE_SQL["prune_by_class"] = SQL_PRUNE_BY_CLASS
+ORACLE_SQL["prune_by_noise_rate"] = SQL_PRUNE_BY_NOISE_RATE
+
+
+# health_summary oracle: calibrate_confident_joint (count.py:221-291,
+# incl. the largest-remainder row rounding) + rank_classes (dataset.py:
+# 16-108), all on the dense 3x3 confident joint.
+SQL_HEALTH_SUMMARY = f"""
+WITH {_SQL_CJ_PREFIX},
+cells AS (
+  SELECT i.i AS gl, j.j AS gu,
+         greatest(coalesce((SELECT n FROM cj WHERE given_label = i.i AND guessed_label = j.j), 0),
+                  CASE WHEN i.i = j.j THEN 1 ELSE 0 END)::DOUBLE AS n
+  FROM (SELECT unnest([0,1,2]) AS i) i CROSS JOIN (SELECT unnest([0,1,2]) AS j) j),
+cal AS (
+  SELECT c.gl, c.gu,
+         c.n / (sum(c.n) OVER (PARTITION BY c.gl))
+             * (SELECT n_c FROM labelcnt WHERE labelcnt.c = c.gl) AS v
+  FROM cells c),
+cal2 AS (
+  SELECT gl, gu,
+         v * (SELECT sum(n_c) FROM labelcnt) / (SELECT sum(v) FROM cal) AS v2
+  FROM cal),
+r0 AS (SELECT gl, gu, v2, round(v2) AS b FROM cal2),
+rowadj AS (SELECT gl, round(sum(v2)) - sum(b) AS d FROM r0 GROUP BY gl),
+rk AS (
+  SELECT r0.*, a.d,
+         row_number() OVER (PARTITION BY r0.gl ORDER BY (r0.v2 - r0.b) DESC) AS rp,
+         row_number() OVER (PARTITION BY r0.gl ORDER BY (r0.v2 - r0.b) ASC) AS rm
+  FROM r0 JOIN rowadj a USING (gl)),
+ints AS (
+  SELECT gl, gu,
+         b + CASE WHEN d > 0 AND rp <= d THEN 1
+                  WHEN d < 0 AND rm <= -d THEN -1 ELSE 0 END AS c
+  FROM rk),
+rows_ AS (SELECT gl, sum(c) AS rowsum,
+                 sum(CASE WHEN gl = gu THEN c ELSE 0 END) AS diag FROM ints GROUP BY gl),
+cols_ AS (SELECT gu, sum(c) AS colsum FROM ints GROUP BY gu)
+SELECT r.gl AS class_index,
+       CAST(r.rowsum - r.diag AS BIGINT) AS label_issues,
+       CAST(c.colsum - r.diag AS BIGINT) AS inverse_label_issues,
+       CAST(round((r.rowsum - r.diag) / r.rowsum * 1000000) AS BIGINT) AS label_noise_e6,
+       CAST(round((1.0 - (r.rowsum - r.diag) / r.rowsum) * 1000000) AS BIGINT) AS quality_e6
+FROM rows_ r JOIN cols_ c ON r.gl = c.gu
+"""
+
+ORACLE_SQL["health_summary"] = SQL_HEALTH_SUMMARY
+
+
+# ---------------------------------------------------------------------------
+# Multimodal featurizer over a binary payload column (SQL-checked: the
+# 16-bucket byte histogram of ASCII payloads equals per-range char counts)
+# ---------------------------------------------------------------------------
+
+def q_media_byte_features(sf_dir: str):
+    """Binary-payload feature extraction (stages/multimodal.MediaDecoder,
+    decoder='bytes'): documents' text bytes ride as a large_binary
+    payload column through the actor-pool decode stage; features are the
+    whole-column vectorized 16-bucket byte histogram."""
+    from cleanlab_ray.stages.multimodal import decode_media
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        txt = pc.cast(pc.fill_null(batch["text"], ""), pa.string())
+        return pa.table(
+            {
+                "media_id": batch["doc_id"],
+                "payload": pc.cast(txt, pa.large_binary()),
+            }
+        )
+
+    media = ds.map_batches(to_media, batch_format="pyarrow")
+    out = decode_media(media, decoder="bytes", concurrency=2, batch_size=512)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        col = batch["features"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        feats = np.asarray(col.values, dtype=np.float64).reshape(batch.num_rows, -1)
+        cols = {"doc_id": batch["media_id"]}
+        # ASCII text occupies buckets 2..7 (0x20-0x7f). Half-up rounding:
+        # power-of-two totals make exact .5 values common here, and
+        # DuckDB's round() is half-away-from-zero while np.round is
+        # half-even.
+        for b in range(2, 8):
+            cols[f"b{b}_e6"] = pa.array(
+                np.floor(feats[:, b] * 1e6 + 0.5).astype(np.int64)
+            )
+        return pa.table(cols)
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _bucket_count(b: int) -> str:
+    lo, hi = 16 * b, 16 * b + 15
+    return (
+        f"length(regexp_replace(text, '[^\\x{lo:02x}-\\x{hi:02x}]', '', 'g'))::DOUBLE"
+    )
+
+
+# features are stored float32 by the decode stage, so the oracle
+# quantizes the ratio through REAL before scaling
+SQL_MEDIA_BYTE_FEATURES = "SELECT doc_id, " + ", ".join(
+    f"CAST(round(CAST(CAST({_bucket_count(b)} / greatest(length(text), 1) AS REAL) AS DOUBLE)"
+    f" * 1000000) AS BIGINT) AS b{b}_e6"
+    for b in range(2, 8)
+) + " FROM documents"
+
+QUERIES["media_byte_features"] = q_media_byte_features
+ORACLE_SQL["media_byte_features"] = SQL_MEDIA_BYTE_FEATURES

@@ -2,13 +2,20 @@
 
 Images/audio/video ride through the engine as Arrow ``binary`` columns
 with sidecar metadata columns (mime type, width/height or duration).
-Decode / feature-extract stages are actor-pool ``map_batches`` classes —
-the real Ray plumbing (schema contract, batch sizing by BYTES, actor
-signature, output layout) — with the codec itself stubbed: the sandbox
-ships no image/audio libraries, so ``decoder="stub"`` raises
-NotImplementedError and ``decoder="fake"`` produces a deterministic
-fake decode (seeded from the payload bytes) that downstream stages and
-tests exercise end-to-end.
+Decode / feature-extract stages are actor-pool ``map_batches`` classes.
+
+Decoder modes:
+- ``"image"`` — a REAL decoder for the codec-free raster formats
+  (binary netpbm P5/P6 and uncompressed 24/32-bit BMP), parsed with
+  numpy straight off the payload bytes: header scan + one frombuffer
+  reshape per row, then vectorized feature extraction (channel means,
+  aspect, 12-bin luminance histogram). No external libraries.
+- ``"bytes"`` — whole-batch vectorized byte-histogram features computed
+  on the column's concatenated buffer with np.add.reduceat (no per-row
+  Python): the content-agnostic fallback for opaque payloads.
+- ``"stub"`` — raises NotImplementedError at first batch: the marked
+  integration point for compressed codecs (JPEG/MP3/H.264) that need
+  libraries this container doesn't ship.
 
 Batch sizing: payload rows are wide — callers should size
 ``batch_size`` so ``batch_size × avg_payload_bytes × concurrency`` fits
@@ -29,94 +36,260 @@ MEDIA_SCHEMA_FIELDS = {
     "height": pa.int32(),
 }
 
+FEATURE_DIM = 16
 
-def make_fake_media_table(n: int = 64, seed: int = 42, payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic opaque payload fixture (no external data)."""
-    rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes() for _ in range(n)]
-    w = rng.integers(32, 256, size=n).astype(np.int32)
-    h = rng.integers(32, 256, size=n).astype(np.int32)
-    return pa.table(
-        {
-            "media_id": pa.array(np.arange(n), type=pa.int64()),
-            "payload": pa.array(payloads, type=pa.large_binary()),
-            "mime_type": pa.array(["image/fake"] * n, type=pa.string()),
-            "width": pa.array(w, type=pa.int32()),
-            "height": pa.array(h, type=pa.int32()),
-        }
+
+# ---------------------------------------------------------------------------
+# Real raster decoding (netpbm / BMP — pure numpy, no codec libraries)
+# ---------------------------------------------------------------------------
+
+def decode_raster(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6), PGM (P5) or uncompressed BMP payload to
+    an (H, W, C) uint8 array. Raises ValueError on anything else."""
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_netpbm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    raise ValueError(f"not a codec-free raster payload (magic={payload[:2]!r})")
+
+
+def _decode_netpbm(payload: bytes) -> np.ndarray:
+    # header: magic, whitespace-separated width height maxval, one ws byte
+    channels = 3 if payload[:2] == b"P6" else 1
+    fields: list[int] = []
+    i = 2
+    while len(fields) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment line
+            while i < len(payload) and payload[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        fields.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * channels, offset=i)
+    return data.reshape(h, w, channels)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    off = int(np.frombuffer(payload, "<u4", 1, 10)[0])
+    header_size = int(np.frombuffer(payload, "<u4", 1, 14)[0])
+    if header_size < 40:
+        raise ValueError("unsupported BMP header")
+    w = int(np.frombuffer(payload, "<i4", 1, 18)[0])
+    h = int(np.frombuffer(payload, "<i4", 1, 22)[0])
+    bpp = int(np.frombuffer(payload, "<u2", 1, 28)[0])
+    compression = int(np.frombuffer(payload, "<u4", 1, 30)[0])
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError("only uncompressed 24/32-bit BMP supported")
+    ch = bpp // 8
+    stride = (w * ch + 3) & ~3  # rows padded to 4 bytes
+    flipped = h > 0
+    h = abs(h)
+    rows = np.frombuffer(payload, dtype=np.uint8, count=stride * h, offset=off)
+    img = rows.reshape(h, stride)[:, : w * ch].reshape(h, w, ch)
+    if flipped:
+        img = img[::-1]
+    return img[..., [2, 1, 0]] if ch == 3 else img[..., [2, 1, 0, 3]]  # BGR(A)->RGB(A)
+
+
+def raster_features(img: np.ndarray) -> np.ndarray:
+    """(FEATURE_DIM,) float32: [mean R, mean G, mean B, aspect] +
+    12-bin luminance histogram (L1-normalized) — vectorized numpy."""
+    h, w = img.shape[:2]
+    rgb = img[..., :3] if img.shape[-1] >= 3 else np.repeat(img, 3, axis=-1)
+    means = rgb.reshape(-1, 3).mean(axis=0) / 255.0
+    luma = (
+        0.299 * rgb[..., 0].astype(np.float64)
+        + 0.587 * rgb[..., 1]
+        + 0.114 * rgb[..., 2]
     )
+    hist = np.bincount(
+        np.clip((luma.reshape(-1) / 256.0 * 12).astype(np.int64), 0, 11), minlength=12
+    ).astype(np.float64)
+    hist /= max(hist.sum(), 1.0)
+    out = np.empty(FEATURE_DIM, dtype=np.float32)
+    out[0:3] = means
+    out[3] = w / max(h, 1)
+    out[4:16] = hist
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Whole-batch byte featurizer (vectorized, content-agnostic)
+# ---------------------------------------------------------------------------
+
+def _binary_buffer(col: pa.Array):
+    """(data bytes, offsets) zero-copy from a (large_)binary column."""
+    import pyarrow.compute as pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        col = pc.fill_null(col, b"")
+    if not pa.types.is_large_binary(col.type):
+        col = col.cast(pa.large_binary())
+    bufs = col.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=np.int64)[col.offset : col.offset + len(col) + 1]
+    data = (
+        np.frombuffer(bufs[2], dtype=np.uint8)[offsets[0] : offsets[-1]]
+        if bufs[2] is not None
+        else np.empty(0, np.uint8)
+    )
+    return data, offsets - offsets[0]
+
+
+def byte_histogram_features(col) -> np.ndarray:
+    """(n, FEATURE_DIM) L1-normalized 16-bucket byte histograms for a
+    whole binary column in one pass: bucket = byte >> 4, per-row sums
+    via np.add.reduceat on the concatenated buffer."""
+    data, offsets = _binary_buffer(col)
+    n = len(offsets) - 1
+    out = np.zeros((n, FEATURE_DIM), dtype=np.float32)
+    if data.size == 0:
+        return out
+    lens = np.diff(offsets)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    flat = row_of * FEATURE_DIM + (data >> 4)
+    hist = np.bincount(flat, minlength=n * FEATURE_DIM).reshape(n, FEATURE_DIM)
+    totals = np.maximum(hist.sum(axis=1, keepdims=True), 1)
+    return (hist / totals).astype(np.float32)
 
 
 class MediaDecoder:
     """Actor-pool decode stage: payload -> fixed-size feature vector.
+    See module docstring for the decoder modes."""
 
-    ``decoder="stub"``: raises NotImplementedError at first batch (the
-    marked integration point for a real codec: put the cv2/PIL/ffmpeg
-    call in ``_decode_one`` and everything else — schema, batching,
-    actor lifecycle, output layout — is already production-shaped).
+    FEATURE_DIM = FEATURE_DIM
 
-    ``decoder="fake"``: deterministic feature extraction from the raw
-    bytes (histogram of 16 byte-value buckets, L1-normalized) so the
-    distributed path is testable without codecs.
-    """
-
-    FEATURE_DIM = 16
-
-    def __init__(self, decoder: str = "fake", payload_col: str = "payload"):
-        if decoder not in ("stub", "fake"):
+    def __init__(self, decoder: str = "image", payload_col: str = "payload"):
+        if decoder not in ("stub", "image", "bytes", "fake"):
             raise ValueError(f"unknown decoder {decoder!r}")
+        if decoder == "fake":  # back-compat alias
+            decoder = "bytes"
         self.decoder = decoder
         self.payload_col = payload_col
-
-    def _decode_one(self, payload: bytes) -> np.ndarray:
-        if self.decoder == "stub":
-            raise NotImplementedError(
-                "real image/audio decoding requires codec libraries not present "
-                "in this environment; plug the codec call in MediaDecoder._decode_one"
-            )
-        arr = np.frombuffer(payload, dtype=np.uint8)
-        hist = np.bincount(arr >> 4, minlength=self.FEATURE_DIM).astype(np.float32)
-        total = hist.sum()
-        return hist / total if total else hist
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch[self.payload_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        feats = np.stack([self._decode_one(v.as_py() or b"") for v in col])
+        if self.decoder == "stub":
+            raise NotImplementedError(
+                "compressed-codec decoding (JPEG/MP3/H.264) requires libraries "
+                "not present in this environment; plug the codec call here — "
+                "codec-free rasters are handled by decoder='image'"
+            )
+        if self.decoder == "bytes":
+            feats = byte_histogram_features(col)
+        else:  # real raster decode; header parse per row, pixels vectorized
+            feats = np.stack(
+                [raster_features(decode_raster(v.as_py() or b"")) for v in col]
+            ) if len(col) else np.zeros((0, FEATURE_DIM), dtype=np.float32)
         return batch.append_column(
             "features",
             pa.FixedSizeListArray.from_arrays(
-                pa.array(feats.reshape(-1).astype(np.float32)), self.FEATURE_DIM
+                pa.array(feats.reshape(-1).astype(np.float32)), FEATURE_DIM
             ),
         )
 
 
 class FrameSampler:
     """Actor-pool frame-sample stage for video-shaped payloads: emits
-    ``num_frames`` byte-slices per row as a list<binary> column (the
-    real implementation would seek keyframes; the slicing layout and
-    flat_map-style output contract are what downstream code relies on)."""
+    ``num_frames`` equal byte-slices per row as a list<large_binary>
+    column — fully vectorized: one gather over the concatenated payload
+    buffer builds the output values, offsets are pure arithmetic."""
 
     def __init__(self, num_frames: int = 4, payload_col: str = "payload"):
         self.num_frames = num_frames
         self.payload_col = payload_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        col = batch[self.payload_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        frames = []
-        for v in col:
-            data = v.as_py() or b""
-            step = max(1, len(data) // self.num_frames)
-            frames.append([data[i * step : (i + 1) * step] for i in range(self.num_frames)])
-        return batch.append_column(
-            "frames", pa.array(frames, type=pa.list_(pa.large_binary()))
+        nf = self.num_frames
+        data, offsets = _binary_buffer(batch[self.payload_col])
+        n = len(offsets) - 1
+        lens = np.diff(offsets)
+        step = np.maximum(1, lens // nf)
+        # frame f of row r covers [off_r + f*step_r, off_r + (f+1)*step_r)
+        # clipped to the row end (short rows yield empty tail frames)
+        f_idx = np.tile(np.arange(nf, dtype=np.int64), n)
+        row_rep = np.repeat(np.arange(n, dtype=np.int64), nf)
+        starts = np.minimum(offsets[:-1][row_rep] + f_idx * step[row_rep],
+                            offsets[1:][row_rep])
+        ends = np.minimum(starts + step[row_rep], offsets[1:][row_rep])
+        sizes = ends - starts
+        out_offsets = np.zeros(n * nf + 1, dtype=np.int64)
+        np.cumsum(sizes, out=out_offsets[1:])
+        gather = (
+            np.repeat(starts - out_offsets[:-1], sizes)
+            + np.arange(int(sizes.sum()), dtype=np.int64)
         )
+        values = pa.Array.from_buffers(
+            pa.large_binary(),
+            n * nf,
+            [None, pa.py_buffer(out_offsets), pa.py_buffer(np.ascontiguousarray(data[gather]))],
+        )
+        frames = pa.LargeListArray.from_arrays(
+            pa.array(np.arange(0, n * nf + 1, nf, dtype=np.int64)[: n + 1]), values
+        )
+        return batch.append_column("frames", frames)
 
 
-def decode_media(ds, decoder: str = "fake", concurrency: int = 2, batch_size: int = 64):
+# ---------------------------------------------------------------------------
+# Fixtures: REAL raster payloads generated deterministically
+# ---------------------------------------------------------------------------
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> binary PPM (P6) bytes."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def make_fake_media_table(n: int = 64, seed: int = 42, payload_bytes: int = 4096,
+                          mode: str = "opaque") -> pa.Table:
+    """Deterministic payload fixture. ``mode='ppm'`` emits REAL binary
+    PPM images (gradient + seeded noise) the image decoder actually
+    parses; ``mode='opaque'`` emits raw random bytes for the
+    content-agnostic path."""
+    rng = np.random.default_rng(seed)
+    w = rng.integers(16, 64, size=n).astype(np.int32)
+    h = rng.integers(16, 64, size=n).astype(np.int32)
+    payloads = []
+    for i in range(n):
+        if mode == "ppm":
+            yy, xx = np.mgrid[0 : h[i], 0 : w[i]]
+            img = np.stack(
+                [
+                    (xx * 255 // max(int(w[i]) - 1, 1)),
+                    (yy * 255 // max(int(h[i]) - 1, 1)),
+                    rng.integers(0, 256, size=(h[i], w[i])),
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            payloads.append(encode_ppm(img))
+        else:
+            payloads.append(rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes())
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n), type=pa.int64()),
+            "payload": pa.array(payloads, type=pa.large_binary()),
+            "mime_type": pa.array(
+                ["image/x-portable-pixmap" if mode == "ppm" else "application/octet-stream"] * n
+            ),
+            "width": pa.array(w),
+            "height": pa.array(h),
+        }
+    )
+
+
+def decode_media(ds, decoder: str = "bytes", concurrency: int = 2, batch_size: int = 64):
     """The decode pipeline stage: small batches (payloads are wide)."""
     return ds.map_batches(
         MediaDecoder,

@@ -158,10 +158,13 @@ def clip_noise_rates(noise_matrix: np.ndarray) -> np.ndarray:
     return noise_matrix / np.clip(noise_matrix.sum(axis=0), TINY_VALUE, None)
 
 
-def estimate_latent(cj: np.ndarray, label_counts: np.ndarray):
+def estimate_latent(cj: np.ndarray, label_counts: np.ndarray,
+                    converge_latent_estimates: bool = False):
     """(py, noise_matrix, inv_noise_matrix) from the confident joint
     (cleanlab/count.py:715-796, py_method='cnt' per
-    cleanlab/internal/latent_algebra.py:176-257)."""
+    cleanlab/internal/latent_algebra.py:176-257). With
+    ``converge_latent_estimates`` the estimates are iteratively refined
+    into mutual consistency (count.py:1331-1404)."""
     n = float(label_counts.sum())
     ps = label_counts / n
     labels_cc = cj.sum(axis=1).astype(float)
@@ -176,6 +179,10 @@ def estimate_latent(cj: np.ndarray, label_counts: np.ndarray):
     py = clip_values(py, low=CLIPPING_LOWER_BOUND, high=1.0, new_sum=1.0)
     noise_matrix = clip_noise_rates(noise_matrix)
     inv_noise_matrix = clip_noise_rates(inv_noise_matrix)
+    if converge_latent_estimates:
+        py, noise_matrix, inv_noise_matrix = converge_estimates(
+            ps, py, noise_matrix, inv_noise_matrix
+        )
     return py, noise_matrix, inv_noise_matrix
 
 
@@ -323,3 +330,45 @@ def compute_confident_stats(
         noise_matrix=noise_matrix,
         inv_noise_matrix=inv_noise_matrix,
     )
+
+
+def converge_estimates(
+    ps: np.ndarray,
+    py: np.ndarray,
+    noise_matrix: np.ndarray,
+    inv_noise_matrix: np.ndarray,
+    *,
+    inv_noise_matrix_iterations: int = 5,
+    noise_matrix_iterations: int = 3,
+):
+    """Iterative latent refinement (cleanlab/count.py:1331-1404
+    _converge_estimates + internal/latent_algebra.py:66-257): make py,
+    the noise matrix and its inverse mutually consistent by alternating
+    their closed-form relations. Driver-side O(K^2) state only.
+
+    Relations (latent_algebra.py):
+      inv = clip_cols((noise_matrix * py).T / ps)
+      py  = clip(inv_diag / noise_diag * ps, renormalized)  # 'cnt'
+      noise_matrix = clip_cols((inv * ps).T / py)
+    """
+    from cleanlab_ray.functions.numerics import clip_values
+
+    ps = np.asarray(ps, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    noise_matrix = np.asarray(noise_matrix, dtype=np.float64)
+    inv_noise_matrix = np.asarray(inv_noise_matrix, dtype=np.float64)
+    for _ in range(noise_matrix_iterations):
+        for _ in range(inv_noise_matrix_iterations):
+            joint = noise_matrix * py
+            inv_noise_matrix = clip_noise_rates(
+                joint.T / np.clip(ps, TINY_VALUE, None)
+            )
+            py = (
+                inv_noise_matrix.diagonal()
+                / np.clip(noise_matrix.diagonal(), TINY_VALUE, None)
+                * ps
+            )
+            py = clip_values(py, low=CLIPPING_LOWER_BOUND, high=1.0, new_sum=1.0)
+        joint_t = (inv_noise_matrix * ps).T
+        noise_matrix = clip_noise_rates(joint_t / np.clip(py, TINY_VALUE, None))
+    return py, noise_matrix, inv_noise_matrix

@@ -103,3 +103,49 @@ def test_ray_aggregate_matches_oracle(ray_session, corpus_dir, label_probs):
     # latent estimates are valid distributions
     np.testing.assert_allclose(stats.py.sum(), 1.0, atol=1e-6)
     np.testing.assert_allclose(stats.noise_matrix.sum(axis=0), 1.0, atol=1e-9)
+
+
+def test_converge_estimates_consistency():
+    """converge_estimates drives py / noise / inverse into mutual
+    consistency (reference count.py:1331-1404 behavior at K=3), checked
+    against an independent NumPy port of the latent-algebra loop."""
+    import numpy as np
+
+    from cleanlab_ray.state.confident import converge_estimates
+
+    rng = np.random.default_rng(5)
+    K = 3
+    nm = rng.random((K, K)) + np.eye(K) * 3
+    nm /= nm.sum(axis=0)
+    inv = rng.random((K, K)) + np.eye(K) * 3
+    inv /= inv.sum(axis=0)
+    py0 = np.array([0.5, 0.3, 0.2])
+    ps = nm @ py0
+
+    py, nm_out, inv_out = converge_estimates(ps, py0.copy(), nm.copy(), inv.copy())
+
+    # independent port of the reference loop
+    def clip_cols(m):
+        d = np.diagonal(m)
+        m = np.clip(m, 0, 0.9999)
+        np.fill_diagonal(m, d)
+        return m / np.clip(m.sum(axis=0), 1e-30, None)
+
+    def clip_vals(x, low, new_sum):
+        x = np.clip(x, low, 1.0)
+        return x / x.sum() * new_sum
+
+    py_r, nm_r, inv_r = py0.copy(), nm.copy(), inv.copy()
+    for _ in range(3):
+        for _ in range(5):
+            inv_r = clip_cols((nm_r * py_r).T / np.clip(ps, 1e-30, None))
+            py_r = clip_vals(
+                inv_r.diagonal() / np.clip(nm_r.diagonal(), 1e-30, None) * ps,
+                1e-6, 1.0)
+        nm_r = clip_cols((inv_r * ps).T / np.clip(py_r, 1e-30, None))
+
+    np.testing.assert_allclose(py, py_r, rtol=1e-9)
+    np.testing.assert_allclose(nm_out, nm_r, rtol=1e-9)
+    np.testing.assert_allclose(inv_out, inv_r, rtol=1e-9)
+    # converged state is self-consistent: ps ~= noise_matrix @ py
+    np.testing.assert_allclose(nm_out @ py, ps, atol=0.05)
