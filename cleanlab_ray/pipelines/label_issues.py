@@ -41,6 +41,7 @@ from cleanlab_ray.state.confident import (
     pred_probs_to_numpy,
     reduce_issues_mask,
 )
+from cleanlab_ray.stages.decision import boundary_membership, encode_boundary_keys
 from cleanlab_ray.state.prune import keep_at_least_n_per_class
 
 NUM_BINS = 4096
@@ -272,17 +273,14 @@ def _prune_by_class_mask(ds, k, pcm, label_counts, min_examples, label_col, prob
         chosen = g.head(int(need[c]))
         boundary_keys.update(zip(chosen["conv_id"], chosen["turn_idx"]))
 
+    boundary_arr = encode_boundary_keys(boundary_keys)
+
     def mask_fn(batch: pa.Table, labels, probs) -> np.ndarray:
         sc = probs[np.arange(len(labels)), labels]
         mask = sc < bin_lo[labels]
         mask &= bin_id[labels] >= 0
-        if boundary_keys:
-            k0 = batch["conv_id"].to_pylist()
-            k1 = batch["turn_idx"].to_pylist()
-            inb = np.fromiter(
-                ((a, b) in boundary_keys for a, b in zip(k0, k1)), dtype=bool, count=len(k0)
-            )
-            mask |= inb
+        if len(boundary_arr):
+            mask |= boundary_membership(batch, ("conv_id", "turn_idx"), boundary_arr)
         return mask
 
     return mask_fn
@@ -339,17 +337,14 @@ def _prune_by_count_mask(ds, k, pcm, label_counts, min_examples, label_col, prob
             chosen = g.head(int(need[c, j]))
             boundary_keys.update(zip(chosen["conv_id"], chosen["turn_idx"]))
 
+    boundary_arr = encode_boundary_keys(boundary_keys)
+
     def mask_fn(batch: pa.Table, labels, probs) -> np.ndarray:
         s = _margin_scores(labels, probs)
         over = s > bin_hi[labels]  # (B, K); diagonal is never set (bin_hi=2)
         mask = over.any(axis=1)
-        if boundary_keys:
-            k0 = batch["conv_id"].to_pylist()
-            k1 = batch["turn_idx"].to_pylist()
-            inb = np.fromiter(
-                ((a, b) in boundary_keys for a, b in zip(k0, k1)), dtype=bool, count=len(k0)
-            )
-            mask |= inb
+        if len(boundary_arr):
+            mask |= boundary_membership(batch, ("conv_id", "turn_idx"), boundary_arr)
         return mask
 
     return mask_fn

@@ -95,6 +95,56 @@ def _decision_columns(bin_lo: float, boundary_keys: set):
     return kernel
 
 
+class _SideAccumulator:
+    """Tiny zero-CPU actor collecting per-batch flat partials from map
+    tasks (the 'side output' that lets pass 1 ride the scoring scan).
+    Batches are deduped by a deterministic key so task retries cannot
+    double-count."""
+
+    def __init__(self, size: int):
+        self.acc = np.zeros(size, dtype=np.float64)
+        self.seen: set = set()
+
+    def add(self, key, arr):
+        if key in self.seen:
+            return
+        self.seen.add(key)
+        self.acc += np.asarray(arr, dtype=np.float64)
+
+    def get(self):
+        return self.acc
+
+
+def _make_scoring_with_side_pass1(acc_handle, k: int, drop_cols: tuple[str, ...]):
+    """Scoring task that also pushes threshold partials (per-class sum /
+    count of self-confidence) to the accumulator — fusing aggregate
+    pass 1 into the scoring scan saves one full pass over the scored
+    dataset."""
+    import ray
+
+    from cleanlab_ray.stages.turn_scorer import turn_scorer_task
+    from cleanlab_ray.state.confident import (
+        labels_to_numpy,
+        pred_probs_to_numpy,
+        threshold_partials,
+    )
+
+    def task(batch: pa.Table) -> pa.Table:
+        out = turn_scorer_task(batch)
+        labels = labels_to_numpy(out["label"])
+        probs = pred_probs_to_numpy(out["pred_probs"]).astype(np.float64)
+        sums, counts = threshold_partials(labels, probs, k)
+        if out.num_rows:
+            key = (str(out["conv_id"][0]), int(out["turn_idx"][0].as_py()), out.num_rows)
+        else:
+            key = ("", -1, 0)
+        ray.get(acc_handle.add.remote(key, np.concatenate([sums, counts])))
+        drop = [c for c in drop_cols if c in out.column_names]
+        return out.drop_columns(drop) if drop else out
+
+    return task
+
+
 def _make_fused_pass2_aggfn(k: int, thresholds, num_bins: int, score_col: str):
     """Pass-2 aggregate fused with the decision histogram: one scan
     produces [cj (K,K) | n_issues | label_counts (K,) | score hist]."""
@@ -152,12 +202,26 @@ def run_streaming(
     # output contract is (keys, scrubbed_text, scores, keep) — halving
     # the materialized bytes keeps two consecutive runs out of
     # object-store eviction territory.
-    scored = score_turns(
-        ds, concurrency, batch_size, keep_input_columns=False
-    ).materialize()
+    if concurrency is None:
+        # stateless-task path: aggregate pass 1 rides the scoring scan as
+        # a side output (one fewer full pass over the scored dataset)
+        import ray
 
-    # pass 1: confident thresholds
-    acc1 = np.asarray(scored.aggregate(make_threshold_aggfn(K))["threshold_partials"])
+        acc_actor = ray.remote(num_cpus=0)(_SideAccumulator).remote(2 * K)
+        scored = ds.map_batches(
+            _make_scoring_with_side_pass1(
+                acc_actor, K, ("text", "role", "tool", "ts")
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        ).materialize()
+        acc1 = np.asarray(ray.get(acc_actor.get.remote()))
+    else:
+        scored = score_turns(
+            ds, concurrency, batch_size, keep_input_columns=False
+        ).materialize()
+        # pass 1: confident thresholds
+        acc1 = np.asarray(scored.aggregate(make_threshold_aggfn(K))["threshold_partials"])
     thresholds = thresholds_from_partials(acc1[:K], acc1[K:].astype(np.int64))
 
     # pass 2 (fused): confident joint + issue count + decision histogram
@@ -184,11 +248,18 @@ def run_streaming(
         inv_noise_matrix=inv_noise_matrix,
     )
 
-    # boundary-bin pull (tiny filter pass) + final mask pass
+    # boundary-bin pull (tiny filter pass) + final mask pass, projected to
+    # the flagship output contract (keys, lang, scrubbed_text, score,
+    # keep/drop) — the diagnostic columns stay queryable on `scored` but
+    # don't ride the final copy
     bin_lo, boundary = resolve_bottom_t_from_hist(scored, hist, stats.num_issues)
+    contract = [
+        "conv_id", "turn_idx", "lang", "scrubbed_text",
+        "score_self_confidence", "is_label_issue", "keep",
+    ]
     final = scored.map_batches(
         _decision_columns(bin_lo, boundary), batch_format="pyarrow"
-    )
+    ).select_columns(contract)
     return final, stats
 
 

@@ -103,6 +103,24 @@ def resolve_bottom_t_from_hist(
     return bin_lo, boundary_keys
 
 
+def encode_boundary_keys(boundary_keys: set) -> np.ndarray:
+    """Key tuples -> flat string encodings for vectorized membership."""
+    return np.array(
+        ["\x1f".join(str(p) for p in key) for key in boundary_keys], dtype=object
+    )
+
+
+def boundary_membership(batch: pa.Table, key_cols, boundary_arr: np.ndarray) -> np.ndarray:
+    """Vectorized boundary-set membership: encode the batch keys with
+    arrow kernels and np.isin against the (small) boundary array — no
+    per-row Python."""
+    import pyarrow.compute as pc
+
+    parts = [pc.cast(batch[c], pa.string()) for c in key_cols]
+    enc = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x1f")
+    return np.isin(np.asarray(enc.to_pandas(), dtype=object), boundary_arr)
+
+
 def make_issue_mask_kernel(
     bin_lo: float,
     boundary_keys: set,
@@ -111,19 +129,13 @@ def make_issue_mask_kernel(
     out_col: str = "is_label_issue",
 ):
     """map_batches kernel appending the bottom-T boolean mask."""
+    boundary_arr = encode_boundary_keys(boundary_keys)
 
     def kernel(batch: pa.Table) -> pa.Table:
         s = batch[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
         mask = s < bin_lo
-        if boundary_keys:
-            k0 = batch[key_cols[0]].to_pylist()
-            k1 = batch[key_cols[1]].to_pylist()
-            in_boundary = np.fromiter(
-                ((a, b) in boundary_keys for a, b in zip(k0, k1)),
-                dtype=bool,
-                count=len(k0),
-            )
-            mask |= in_boundary
+        if len(boundary_arr):
+            mask |= boundary_membership(batch, key_cols, boundary_arr)
         return batch.append_column(out_col, pa.array(mask, type=pa.bool_()))
 
     return kernel
