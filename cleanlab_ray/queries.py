@@ -2285,3 +2285,128 @@ SQL_MEDIA_BYTE_FEATURES = "SELECT doc_id, " + ", ".join(
 
 QUERIES["media_byte_features"] = q_media_byte_features
 ORACLE_SQL["media_byte_features"] = SQL_MEDIA_BYTE_FEATURES
+
+
+# ---------------------------------------------------------------------------
+# Semantic-segmentation label quality (dense per-pixel tensors, SQL-checked)
+# ---------------------------------------------------------------------------
+
+def _derived_segmentation_ds(sf_dir: str):
+    """Dense (K=3, H*W=16) per-pixel tensors derived from embeddings:
+    pixel p of image vec_id has probs = softmax(embedding[3p:3p+3]) and
+    label (vec_id+p)%3. Tensors stored K-major (K,HW) like the
+    reference's (K,H,W)."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    HW, K_ = 16, 3
+
+    def derive(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        mat = np.asarray(col.values, dtype=np.float64).reshape(len(col), -1)
+        vec_id = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(vec_id)
+        logits = mat[:, : HW * K_].reshape(n, HW, K_)
+        e = np.exp(logits)
+        probs = e / e.sum(axis=2, keepdims=True)          # (n, HW, K)
+        probs_kmajor = np.transpose(probs, (0, 2, 1))      # (n, K, HW)
+        labels = (vec_id[:, None] + np.arange(HW)[None, :]) % 3
+        return pa.table(
+            {
+                "image_id": batch["vec_id"],
+                "pixel_labels": pa.FixedSizeListArray.from_arrays(
+                    pa.array(labels.reshape(-1).astype(np.int32)), HW
+                ),
+                "pixel_pred_probs": pa.FixedSizeListArray.from_arrays(
+                    pa.array(probs_kmajor.reshape(-1).astype(np.float32)), K_ * HW
+                ),
+            }
+        )
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def q_segmentation_scores(sf_dir: str):
+    """Per-image segmentation label quality (segmentation/rank.py:14-231,
+    softmin T=0.1) + per-image pixel-issue counts — SQL-checked via a
+    16-pixel explode."""
+    from cleanlab_ray.pipelines.segmentation import segmentation_scores
+
+    out = segmentation_scores(_derived_segmentation_ds(sf_dir), num_classes=3)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = batch["image_score"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "image_id": pc.cast(batch["image_id"], pa.int64()),
+                "score_e6": pa.array(np.round(s * 1e6).astype(np.int64)),
+                "num_pixel_issues": batch["num_pixel_issues"],
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_SEGMENTATION_SCORES = """
+WITH px AS (
+  SELECT e.vec_id, s.p,
+         (e.vec_id + s.p) % 3 AS label,
+         CAST(CAST(exp(e.embedding[3*s.p+1]::DOUBLE)
+              / (exp(e.embedding[3*s.p+1]::DOUBLE) + exp(e.embedding[3*s.p+2]::DOUBLE) + exp(e.embedding[3*s.p+3]::DOUBLE)) AS REAL) AS DOUBLE) AS p0,
+         CAST(CAST(exp(e.embedding[3*s.p+2]::DOUBLE)
+              / (exp(e.embedding[3*s.p+1]::DOUBLE) + exp(e.embedding[3*s.p+2]::DOUBLE) + exp(e.embedding[3*s.p+3]::DOUBLE)) AS REAL) AS DOUBLE) AS p1,
+         CAST(CAST(exp(e.embedding[3*s.p+3]::DOUBLE)
+              / (exp(e.embedding[3*s.p+1]::DOUBLE) + exp(e.embedding[3*s.p+2]::DOUBLE) + exp(e.embedding[3*s.p+3]::DOUBLE)) AS REAL) AS DOUBLE) AS p2
+  FROM embeddings e CROSS JOIN generate_series(0, 15) AS s(p)),
+sc AS (
+  SELECT vec_id, CASE label WHEN 0 THEN p0 WHEN 1 THEN p1 ELSE p2 END AS s
+  FROM px)
+SELECT vec_id AS image_id,
+       CAST(round(sum(s * exp((1.0 - s) * 10.0)) / sum(exp((1.0 - s) * 10.0))
+                  * 1000000) AS BIGINT) AS score_e6,
+       sum(CASE WHEN s < 0.1 THEN 1 ELSE 0 END)::BIGINT AS num_pixel_issues
+FROM sc GROUP BY vec_id
+"""
+
+QUERIES["segmentation_scores"] = q_segmentation_scores
+ORACLE_SQL["segmentation_scores"] = SQL_SEGMENTATION_SCORES
+
+
+def q_segmentation_common_issues(sf_dir: str):
+    """Dataset-level (given -> predicted) swap frequency among issue
+    pixels (segmentation/summary.py:159-267) — SQL-checked."""
+    from cleanlab_ray.pipelines.segmentation import common_label_issues
+
+    # threshold 0.34: the derived probs hover around 1/3, so the
+    # reference default 0.1 would flag nothing at all on this corpus
+    df = common_label_issues(_derived_segmentation_ds(sf_dir), num_classes=3,
+                             issue_threshold=0.34)
+    df["given_label"] = df["given_label"].astype(np.int64)
+    df["predicted_label"] = df["predicted_label"].astype(np.int64)
+    df["num_label_issues"] = df["num_label_issues"].astype(np.int64)
+    return df
+
+
+SQL_SEGMENTATION_COMMON = """
+WITH px AS (
+  SELECT e.vec_id, s.p,
+         (e.vec_id + s.p) % 3 AS label,
+         CAST(CAST(exp(e.embedding[3*s.p+1]::DOUBLE)
+              / (exp(e.embedding[3*s.p+1]::DOUBLE) + exp(e.embedding[3*s.p+2]::DOUBLE) + exp(e.embedding[3*s.p+3]::DOUBLE)) AS REAL) AS DOUBLE) AS p0,
+         CAST(CAST(exp(e.embedding[3*s.p+2]::DOUBLE)
+              / (exp(e.embedding[3*s.p+1]::DOUBLE) + exp(e.embedding[3*s.p+2]::DOUBLE) + exp(e.embedding[3*s.p+3]::DOUBLE)) AS REAL) AS DOUBLE) AS p1,
+         CAST(CAST(exp(e.embedding[3*s.p+3]::DOUBLE)
+              / (exp(e.embedding[3*s.p+1]::DOUBLE) + exp(e.embedding[3*s.p+2]::DOUBLE) + exp(e.embedding[3*s.p+3]::DOUBLE)) AS REAL) AS DOUBLE) AS p2
+  FROM embeddings e CROSS JOIN generate_series(0, 15) AS s(p)),
+j AS (
+  SELECT label AS given_label,
+         CASE WHEN p0 >= p1 AND p0 >= p2 THEN 0 WHEN p1 >= p2 THEN 1 ELSE 2 END
+             AS predicted_label,
+         CASE label WHEN 0 THEN p0 WHEN 1 THEN p1 ELSE p2 END AS s
+  FROM px)
+SELECT given_label, predicted_label, count(*)::BIGINT AS num_label_issues
+FROM j
+WHERE s < 0.34 AND given_label != predicted_label
+GROUP BY 1, 2
+"""
+
+QUERIES["segmentation_common_issues"] = q_segmentation_common_issues
+ORACLE_SQL["segmentation_common_issues"] = SQL_SEGMENTATION_COMMON
