@@ -343,3 +343,43 @@ def report(result: AuditResult, max_rows: int = 5) -> str:
     if result.errors:
         lines.append(f"Stages skipped with errors: {result.errors}")
     return "\n".join(lines)
+
+
+def _noniid_stage(ds, ctx):
+    """Index-order non-IID test (noniid.py:60-446 semantics). Requires an
+    ``embedding`` column and ``ctx['noniid_key']`` naming a UNIQUE
+    integer column that encodes collection order (there is no implicit
+    row order in a shuffled Dataset — the caller must say what 'order'
+    means). Failure isolation reports a clear error otherwise."""
+    names = ds.schema().names
+    if "embedding" not in names:
+        raise ValueError("noniid requires an 'embedding' column")
+    key = ctx.get("noniid_key")
+    if not key or key not in names:
+        raise ValueError(
+            "noniid requires ctx['noniid_key'] naming a unique integer "
+            "collection-order column"
+        )
+    from cleanlab_ray.stages.noniid import noniid_issues
+
+    out, info = noniid_issues(
+        ds,
+        embedding_col="embedding",
+        key_col=key,
+        k=ctx.get("noniid_k", 10),
+        num_permutations=ctx.get("noniid_permutations", 25),
+        seed=ctx.get("noniid_seed", 0),
+    )
+    from ray.data.aggregate import Sum
+
+    n_issues = 0
+    if info["p_value"] < ctx.get("noniid_significance", 0.05):
+        n_issues = int(out.aggregate(Sum("is_noniid_issue", alias_name="n"))["n"] or 0)
+    return ds, {
+        "issue_type": "noniid",
+        "num_issues": n_issues,
+        "score": float(info["p_value"]),
+    }
+
+
+REGISTRY["noniid"] = _noniid_stage

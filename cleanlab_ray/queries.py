@@ -2410,3 +2410,33 @@ GROUP BY 1, 2
 
 QUERIES["segmentation_common_issues"] = q_segmentation_common_issues
 ORACLE_SQL["segmentation_common_issues"] = SQL_SEGMENTATION_COMMON
+
+
+# ---------------------------------------------------------------------------
+# Non-IID detection (kNN permutation test — rows-only: the permutation
+# draw is driver-seeded randomness, not SQL-reproducible)
+# ---------------------------------------------------------------------------
+
+def q_noniid_detection(sf_dir: str):
+    """The reference's NonIIDIssueManager proper (noniid.py:60-446):
+    index-order leakage test over the embeddings table via exact kNN +
+    permutation test; per-row AUC-difference scores."""
+    from cleanlab_ray.stages.noniid import noniid_issues
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out, info = noniid_issues(ds, k=10, num_permutations=25, seed=0)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = batch["noniid_score"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+                "noniid_e6": pa.array(np.round(s * 1e6).astype(np.int64)),
+                "is_noniid_issue": batch["is_noniid_issue"],
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["noniid_detection"] = q_noniid_detection

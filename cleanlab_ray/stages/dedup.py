@@ -245,7 +245,7 @@ def minhash_signatures_column(col, a: np.ndarray, b: np.ndarray, k: int = 5) -> 
 def make_minhash_kernel(
     text_col: str = "text",
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 8,
     shingle_k: int = 5,
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
 ):
@@ -283,7 +283,7 @@ def near_dup_groups(
     text_col: str = "text",
     key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
     num_perm: int = 64,
-    bands: int = 16,
+    bands: int = 8,
     jaccard_threshold: float = 0.8,
     shingle_k: int = 5,
 ):
@@ -305,8 +305,11 @@ def near_dup_groups(
          numpy slices);
       4. a final tiny sort dedups flagged keys.
     Partitioning assumption: LSH bucket runs fit in a block (same
-    assumption as any groupby); candidate volume is tuned by
-    bands/num_perm."""
+    assumption as any groupby). bands=8 x rows_per_band=8 puts the LSH
+    s-curve midpoint at (1/8)^(1/8) ~= 0.77, matched to the default 0.8
+    Jaccard threshold — band-match probability for sub-threshold pairs
+    falls off sharply, keeping the candidate set (and the text that must
+    be re-shuffled for exact verification) sparse."""
 
     sel = ds.select_columns([*key_cols, text_col])
     banded = sel.map_batches(

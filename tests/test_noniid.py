@@ -1,0 +1,87 @@
+"""Non-IID kNN permutation test vs a direct NumPy port of the reference
+noniid.py flow: sorted (leaky) data must be flagged, shuffled data not."""
+
+import math
+
+import numpy as np
+import pytest
+
+
+def _make_ds(mat, ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    df = pd.DataFrame({"vec_id": np.arange(len(mat))})
+    df["embedding"] = [row.astype(np.float32).tolist() for row in mat]
+    return rd.from_pandas(df)
+
+
+def _reference_port(mat, k=10, num_permutations=25, seed=0):
+    """Direct NumPy port of noniid.py:180-299 (graph -> KS -> p-value)."""
+    n = len(mat)
+    d2 = (
+        np.sum(mat * mat, 1)[:, None] + np.sum(mat * mat, 1)[None, :] - 2 * mat @ mat.T
+    )
+    np.maximum(d2, 0, out=d2)
+    d = np.sqrt(d2)
+    d[np.eye(n, dtype=bool)] = np.inf
+    ids = np.arange(n)
+    nbrs = np.lexsort((np.broadcast_to(ids, d.shape), d), axis=-1)[:, :k]
+
+    def ks(dists_flat):
+        s = np.sort(dists_flat)
+        s = np.hstack([s, [n - 1]]).astype(int)
+        bg = np.cumsum((n - np.arange(1, n)) / (n * (n - 1) / 2))
+        fg = np.arange(s.shape[0]) / (s.shape[0] - 1)
+        return np.max(np.abs(fg - bg[s - 1]))
+
+    observed = ks(np.abs(ids[:, None] - nbrs).ravel())
+    np.random.seed(seed)
+    perms = np.stack([np.random.permutation(n) for _ in range(num_permutations)])
+    perm_ks = np.array(
+        [ks(np.abs(p[ids][:, None] - p[nbrs]).ravel()) for p in perms]
+    )
+    std = float(np.std(perm_ks, ddof=1))
+    h = max(std * num_permutations ** (-0.2), 1e-12)
+
+    def phi(z):
+        return 0.5 * (1.0 + math.erf(z / math.sqrt(2.0)))
+
+    p = float(np.mean([phi((100 - x) / h) - phi((observed - x) / h) for x in perm_ks]))
+    return observed, p
+
+
+@pytest.fixture(scope="module")
+def sorted_mat():
+    rng = np.random.default_rng(77)
+    # index-order leakage: features drift with the index
+    n, dim = 150, 8
+    drift = np.linspace(0, 6, n)[:, None]
+    return (rng.standard_normal((n, dim)) * 0.5 + drift).astype(np.float32).astype(np.float64)
+
+
+def test_noniid_matches_reference_port(ray_session, sorted_mat):
+    from cleanlab_ray.stages.noniid import noniid_issues
+
+    ds = _make_ds(sorted_mat, ray_session)
+    out, info = noniid_issues(ds, k=10, num_permutations=25, seed=0)
+    ks_ref, p_ref = _reference_port(sorted_mat, k=10, num_permutations=25, seed=0)
+    assert info["ks"] == pytest.approx(ks_ref, rel=1e-12)
+    assert info["p_value"] == pytest.approx(p_ref, rel=1e-9)
+    df = out.to_pandas()
+    assert len(df) == len(sorted_mat)
+    # drifting data must be flagged as non-IID
+    assert info["p_value"] < 0.05
+    assert df["is_noniid_issue"].sum() == 1
+    assert df["noniid_score"].between(0, 1).all()
+
+
+def test_noniid_not_flagged_on_shuffled(ray_session, sorted_mat):
+    from cleanlab_ray.stages.noniid import noniid_issues
+
+    rng = np.random.default_rng(5)
+    shuffled = sorted_mat[rng.permutation(len(sorted_mat))]
+    ds = _make_ds(shuffled, ray_session)
+    out, info = noniid_issues(ds, k=10, num_permutations=25, seed=0)
+    assert info["p_value"] > 0.05
+    assert out.to_pandas()["is_noniid_issue"].sum() == 0
