@@ -756,10 +756,32 @@ def q_simhash_documents(sf_dir: str):
 
 
 def q_embedding_near_dup(sf_dir: str):
+    """Hyperplane-LSH cosine near-dup. The raw fixture embeddings are
+    pure-random (max pairwise cosine ~0.51), which makes the raw query
+    degenerate (0 rows) — so the input plants deterministic near-dups:
+    every vec_id % 10 == 0 row gains a clone (vec_id + 1_000_000,
+    embedding * 2 => cosine exactly 1). SQL-checked: the seeded planes
+    are inlined in the oracle, the planting is list_transform."""
     from cleanlab_ray.stages.dedup import embedding_near_dup
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_near_dup(ds, key_cols=("vec_id",))
+
+    def plant(batch: pa.Table) -> pa.Table:
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sel = np.flatnonzero(vid % 10 == 0)
+        clones = batch.take(pa.array(sel))
+        emb = clones["embedding"].combine_chunks()
+        doubled = pa.ListArray.from_arrays(
+            emb.offsets, pc.multiply(emb.values, pa.scalar(2.0, pa.float32()))
+        )
+        cloned = pa.table(
+            {"vec_id": pa.array(vid[sel] + 1_000_000), "embedding": doubled}
+        )
+        return pa.concat_tables([batch.select(["vec_id", "embedding"]), cloned])
+
+    return embedding_near_dup(
+        ds.map_batches(plant, batch_format="pyarrow"), key_cols=("vec_id",)
+    )
 
 
 def q_fingerprint_documents(sf_dir: str):
@@ -2051,13 +2073,207 @@ ORACLE_SQL["token_label_issues"] = SQL_TOKEN_LABEL_ISSUES
 def q_token_cl_issues(sf_dir: str):
     """Confident-learning token issues (token_classification/filter.py:
     17-101): the full confident-joint machinery over the flattened token
-    table (rows-only: the prune-count matrix isn't SQL-practical)."""
+    table. SQL-checked: pcm == CJ.T at default params, so the whole
+    prune_by_noise_rate cascade is window-function-expressible."""
     from cleanlab_ray.pipelines.token_classification import token_find_label_issues
 
-    return token_find_label_issues(_derived_token_ds(sf_dir), num_classes=3)
+    out = token_find_label_issues(_derived_token_ds(sf_dir), num_classes=3)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "sentence_id": pc.cast(batch["sentence_id"], pa.int64()),
+                "token_pos": batch["token_pos"],
+                "is_label_issue": batch["is_label_issue"],
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 QUERIES["token_cl_issues"] = q_token_cl_issues
+
+# Token-CL oracle: same prune_by_noise_rate cascade as
+# SQL_PRUNE_BY_NOISE_RATE, but over the derived token table; ties break
+# by the engine's (score, conv_id-as-string, turn_idx) mergesort order.
+SQL_TOKEN_CL_ISSUES = """
+WITH dtok AS (
+  SELECT e.vec_id, s.j,
+         (e.vec_id + s.j) % 3 AS label3,
+         CAST(CAST(exp(e.embedding[3*s.j+1]::DOUBLE)
+              / (exp(e.embedding[3*s.j+1]::DOUBLE) + exp(e.embedding[3*s.j+2]::DOUBLE) + exp(e.embedding[3*s.j+3]::DOUBLE)) AS REAL) AS DOUBLE) AS p0,
+         CAST(CAST(exp(e.embedding[3*s.j+2]::DOUBLE)
+              / (exp(e.embedding[3*s.j+1]::DOUBLE) + exp(e.embedding[3*s.j+2]::DOUBLE) + exp(e.embedding[3*s.j+3]::DOUBLE)) AS REAL) AS DOUBLE) AS p1,
+         CAST(CAST(exp(e.embedding[3*s.j+3]::DOUBLE)
+              / (exp(e.embedding[3*s.j+1]::DOUBLE) + exp(e.embedding[3*s.j+2]::DOUBLE) + exp(e.embedding[3*s.j+3]::DOUBLE)) AS REAL) AS DOUBLE) AS p2
+  FROM embeddings e CROSS JOIN generate_series(0, 4) AS s(j)
+  WHERE s.j <= 1 + e.vec_id % 4),
+thresholds AS (
+  SELECT label3, avg(CASE label3 WHEN 0 THEN p0 WHEN 1 THEN p1 ELSE p2 END) AS t
+  FROM dtok GROUP BY label3),
+conf AS (
+  SELECT d.*,
+         (d.p0 >= (SELECT t FROM thresholds WHERE label3 = 0) - 1e-6) AS c0,
+         (d.p1 >= (SELECT t FROM thresholds WHERE label3 = 1) - 1e-6) AS c1,
+         (d.p2 >= (SELECT t FROM thresholds WHERE label3 = 2) - 1e-6) AS c2
+  FROM dtok d),
+guessed AS (
+  SELECT label3 AS given_label,
+         CASE WHEN (c0::INT + c1::INT + c2::INT) > 1 THEN
+              CASE WHEN p0 >= p1 AND p0 >= p2 THEN 0 WHEN p1 >= p2 THEN 1 ELSE 2 END
+         ELSE CASE WHEN c0 THEN 0 WHEN c1 THEN 1 ELSE 2 END END AS guessed_label
+  FROM conf WHERE c0 OR c1 OR c2),
+cj AS (SELECT given_label, guessed_label, count(*) AS n FROM guessed GROUP BY 1, 2),
+labelcnt AS (SELECT label3 AS c, count(*) AS n_c FROM dtok GROUP BY 1),
+veto AS (
+  SELECT vec_id, j,
+         (CASE WHEN q0 >= q1 AND q0 >= q2 THEN 0 WHEN q1 >= q2 THEN 1 ELSE 2 END)
+           = label3 AS vetoed
+  FROM (SELECT vec_id, j, label3,
+               p0 + CASE WHEN label3 = 0 THEN 1e-6 ELSE 0 END AS q0,
+               p1 + CASE WHEN label3 = 1 THEN 1e-6 ELSE 0 END AS q1,
+               p2 + CASE WHEN label3 = 2 THEN 1e-6 ELSE 0 END AS q2
+        FROM dtok)),
+margins AS (
+  SELECT d.vec_id, d.j, d.label3 AS c, g.g,
+         ((CASE g.g WHEN 0 THEN d.p0 WHEN 1 THEN d.p1 ELSE d.p2 END)
+          - (CASE d.label3 WHEN 0 THEN d.p0 WHEN 1 THEN d.p1 ELSE d.p2 END) + 1.0) / 2.0 AS s
+  FROM dtok d CROSS JOIN (SELECT unnest([0, 1, 2]) AS g) g
+  WHERE g.g != d.label3),
+tcut AS (
+  SELECT m.c, m.g,
+         coalesce((SELECT n FROM cj WHERE given_label = m.c AND guessed_label = m.g), 0) AS t
+  FROM (SELECT DISTINCT c, g FROM margins) m),
+rk AS (
+  SELECT m.*, row_number() OVER (PARTITION BY m.c, m.g
+                                 ORDER BY m.s DESC, CAST(m.vec_id AS VARCHAR) ASC, m.j ASC) AS rn
+  FROM margins m),
+flagged AS (
+  SELECT r.vec_id, r.j, bool_or(l.n_c > 1 AND t.t >= 1 AND r.rn <= t.t) AS flag
+  FROM rk r JOIN tcut t ON r.c = t.c AND r.g = t.g
+  JOIN labelcnt l ON l.c = r.c
+  GROUP BY r.vec_id, r.j)
+SELECT f.vec_id AS sentence_id, f.j AS token_pos,
+       (f.flag AND NOT v.vetoed) AS is_label_issue
+FROM flagged f JOIN veto v ON f.vec_id = v.vec_id AND f.j = v.j
+"""
+
+ORACLE_SQL["token_cl_issues"] = SQL_TOKEN_CL_ISSUES
+
+
+# simhash_documents oracle: byte-exact SimHash in SQL. The FNV-style
+# shingle hash is replicated with HUGEINT modular arithmetic (DuckDB
+# raises on BIGINT overflow, so every fold step mods by 2^64); bits are
+# extracted from 32-bit halves (shifts stay < 32); hamming distance is
+# computed from the per-bit table, so no 64-bit XOR/popcount is needed.
+# Grouping by (band, band_value) == the engine's salted int64 bucket
+# because the pairwise salt XOR distances all exceed 2^16 (checked).
+SQL_SIMHASH_DOCUMENTS = """
+WITH pad AS (
+  SELECT doc_id,
+         CASE WHEN length(t) < 4 THEN t || repeat(' ', 4 - length(t)) ELSE t END AS tx
+  FROM (SELECT doc_id, lower(text) AS t FROM documents)),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ((((((ord(substr(tx, g.p, 1))::HUGEINT * 1099511628211
+              + ord(substr(tx, g.p + 1, 1))) % 18446744073709551616)
+              * 1099511628211 + ord(substr(tx, g.p + 2, 1))) % 18446744073709551616)
+              * 1099511628211 + ord(substr(tx, g.p + 3, 1))) % 18446744073709551616) AS h
+  FROM pad CROSS JOIN generate_series(1, 4096) AS g(p)
+  WHERE g.p <= length(tx) - 3),
+halves AS (
+  SELECT doc_id,
+         CAST(h % 4294967296 AS BIGINT) AS lo,
+         CAST(h // 4294967296 AS BIGINT) AS hi
+  FROM sh),
+bits AS (
+  SELECT doc_id, s.s,
+         sum(CASE WHEN s.s < 32 THEN (lo // (1::BIGINT << s.s)) % 2
+                  ELSE (hi // (1::BIGINT << (s.s - 32))) % 2 END) AS cnt1,
+         count(*) AS n
+  FROM halves CROSS JOIN generate_series(0, 63) AS s(s)
+  GROUP BY 1, 2),
+vote AS (SELECT doc_id, s, CASE WHEN 2 * cnt1 > n THEN 1 ELSE 0 END AS bit FROM bits),
+bandvals AS (
+  SELECT doc_id, s // 16 AS b, sum(bit * (1::BIGINT << (s % 16))) AS bv
+  FROM vote GROUP BY 1, 2),
+buckets AS (SELECT b, bv, min(doc_id) AS base, count(*) AS sz FROM bandvals GROUP BY 1, 2),
+ham AS (
+  SELECT m.doc_id, m.b, m.bv,
+         sum(CASE WHEN v1.bit != v2.bit THEN 1 ELSE 0 END) AS d
+  FROM bandvals m
+  JOIN buckets k ON m.b = k.b AND m.bv = k.bv
+  JOIN vote v1 ON v1.doc_id = m.doc_id
+  JOIN vote v2 ON v2.doc_id = k.base AND v2.s = v1.s
+  GROUP BY 1, 2, 3),
+close AS (SELECT doc_id, b, bv, (d <= 3) AS cl FROM ham),
+bstat AS (
+  SELECT b, bv, sum(CASE WHEN cl THEN 1 ELSE 0 END) AS nclose, count(*) AS sz
+  FROM close GROUP BY 1, 2)
+SELECT DISTINCT c.doc_id, TRUE AS is_simhash_dup
+FROM close c JOIN bstat s ON c.b = s.b AND c.bv = s.bv
+WHERE c.cl AND s.nclose >= 2 AND s.sz >= 2
+"""
+
+ORACLE_SQL["simhash_documents"] = SQL_SIMHASH_DOCUMENTS
+
+
+def _make_embedding_near_dup_sql(
+    num_planes: int = 16, num_tables: int = 4, cosine_threshold: float = 0.95,
+    seed: int = 11, dim: int = 64,
+) -> str:
+    """embedding_near_dup oracle: the seeded hyperplanes are DETERMINISTIC
+    (np.default_rng(seed)), so they are inlined into the SQL as literal
+    DOUBLE[] lists (exact repr round-trip) and the whole LSH + exact-
+    cosine-verify cascade becomes plain SQL. Grouping by (table, bucket
+    bits) == the engine's salted int64 bucket (pairwise salt XORs > 2^16)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, num_planes, dim))
+    rows = []
+    for t in range(num_tables):
+        for p in range(num_planes):
+            lst = ", ".join(repr(float(v)) for v in planes[t, p])
+            rows.append(f"({t}, {p}, [{lst}]::DOUBLE[])")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH planes(t, p, w) AS (VALUES
+    {values}),
+ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         CAST(list_transform(CAST(embedding AS REAL[]),
+                             x -> CAST(x * 2.0 AS REAL)) AS DOUBLE[])
+  FROM embeddings WHERE vec_id % 10 = 0),
+dots AS (
+  SELECT ev.vec_id, pl.t, pl.p, list_dot_product(ev.e, pl.w) AS d
+  FROM ev CROSS JOIN planes pl),
+bv AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS b
+  FROM dots GROUP BY 1, 2),
+buckets AS (SELECT t, b, min(vec_id) AS base, count(*) AS sz FROM bv GROUP BY 1, 2),
+norms AS (
+  SELECT vec_id, greatest(sqrt(list_dot_product(e, e)), 1e-300) AS nrm FROM ev),
+cos AS (
+  SELECT m.vec_id, m.t, m.b, k.sz,
+         list_dot_product(e1.e, e2.e) / (n1.nrm * n2.nrm) AS cs
+  FROM bv m
+  JOIN buckets k ON m.t = k.t AND m.b = k.b
+  JOIN ev e1 ON e1.vec_id = m.vec_id
+  JOIN ev e2 ON e2.vec_id = k.base
+  JOIN norms n1 ON n1.vec_id = m.vec_id
+  JOIN norms n2 ON n2.vec_id = k.base),
+close AS (SELECT vec_id, t, b, sz, (cs >= {cosine_threshold!r}) AS cl FROM cos),
+bstat AS (
+  SELECT t, b, sum(CASE WHEN cl THEN 1 ELSE 0 END) AS nclose FROM close GROUP BY 1, 2)
+SELECT DISTINCT c.vec_id, TRUE AS is_embedding_dup
+FROM close c JOIN bstat s ON c.t = s.t AND c.b = s.b
+WHERE c.cl AND s.nclose >= 2 AND c.sz >= 2
+"""
+
+
+ORACLE_SQL["embedding_near_dup"] = _make_embedding_near_dup_sql()
 
 
 # drift_windows SQL oracle: simplified KS = max |CDF_window - CDF_global|
