@@ -24,6 +24,20 @@ ROUND_FLOAT = 6   # per-row derived floats
 TS_BASE = 1_600_000_000 * 1_000_000  # transcripts derivation epoch (us)
 
 
+def _planes_values_sql(seed: int, num_tables: int, num_planes: int, dim: int) -> str:
+    """(t, p, w DOUBLE[]) VALUES rows for a seeded hyperplane family —
+    repr() round-trips float64 exactly, so the SQL planes == the
+    engine's np.default_rng(seed).standard_normal draws bit-for-bit."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, num_planes, dim))
+    rows = []
+    for t in range(num_tables):
+        for p in range(num_planes):
+            lst = ", ".join(repr(float(v)) for v in planes[t, p])
+            rows.append(f"({t}, {p}, [{lst}]::DOUBLE[])")
+    return ",\n    ".join(rows)
+
+
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
@@ -1446,7 +1460,12 @@ ORACLE_SQL["sessionization"] = SQL_SESSIONIZATION
 
 def q_object_detection_ap(sf_dir: str):
     """Per-class AP over synthetic boxes derived deterministically from
-    embeddings (rows-only: greedy IoU matching)."""
+    embeddings. Offsets straddle the IoU=0.5 threshold (a 20x20 box
+    diagonally shifted by ~3.67 sits at IoU 0.5), so each class mixes
+    TP and FP and the AP curve is non-trivial. SQL-checked: with one
+    gt + one pred per image the greedy match reduces to an IoU test,
+    and the right-envelope interpolated AP is a reverse-running-max
+    window function."""
     from cleanlab_ray.stages.object_detection import per_class_ap
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
@@ -1459,7 +1478,7 @@ def q_object_detection_ap(sf_dir: str):
         x = 50 + 10 * mat[:, 0]
         y = 50 + 10 * mat[:, 1]
         gt = np.stack([x, y, x + 20, y + 20], axis=1)  # (n, 4)
-        off = np.where(label == 0, 2.0, 18.0)[:, None]  # class 0 tight, class 1 far
+        off = (np.where(label == 0, 3.67, 3.55) + 2.0 * mat[:, 3])[:, None]
         pred = gt + off
         scores = 1.0 / (1.0 + np.exp(-mat[:, 2]))
 
@@ -1485,10 +1504,70 @@ def q_object_detection_ap(sf_dir: str):
         )
 
     images = ds.map_batches(derive, batch_format="pyarrow")
-    return per_class_ap(images, num_classes=2)
+    out = per_class_ap(images, num_classes=2)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ap = batch["ap"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "class_idx": batch["class_idx"],
+                "ap_e6": pa.array(np.round(ap * 1e6).astype(np.int64)),
+                "n_gt": pc.cast(batch["n_gt"], pa.int64()),
+                "n_pred": pc.cast(batch["n_pred"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 QUERIES["object_detection_ap"] = q_object_detection_ap
+
+# One gt + one pred per image (same class) makes the greedy matcher an
+# IoU>=0.5 test; AP = sum over TP rows of (r_i - r_{i-1}) * envelope
+# precision, with the envelope a reverse running max — all windows.
+SQL_OBJECT_DETECTION_AP = """
+WITH ev AS (
+  SELECT vec_id, label % 2 AS c,
+         50 + 10 * embedding[1]::DOUBLE AS x,
+         50 + 10 * embedding[2]::DOUBLE AS y,
+         1.0 / (1.0 + exp(-(embedding[3]::DOUBLE))) AS s,
+         (CASE label % 2 WHEN 0 THEN 3.67 ELSE 3.55 END) + 2.0 * embedding[4]::DOUBLE AS o
+  FROM embeddings),
+geom AS (
+  SELECT vec_id, c, s,
+         greatest(least(x + 20, x + o + 20) - greatest(x, x + o), 0)
+           * greatest(least(y + 20, y + o + 20) - greatest(y, y + o), 0) AS inter,
+         ((x + 20) - x) * ((y + 20) - y) AS area_g,
+         ((x + o + 20) - (x + o)) * ((y + o + 20) - (y + o)) AS area_p
+  FROM ev),
+scored AS (
+  SELECT vec_id, c, s,
+         (inter / greatest(area_g + area_p - inter, 1e-6) >= 0.5) AS tp
+  FROM geom),
+ranked AS (
+  SELECT c, tp,
+         row_number() OVER (PARTITION BY c ORDER BY s DESC) AS rn,
+         count(*) OVER (PARTITION BY c) AS n
+  FROM scored),
+curve AS (
+  SELECT c, tp, rn, n,
+         sum(CASE WHEN tp THEN 1 ELSE 0 END)
+           OVER (PARTITION BY c ORDER BY rn) AS tpc
+  FROM ranked),
+env AS (
+  SELECT c, tp, rn, n, tpc,
+         max(tpc::DOUBLE / rn) OVER (PARTITION BY c ORDER BY rn
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS envp
+  FROM curve)
+SELECT c AS class_idx,
+       CAST(round(coalesce(sum(CASE WHEN tp
+              THEN (tpc::DOUBLE / n - (tpc - 1)::DOUBLE / n) * envp END), 0)
+            * 1000000) AS BIGINT) AS ap_e6,
+       max(n) AS n_gt, max(n) AS n_pred
+FROM env GROUP BY c
+"""
+
+ORACLE_SQL["object_detection_ap"] = SQL_OBJECT_DETECTION_AP
 
 
 # ---------------------------------------------------------------------------
@@ -1541,8 +1620,9 @@ ORACLE_SQL["knn_outlier_scores"] = SQL_KNN_OUTLIER
 
 def q_knn_outlier_bucketed(sf_dir: str):
     """LSH-bucketed approximate kNN outlier scores (the 100-TB path:
-    per-bucket exact kNN, best avg distance across hash tables; rows-only
-    check — approximation has no SQL equivalent)."""
+    per-bucket exact kNN, best avg distance across hash tables).
+    SQL-checked: the seeded planes are deterministic, so the oracle
+    inlines them and reproduces the bucketed approximation exactly."""
     from cleanlab_ray.stages.knn_outlier import knn_outlier_scores_bucketed
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1561,6 +1641,54 @@ def q_knn_outlier_bucketed(sf_dir: str):
 
 
 QUERIES["knn_outlier_bucketed"] = q_knn_outlier_bucketed
+
+
+def _make_knn_outlier_bucketed_sql(
+    k: int = 10, num_planes: int = 8, num_tables: int = 4, seed: int = 23,
+    dim: int = 64,
+) -> str:
+    """knn_outlier_scores_bucketed oracle: per-(table, bucket) exact kNN
+    with kk = min(k, bucket_size - 1), best (min) avg distance across
+    tables; isolated rows (no bucket with >= 2 rows) stay at +inf ->
+    score 0. Median scaling as in the exact oracle."""
+    return f"""
+WITH planes(t, p, w) AS (VALUES
+    {_planes_values_sql(seed, num_tables, num_planes, dim)}),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+dots AS (
+  SELECT ev.vec_id, pl.t, pl.p, list_dot_product(ev.e, pl.w) AS d
+  FROM ev CROSS JOIN planes pl),
+bv AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS b
+  FROM dots GROUP BY 1, 2),
+bsz AS (SELECT t, b, count(*) AS sz FROM bv GROUP BY 1, 2),
+pairs AS (
+  SELECT m1.vec_id AS i, m1.t, m1.b, m2.vec_id AS j,
+         list_distance(e1.e, e2.e) AS dist
+  FROM bv m1 JOIN bv m2 ON m1.t = m2.t AND m1.b = m2.b AND m1.vec_id <> m2.vec_id
+  JOIN ev e1 ON e1.vec_id = m1.vec_id
+  JOIN ev e2 ON e2.vec_id = m2.vec_id),
+rk AS (
+  SELECT p.i, p.t, p.dist, s.sz,
+         row_number() OVER (PARTITION BY p.i, p.t, p.b ORDER BY p.dist, p.j) AS rn
+  FROM pairs p JOIN bsz s ON p.t = s.t AND p.b = s.b),
+avg_t AS (
+  SELECT i, t, sum(dist) / least({k}, max(sz) - 1) AS a
+  FROM rk WHERE rn <= least({k}, sz - 1) GROUP BY i, t),
+best AS (SELECT i AS vec_id, min(a) AS avg_dist FROM avg_t GROUP BY i),
+alln AS (
+  SELECT ev.vec_id, coalesce(b.avg_dist, 'infinity'::DOUBLE) AS avg_dist
+  FROM ev LEFT JOIN best b ON ev.vec_id = b.vec_id),
+sf AS (SELECT greatest(median(avg_dist), 0.000001) AS s FROM alln)
+SELECT a.vec_id,
+       CAST(round(CASE WHEN a.avg_dist < 1.4901161193847656e-07 THEN 1.0
+                       ELSE exp(-a.avg_dist / s.s) END * 1000000) AS BIGINT) AS ood_knn_e6
+FROM alln a CROSS JOIN sf s
+"""
+
+
+ORACLE_SQL["knn_outlier_bucketed"] = _make_knn_outlier_bucketed_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -2227,17 +2355,9 @@ def _make_embedding_near_dup_sql(
     DOUBLE[] lists (exact repr round-trip) and the whole LSH + exact-
     cosine-verify cascade becomes plain SQL. Grouping by (table, bucket
     bits) == the engine's salted int64 bucket (pairwise salt XORs > 2^16)."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((num_tables, num_planes, dim))
-    rows = []
-    for t in range(num_tables):
-        for p in range(num_planes):
-            lst = ", ".join(repr(float(v)) for v in planes[t, p])
-            rows.append(f"({t}, {p}, [{lst}]::DOUBLE[])")
-    values = ",\n    ".join(rows)
     return f"""
 WITH planes(t, p, w) AS (VALUES
-    {values}),
+    {_planes_values_sql(seed, num_tables, num_planes, dim)}),
 ev AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
   UNION ALL
