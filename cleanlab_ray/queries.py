@@ -1691,6 +1691,104 @@ FROM alln a CROSS JOIN sf s
 ORACLE_SQL["knn_outlier_bucketed"] = _make_knn_outlier_bucketed_sql()
 
 
+def _make_near_dup_sql(
+    num_perm: int = 64, bands: int = 8, shingle_k: int = 5,
+    jaccard_threshold: float = 0.8, seed: int = 7,
+) -> str:
+    """near_dup_documents oracle — the whole MinHash-LSH cascade in SQL:
+
+    1. k=5 shingle hashes: HUGEINT FNV fold mod 2^64 (ASCII corpus);
+    2. minhash per permutation: min over shingles of
+       ((h*a mod 2^64) + b mod 2^64) mod (2^61-1) — numpy's uint64
+       wraparound is replicated explicitly;
+    3. band hash: list_reduce FNV fold over each band's 8 signature
+       values (first element seeds the fold == fold from 0);
+    4. bucket key: two's-complement int64 of the band hash XOR the
+       band salt — byte-identical to the engine's single int64 bucket;
+    5. candidates: bucket runs >= 2, rep = min doc_id; exact Jaccard of
+       distinct shingle sets vs rep; rep itself flagged iff any member
+       passes. The permutation coefficients are seeded and inlined."""
+    from cleanlab_ray.stages.dedup import _minhash_params
+
+    a, b = _minhash_params(num_perm, seed)
+    perm_rows = ",\n    ".join(
+        f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)" for j in range(num_perm)
+    )
+    rpb = num_perm // bands
+    salts = [int((i + 1) * 0x9E3779B97F4A7C15 % (1 << 64)) for i in range(bands)]
+    salt_rows = ", ".join(
+        f"({i}, {s - (1 << 64) if s >= (1 << 63) else s}::BIGINT)"
+        for i, s in enumerate(salts)
+    )
+    P = 1099511628211
+    M64 = 1 << 64
+    MERS = (1 << 61) - 1
+    return f"""
+WITH perms(j, pa, pb) AS (VALUES
+    {perm_rows}),
+salts(band, salt) AS (VALUES {salt_rows}),
+pad AS (
+  SELECT doc_id,
+         CASE WHEN length(t) < {shingle_k}
+              THEN t || repeat(' ', {shingle_k} - length(t)) ELSE t END AS tx
+  FROM (SELECT doc_id, lower(text) AS t FROM documents)),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ((((((((ord(substr(tx, g.p, 1))::HUGEINT * {P}
+            + ord(substr(tx, g.p + 1, 1))) % {M64})
+            * {P} + ord(substr(tx, g.p + 2, 1))) % {M64})
+            * {P} + ord(substr(tx, g.p + 3, 1))) % {M64})
+            * {P} + ord(substr(tx, g.p + 4, 1))) % {M64}) AS h
+  FROM pad CROSS JOIN generate_series(1, 4096) AS g(p)
+  WHERE g.p <= length(tx) - {shingle_k - 1}),
+mh AS (
+  SELECT s.doc_id, p.j,
+         min((((s.h * p.pa) % {M64} + p.pb) % {M64}) % {MERS}) AS sig
+  FROM sh s CROSS JOIN perms p
+  GROUP BY 1, 2),
+bandsigs AS (
+  SELECT doc_id, j // {rpb} AS band, list(sig ORDER BY j) AS sigs
+  FROM mh GROUP BY 1, 2),
+bandhash AS (
+  SELECT doc_id, band,
+         list_reduce(sigs, (acc, x) -> (acc * {P} + x) % {M64}) AS bh
+  FROM bandsigs),
+buckets AS (
+  SELECT b.doc_id, b.band,
+         xor(CASE WHEN b.bh >= {1 << 63} THEN CAST(b.bh - {M64} AS BIGINT)
+                  ELSE CAST(b.bh AS BIGINT) END, s.salt) AS bucket
+  FROM bandhash b JOIN salts s ON b.band = s.band),
+cands AS (
+  SELECT DISTINCT m.doc_id, k.rep
+  FROM buckets m
+  JOIN (SELECT bucket, min(doc_id) AS rep, count(*) AS sz
+        FROM buckets GROUP BY bucket) k
+    ON m.bucket = k.bucket
+  WHERE k.sz >= 2),
+setsz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+jac AS (
+  SELECT c.doc_id, c.rep,
+         count(sr.h) AS inter, s1.n AS nd, s2.n AS nr
+  FROM cands c
+  JOIN sh sd ON sd.doc_id = c.doc_id
+  LEFT JOIN sh sr ON sr.doc_id = c.rep AND sr.h = sd.h
+  JOIN setsz s1 ON s1.doc_id = c.doc_id
+  JOIN setsz s2 ON s2.doc_id = c.rep
+  GROUP BY 1, 2, s1.n, s2.n),
+passing AS (
+  SELECT doc_id, rep,
+         (inter::DOUBLE / greatest(nd + nr - inter, 1)) >= {jaccard_threshold!r} AS ok
+  FROM jac WHERE doc_id <> rep)
+SELECT DISTINCT doc_id, TRUE AS is_near_dup FROM (
+  SELECT doc_id FROM passing WHERE ok
+  UNION ALL
+  SELECT rep AS doc_id FROM passing WHERE ok)
+"""
+
+
+ORACLE_SQL["near_dup_documents"] = _make_near_dup_sql()
+
+
 # ---------------------------------------------------------------------------
 # Document fingerprints now have a SQL oracle (documented polynomial hash)
 # ---------------------------------------------------------------------------
