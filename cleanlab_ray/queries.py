@@ -966,15 +966,69 @@ ORDER BY self_confidence_e6, vec_id LIMIT 20
 
 
 def q_ann_lsh(sf_dir: str):
-    """LSH-bucketed ANN (rows-only; approximate by construction)."""
-    import ray
-
+    """LSH-bucketed approximate ANN. SQL-checked: the seeded planes are
+    inlined in the oracle, the multiprobe candidate set is the hamming<=1
+    ball around each query bucket, and the final top-k is an exact
+    cosine rank over candidates."""
     from cleanlab_ray.stages.ann import ann_lsh
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     first = emb.take(4)
     queries = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in first])
-    return ann_lsh(emb, queries, k=5)
+    out = ann_lsh(emb, queries, k=5)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cs = batch["cos_sim"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "vec_id": batch["vec_id"],
+                "cos_sim_e6": pa.array(np.round(cs * 1e6).astype(np.int64)),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _make_ann_lsh_sql(k: int = 5, num_planes: int = 8, seed: int = 13,
+                      dim: int = 64) -> str:
+    """ann_lsh oracle: bucket = sign bits of plane dots (computed on the
+    raw vectors — positive norms preserve sign); candidates = rows whose
+    bucket is within 1 bit flip of any query bucket (queries are the
+    vec_id<4 rows); exact cosine rank (cos DESC, vec_id ASC) top-k."""
+    return f"""
+WITH planes(t, p, w) AS (VALUES
+    {_planes_values_sql(seed, 1, num_planes, dim)}),
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bv AS (
+  SELECT ev.vec_id,
+         sum(CASE WHEN list_dot_product(ev.e, pl.w) > 0
+                  THEN (1::BIGINT << pl.p) ELSE 0 END) AS b
+  FROM ev CROSS JOIN planes pl GROUP BY 1),
+flips(f) AS (VALUES (-1), (0), (1), (2), (3), (4), (5), (6), (7)),
+cand AS (
+  SELECT DISTINCT xor(q.b, CASE WHEN f.f < 0 THEN 0 ELSE (1::BIGINT << f.f) END) AS b
+  FROM bv q CROSS JOIN flips f WHERE q.vec_id < 4),
+kept AS (SELECT m.vec_id FROM bv m JOIN cand c ON m.b = c.b),
+scored AS (
+  SELECT q.vec_id AS query_id, m.vec_id,
+         list_dot_product(eq.e, em.e)
+           / (sqrt(list_dot_product(eq.e, eq.e))
+              * sqrt(list_dot_product(em.e, em.e))) AS cs
+  FROM (SELECT vec_id FROM ev WHERE vec_id < 4) q
+  CROSS JOIN kept m
+  JOIN ev eq ON eq.vec_id = q.vec_id
+  JOIN ev em ON em.vec_id = m.vec_id),
+rk AS (
+  SELECT query_id, vec_id, cs,
+         row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rn
+  FROM scored)
+SELECT query_id, vec_id, CAST(round(cs * 1000000) AS BIGINT) AS cos_sim_e6
+FROM rk WHERE rn <= {k}
+"""
+
+
+ORACLE_SQL["ann_lsh"] = _make_ann_lsh_sql()
 
 
 QUERIES.update(
@@ -1353,15 +1407,88 @@ ORACLE_SQL["multilabel_joint"] = _ml_joint_sql()
 
 
 def q_data_valuation(sf_dir: str):
-    """Partition-local KNN-Shapley data valuation over embeddings
-    (rows-only: approximate by LSH partitioning)."""
+    """Partition-local KNN-Shapley data valuation over embeddings.
+    SQL-checked: the Jia et al. eq.-18/19 recursion telescopes to
+    s_alpha[idx[j]] = match_j - match_{kk-1} (j < kk-1), so the whole
+    in-bucket computation is a rank + group-sum; the seeded LSH planes
+    are inlined in the oracle."""
     from cleanlab_ray.stages.valuation import data_valuation
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
-    return data_valuation(ds)
+    out = data_valuation(ds)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = batch["data_valuation_score"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                # floor(x+0.5): scores are rational with denominator
+                # n*kk, so x*1e6 lands EXACTLY on .5 — DuckDB rounds
+                # half-away while np.round is half-even
+                "valuation_e6": pa.array(np.floor(s * 1e6 + 0.5).astype(np.int64)),
+                "is_data_valuation_issue": batch["is_data_valuation_issue"],
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 QUERIES["data_valuation"] = q_data_valuation
+
+
+def _make_data_valuation_sql(k: int = 10, num_planes: int = 4, seed: int = 17,
+                             dim: int = 64) -> str:
+    """data_valuation oracle. Per LSH bucket of size n (kk=min(k,n-1)):
+    each row alpha ranks its in-bucket neighbors by cosine (desc,
+    vec_id asc); the neighbor at rank j < kk-1 receives
+    (match_j - match_{kk-1}), rank kk-1 receives 0; value_i =
+    sum(received) / (n*kk); score = 0.5*(1+value), issue = score < 0.5.
+    Singleton-bucket rows score exactly 0.5."""
+    return f"""
+WITH planes(t, p, w) AS (VALUES
+    {_planes_values_sql(seed, 1, num_planes, dim)}),
+ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+bv AS (
+  SELECT ev.vec_id, ev.label, ev.e,
+         sum(CASE WHEN list_dot_product(ev.e, pl.w) > 0
+                  THEN (1::BIGINT << pl.p) ELSE 0 END) AS b
+  FROM ev CROSS JOIN planes pl GROUP BY 1, 2, 3),
+bsz AS (SELECT b, count(*) AS n FROM bv GROUP BY 1),
+pairs AS (
+  SELECT a.b, a.vec_id AS alpha, m.vec_id AS nb,
+         (m.label = a.label) AS match,
+         list_dot_product(a.e, m.e)
+           / (greatest(sqrt(list_dot_product(a.e, a.e)), 1e-300)
+              * greatest(sqrt(list_dot_product(m.e, m.e)), 1e-300)) AS cs
+  FROM bv a JOIN bv m ON a.b = m.b AND a.vec_id <> m.vec_id),
+rk AS (
+  SELECT p.*, s.n, least({k}, s.n - 1) AS kk,
+         row_number() OVER (PARTITION BY p.b, p.alpha
+                            ORDER BY p.cs DESC, p.nb ASC) AS rn
+  FROM pairs p JOIN bsz s ON p.b = s.b),
+lastm AS (
+  SELECT b, alpha, max(CASE WHEN rn = kk THEN match::INT END) AS lm
+  FROM rk GROUP BY 1, 2),
+contrib AS (
+  SELECT r.nb, (r.match::INT - l.lm) AS c, r.n, r.kk
+  FROM rk r JOIN lastm l ON r.b = l.b AND r.alpha = l.alpha
+  WHERE r.rn <= r.kk - 1),
+value AS (
+  SELECT bv.vec_id,
+         CASE WHEN s.n <= 1 THEN 0.5
+              ELSE 0.5 * (1.0 + coalesce(c.tot, 0)::DOUBLE
+                                / (s.n * least({k}, s.n - 1))) END AS score
+  FROM bv JOIN bsz s ON bv.b = s.b
+  LEFT JOIN (SELECT nb, sum(c) AS tot FROM contrib GROUP BY nb) c
+    ON c.nb = bv.vec_id)
+SELECT vec_id,
+       CAST(round(score * 1000000) AS BIGINT) AS valuation_e6,
+       (score < 0.5) AS is_data_valuation_issue
+FROM value
+"""
+
+
+ORACLE_SQL["data_valuation"] = _make_data_valuation_sql()
 
 
 def q_crowdlab_consensus(sf_dir: str):
