@@ -92,14 +92,16 @@ def run_bench() -> dict:
         gc.collect()
         return dt, n
 
-    sec_a, n_turns = one_flagship()
-    sec_b, _ = one_flagship()
-    sec_c, _ = one_flagship()
-    flagship_sec = min(sec_a, sec_b, sec_c)
+    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "3"))
+    runs = []
+    n_turns = 0
+    for _ in range(n_runs):
+        dt, n_turns = one_flagship()
+        runs.append(dt)
+    flagship_sec = min(runs)
     timings["flagship_quality_filter"] = flagship_sec
-    timings["flagship_run1"] = sec_a
-    timings["flagship_run2"] = sec_b
-    timings["flagship_run3"] = sec_c
+    for i, dt in enumerate(runs):
+        timings[f"flagship_run{i + 1}"] = dt
 
     bench_queries = [] if os.environ.get("GRAFT_FLAGSHIP_ONLY") else [
         "pricing_summary",

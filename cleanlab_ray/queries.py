@@ -1491,6 +1491,60 @@ FROM value
 ORACLE_SQL["data_valuation"] = _make_data_valuation_sql()
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table (the native
+    clustering operator behind cluster-free underperforming-group
+    detection; stages/kmeans.py). Deterministic: centroids seed from
+    the k smallest vec_ids, 3 streaming-aggregate iterations.
+    SQL-checked via programmatically chained Lloyd-iteration CTEs."""
+    from cleanlab_ray.stages.kmeans import kmeans_cluster
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    assigned, _cents = kmeans_cluster(ds, k=8, n_iter=3)
+    return assigned.select_columns(["vec_id", "cluster"])
+
+
+QUERIES["kmeans_clusters"] = q_kmeans_clusters
+
+
+def _make_kmeans_sql(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
+    """kmeans_clusters oracle: Lloyd iterations as chained CTEs.
+    Assignment = min euclidean distance (ties to lowest cluster id);
+    update = per-(cluster, dim) AVG rebuilt into a DOUBLE[] (empty
+    clusters keep the previous centroid); the final output assigns
+    with the post-iteration centroids, exactly like the engine."""
+    parts = [f"""
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+dims AS (SELECT j FROM generate_series(1, {dim}) AS g(j)),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+  FROM ev ORDER BY vec_id LIMIT {k})"""]
+    for i in range(n_iter + 1):
+        parts.append(f"""
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT ev.vec_id, c.cid,
+           row_number() OVER (PARTITION BY ev.vec_id
+                              ORDER BY list_distance(ev.e, c.ce), c.cid) AS rn
+    FROM ev CROSS JOIN c{i} c) WHERE rn = 1)""")
+        if i < n_iter:
+            parts.append(f"""
+u{i} AS (
+  SELECT a.cid, d.j, avg(ev.e[d.j]) AS v
+  FROM a{i} a JOIN ev ON ev.vec_id = a.vec_id CROSS JOIN dims d
+  GROUP BY 1, 2),
+c{i + 1} AS (
+  SELECT p.cid, coalesce(n.ce, p.ce) AS ce
+  FROM c{i} p
+  LEFT JOIN (SELECT cid, list(v ORDER BY j) AS ce FROM u{i} GROUP BY cid) n
+    ON n.cid = p.cid)""")
+    body = ",".join(parts)
+    return f"WITH {body}\nSELECT vec_id, cid AS cluster FROM a{n_iter}\n"
+
+
+ORACLE_SQL["kmeans_clusters"] = _make_kmeans_sql()
+
+
 def q_crowdlab_consensus(sf_dir: str):
     """CROWDLAB model-weighted consensus (rows-only: iterative weighted
     posterior) over derived annotations + derived model priors."""

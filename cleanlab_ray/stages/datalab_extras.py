@@ -83,3 +83,27 @@ def underperforming_groups(
         )
 
     return per_cluster.map_batches(finalize, batch_format="pyarrow")
+
+
+def underperforming_groups_auto(
+    ds,
+    embedding_col: str = "embedding",
+    key_col: str = "vec_id",
+    score_col: str = "score_self_confidence",
+    k: int = 8,
+    n_iter: int = 3,
+    threshold: float = 0.1,
+):
+    """Cluster-free underperforming-group detection: when the caller has
+    no cluster ids, cluster the embeddings with the native distributed
+    k-means (stages/kmeans.py — the role the reference delegates to a
+    driver-side sklearn KMeans in underperforming_group.py
+    `perform_clustering`) and score the resulting groups."""
+    from cleanlab_ray.stages.kmeans import kmeans_cluster
+
+    assigned, _cents = kmeans_cluster(
+        ds, embedding_col=embedding_col, key_col=key_col, k=k, n_iter=n_iter
+    )
+    return underperforming_groups(
+        assigned, cluster_col="cluster", score_col=score_col, threshold=threshold
+    )
