@@ -68,6 +68,15 @@ def run_bench() -> dict:
     # over the transcript corpus, fully consumed. Two timed runs, best
     # reported — the first run in a fresh session pays actor-pool spin-up
     # and page-cache effects that aren't steady-state throughput.
+    # Block count sized to the DATA (~8 MB parquet per block), not the
+    # cluster: post-scoring passes (aggregates, boundary pull, mask) pay
+    # a per-block fixed cost that anti-scales when blocks = f(cpus), and
+    # at 100 TB block count must be a property of the input anyway.
+    corpus_bytes = sum(
+        os.path.getsize(os.path.join(corpus_dir, f)) for f in os.listdir(corpus_dir)
+    )
+    data_blocks = max(16, min(4096, corpus_bytes // (8 << 20)))
+
     def one_flagship():
         import gc
 
@@ -80,9 +89,7 @@ def run_bench() -> dict:
             # (keys, scrubbed_text, scores, keep) — role/tool/ts never
             # leave the scorer, so decoding them is wasted bandwidth
             columns=["conv_id", "turn_idx", "text", "label"],
-            # finer tasks at high parallelism: stragglers under the VM's
-            # bursty scheduling cost a whole wave with only 4 waves
-            override_num_blocks=max(16, num_cpus * 8),
+            override_num_blocks=data_blocks,
         )
         n = final.count()
         dt = time.perf_counter() - t0

@@ -39,9 +39,23 @@ def _planes_values_sql(seed: int, num_tables: int, num_planes: int, dim: int) ->
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    """Column-pruned parquet read with DATA-sized blocks (~4 MB each,
+    floor 4 for compute parallelism on tiny tables). Ray's default
+    splits small files into cpus x 2 slivers, and every downstream
+    per-block fixed cost (task dispatch, sort samples, aggregate
+    partials) then scales with the CLUSTER instead of the data — at
+    sf0.1 that made the dedup cascade 4-5x slower than the same
+    pipeline on right-sized blocks."""
+    import os
+
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        blocks = max(8, min(512, os.path.getsize(path) // (4 << 20)))
+    except OSError:
+        blocks = None
+    return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
 
 
 def _scorer_concurrency():
@@ -1880,8 +1894,8 @@ def _make_near_dup_sql(
 
     1. k=5 shingle hashes: HUGEINT FNV fold mod 2^64 (ASCII corpus);
     2. minhash per permutation: min over shingles of
-       ((h*a mod 2^64) + b mod 2^64) mod (2^61-1) — numpy's uint64
-       wraparound is replicated explicitly;
+       ((h*a mod 2^64) + b mod 2^64) >> 3 (multiply-shift family) —
+       numpy's uint64 wraparound is replicated explicitly;
     3. band hash: list_reduce FNV fold over each band's 8 signature
        values (first element seeds the fold == fold from 0);
     4. bucket key: two's-complement int64 of the band hash XOR the
@@ -1903,7 +1917,6 @@ def _make_near_dup_sql(
     )
     P = 1099511628211
     M64 = 1 << 64
-    MERS = (1 << 61) - 1
     return f"""
 WITH perms(j, pa, pb) AS (VALUES
     {perm_rows}),
@@ -1924,7 +1937,7 @@ sh AS (
   WHERE g.p <= length(tx) - {shingle_k - 1}),
 mh AS (
   SELECT s.doc_id, p.j,
-         min((((s.h * p.pa) % {M64} + p.pb) % {M64}) % {MERS}) AS sig
+         min((((s.h * p.pa) % {M64} + p.pb) % {M64}) // 8) AS sig
   FROM sh s CROSS JOIN perms p
   GROUP BY 1, 2),
 bandsigs AS (
