@@ -75,7 +75,9 @@ def run_bench() -> dict:
     corpus_bytes = sum(
         os.path.getsize(os.path.join(corpus_dir, f)) for f in os.listdir(corpus_dir)
     )
-    data_blocks = max(16, min(4096, corpus_bytes // (8 << 20)))
+    # floor at num_cpus so a small corpus still fills one task wave;
+    # above that, block count is a property of the data alone
+    data_blocks = max(num_cpus, min(4096, corpus_bytes // (8 << 20)))
 
     def one_flagship():
         import gc

@@ -1559,6 +1559,57 @@ c{i + 1} AS (
 ORACLE_SQL["kmeans_clusters"] = _make_kmeans_sql()
 
 
+def q_asof_join(sf_dir: str):
+    """Distributed as-of join (stages/asof.py): each click event joined
+    to the user's most recent prior (ts ties included) view event.
+    SQL-checked against DuckDB's native ASOF JOIN."""
+    from cleanlab_ray.stages.asof import asof_join
+
+    ev = _read(
+        sf_dir, "events", ["event_id", "ts", "user_id", "event_type", "value"]
+    )
+
+    def side(t):
+        def kernel(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["event_type"], t)).drop_columns(
+                ["event_type"]
+            )
+
+        return kernel
+
+    left = ev.map_batches(side("click"), batch_format="pyarrow")
+    right = ev.map_batches(side("view"), batch_format="pyarrow")
+    out = asof_join(left, right, on="user_id", ts_col="ts", right_cols=("value",))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": batch["event_id"],
+                "user_id": batch["user_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+                "value": batch["value"],
+                "value_asof": batch["value_asof"],
+                "ts_asof_us": pc.cast(batch["ts_asof"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["asof_join"] = q_asof_join
+
+SQL_ASOF_JOIN = """
+SELECT l.event_id, l.user_id,
+       epoch_us(l.ts) AS ts_us, l.value,
+       r.value AS value_asof, epoch_us(r.ts) AS ts_asof_us
+FROM (SELECT * FROM events WHERE event_type = 'click') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+ORACLE_SQL["asof_join"] = SQL_ASOF_JOIN
+
+
 def q_crowdlab_consensus(sf_dir: str):
     """CROWDLAB model-weighted consensus (rows-only: iterative weighted
     posterior) over derived annotations + derived model priors."""

@@ -1,0 +1,91 @@
+"""asof_join vs pandas merge_asof (backward, ties included)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from cleanlab_ray.stages.asof import asof_join
+
+
+def _mk(n_left=300, n_right=200, n_keys=12, seed=5):
+    rng = np.random.default_rng(seed)
+
+    def frame(n, tag):
+        return pd.DataFrame(
+            {
+                "event_id": np.arange(n) + (0 if tag == "l" else 10_000),
+                "ts": pd.to_datetime(
+                    rng.integers(0, 1_000_000, size=n), unit="s"
+                ),
+                "user_id": rng.integers(0, n_keys, size=n),
+                "value": rng.normal(size=n).round(3),
+            }
+        )
+
+    return frame(n_left, "l"), frame(n_right, "r")
+
+
+def test_asof_matches_pandas(ray_session):
+    lp, rp = _mk()
+    out = (
+        asof_join(
+            rd.from_pandas(lp).repartition(5),
+            rd.from_pandas(rp).repartition(4),
+            on="user_id",
+            ts_col="ts",
+            right_cols=("value",),
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(
+            lp.sort_values("ts"),
+            rp[["ts", "user_id", "value"]].sort_values("ts"),
+            on="ts",
+            by="user_id",
+            direction="backward",
+            suffixes=("", "_asof"),
+        )
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(want) == len(lp)
+    va, vb = out["value_asof"].to_numpy(), want["value_asof"].to_numpy()
+    assert ((np.isnan(va) & np.isnan(vb)) | (va == vb)).all()
+
+
+def test_asof_tie_is_visible(ray_session):
+    # right row at exactly the left ts must be matched (>= semantics)
+    lp = pd.DataFrame(
+        {"event_id": [0], "ts": pd.to_datetime([100], unit="s"), "user_id": [1],
+         "value": [1.0]}
+    )
+    rp = pd.DataFrame(
+        {"event_id": [10], "ts": pd.to_datetime([100], unit="s"), "user_id": [1],
+         "value": [42.0]}
+    )
+    out = asof_join(
+        rd.from_pandas(lp), rd.from_pandas(rp), on="user_id", ts_col="ts",
+        right_cols=("value",),
+    ).to_pandas()
+    assert out["value_asof"].iloc[0] == 42.0
+
+
+def test_asof_no_cross_key_leak(ray_session):
+    # a right row for another user must never fill a left row
+    lp = pd.DataFrame(
+        {"event_id": [0], "ts": pd.to_datetime([200], unit="s"), "user_id": [1],
+         "value": [1.0]}
+    )
+    rp = pd.DataFrame(
+        {"event_id": [10], "ts": pd.to_datetime([100], unit="s"), "user_id": [2],
+         "value": [42.0]}
+    )
+    out = asof_join(
+        rd.from_pandas(lp), rd.from_pandas(rp), on="user_id", ts_col="ts",
+        right_cols=("value",),
+    ).to_pandas()
+    assert np.isnan(out["value_asof"].iloc[0])
