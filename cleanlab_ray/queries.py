@@ -1610,6 +1610,64 @@ ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
 ORACLE_SQL["asof_join"] = SQL_ASOF_JOIN
 
 
+def q_range_join(sf_dir: str):
+    """Distributed range join (stages/interval.py): click events matched
+    to same-user error-value windows [value, value+5]. SQL-checked
+    against a plain inequality join."""
+    from cleanlab_ray.stages.interval import interval_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+
+    def points(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["event_type"], "click"))
+        return pa.table(
+            {"user_id": b["user_id"], "p_id": b["event_id"], "value": b["value"]}
+        )
+
+    def windows(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["event_type"], "error"))
+        v = b["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "user_id": b["user_id"],
+                "iv_id": b["event_id"],
+                "lo": pa.array(v),
+                "hi": pa.array(v + 5.0),
+            }
+        )
+
+    out = interval_join(
+        ev.map_batches(points, batch_format="pyarrow"),
+        ev.map_batches(windows, batch_format="pyarrow"),
+        key_col="user_id", val_col="value", lo_col="lo", hi_col="hi",
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "p_id": batch["p_id"],
+                "iv_id": batch["iv_id_iv"],
+                "value_c": pc.cast(pc.round(pc.multiply(batch["value"], 100)), pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["range_join"] = q_range_join
+
+SQL_RANGE_JOIN = """
+SELECT p.user_id, p.event_id AS p_id, i.event_id AS iv_id,
+       CAST(round(p.value * 100) AS BIGINT) AS value_c
+FROM (SELECT * FROM events WHERE event_type = 'click') p
+JOIN (SELECT * FROM events WHERE event_type = 'error') i
+  ON p.user_id = i.user_id AND p.value >= i.value AND p.value <= i.value + 5.0
+"""
+
+ORACLE_SQL["range_join"] = SQL_RANGE_JOIN
+
+
 def q_crowdlab_consensus(sf_dir: str):
     """CROWDLAB model-weighted consensus (rows-only: iterative weighted
     posterior) over derived annotations + derived model priors."""

@@ -1,0 +1,122 @@
+"""Distributed range (interval) join — an operator Ray Data lacks.
+
+Inner-joins point rows to interval rows of the same key where
+``lo <= point value <= hi`` (both ends inclusive). A point may match
+many intervals; every match is emitted.
+
+Ray shape: tag + union both sides, ONE exchange on the key
+(``sort(key)`` — the map_groups co-location guarantee), then a
+whole-block vectorized kernel: per key run the point values are sorted
+once, each interval finds its matching points with two searchsorted
+probes, and the (point, interval) pair indices are materialized with
+the counts/cumsum arange trick — no per-pair Python.
+
+Partitioning assumption (documented): one key's points + intervals fit
+in a block (same as any groupby on the key). Un-keyed range joins
+(key_col=None semantics) would need value-range binning with interval
+replication across spanned bins; this operator requires a key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def interval_join(
+    points,
+    intervals,
+    key_col: str,
+    val_col: str,
+    lo_col: str,
+    hi_col: str,
+    suffix: str = "_iv",
+):
+    """Returns point columns + every interval column suffixed, one output
+    row per (point, containing interval) pair."""
+    _ps, _is = points.schema(), intervals.schema()
+    p_schema = dict(zip(_ps.names, _ps.types))
+    i_schema = dict(zip(_is.names, _is.types))
+    p_cols = [c for c in p_schema if c != key_col]
+    i_cols = [c for c in i_schema if c != key_col]
+
+    def tag_points(batch: pa.Table) -> pa.Table:
+        cols = {key_col: batch[key_col],
+                "_side": pa.array(np.zeros(batch.num_rows, dtype=np.int8))}
+        for c in p_cols:
+            cols[c] = batch[c]
+        for c in i_cols:
+            cols[f"{c}{suffix}"] = pa.nulls(batch.num_rows, i_schema[c])
+        return pa.table(cols)
+
+    def tag_intervals(batch: pa.Table) -> pa.Table:
+        cols = {key_col: batch[key_col],
+                "_side": pa.array(np.ones(batch.num_rows, dtype=np.int8))}
+        for c in p_cols:
+            cols[c] = pa.nulls(batch.num_rows, p_schema[c])
+        for c in i_cols:
+            cols[f"{c}{suffix}"] = batch[c]
+        return pa.table(cols)
+
+    unioned = points.map_batches(tag_points, batch_format="pyarrow").union(
+        intervals.map_batches(tag_intervals, batch_format="pyarrow")
+    )
+
+    out_names = [key_col, *p_cols, *[f"{c}{suffix}" for c in i_cols]]
+
+    def join_block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.select(out_names)
+        key = batch[key_col].to_numpy(zero_copy_only=False)
+        side = batch["_side"].to_numpy(zero_copy_only=False)
+        val = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lo = batch[f"{lo_col}{suffix}"].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = batch[f"{hi_col}{suffix}"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # sort (key, side, val-or-lo): point values sorted within each run
+        sortv = np.where(side == 0, val, lo)
+        order = np.lexsort((sortv, side, key))
+        k_s, s_s = key[order], side[order]
+        # per key run: points first (side 0, val ascending), then intervals
+        run_change = np.ones(n, dtype=bool)
+        run_change[1:] = k_s[1:] != k_s[:-1]
+        run_id = np.cumsum(run_change) - 1
+        is_pt = s_s == 0
+        pt_rows = order[is_pt]                       # global rows, val-sorted per run
+        pv = np.where(side == 0, val, 0.0)[pt_rows]  # sorted point values (concat runs)
+        iv_rows_local = np.flatnonzero(~is_pt)
+        if len(iv_rows_local) == 0 or len(pt_rows) == 0:
+            return batch.select(out_names).slice(0, 0)
+        iv_run = run_id[iv_rows_local]
+        iv_abs = order[iv_rows_local]
+        lo_v, hi_v = lo[iv_abs], hi[iv_abs]
+        # pv is only sorted WITHIN runs — shift each run into its own
+        # disjoint numeric band so one global searchsorted probes all
+        # runs at once
+        run_of_pt = run_id[is_pt]
+        finite = np.concatenate([pv, lo_v, hi_v])
+        vmin, vmax = np.min(finite), np.max(finite)
+        span = (vmax - vmin) * 1.0000001 + 1.0
+        pv_sh = (pv - vmin) + run_of_pt * span
+        s_idx = np.searchsorted(pv_sh, (lo_v - vmin) + iv_run * span, side="left")
+        e_idx = np.searchsorted(pv_sh, (hi_v - vmin) + iv_run * span, side="right")
+        counts = np.maximum(e_idx - s_idx, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return batch.select(out_names).slice(0, 0)
+        iv_rep = np.repeat(np.arange(len(iv_abs)), counts)
+        offs = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        pt_idx = s_idx[iv_rep] + offs
+        pt_abs = pt_rows[pt_idx]
+        out = batch.select([key_col, *p_cols]).take(pa.array(pt_abs))
+        iv_take = pa.array(iv_abs[iv_rep])
+        for c in i_cols:
+            out = out.append_column(f"{c}{suffix}", batch[f"{c}{suffix}"].take(iv_take))
+        return out
+
+    return unioned.sort(key_col).map_batches(
+        join_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )
