@@ -565,12 +565,27 @@ def q_flagship_quality_filter(sf_dir: str):
 
 
 def q_langid_documents(sf_dir: str):
-    """Language-ID over documents (rows-only: trigram model not in SQL)."""
+    """Language-ID over documents. SQL-checked end-to-end: the trigram
+    model trains from ~1.5KB of fixed wordlist text, so the oracle
+    inlines the corpora and replicates training (dense remapped-byte
+    trigram counts, Laplace 0.5) AND scoring (length-normalized
+    log-lik, temperature-0.1 softmax) in SQL."""
     from cleanlab_ray.stages.langid import LangIdScorer
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(LangIdScorer, batch_format="pyarrow", concurrency=_scorer_concurrency())
-    return out.select_columns(["doc_id", "lang", "lang_prob_en"])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        p = batch["lang_prob_en"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "prob_en_e6": pa.array(np.round(p * 1e6).astype(np.int64)),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 def q_near_dup_documents(sf_dir: str):
@@ -1666,6 +1681,98 @@ JOIN (SELECT * FROM events WHERE event_type = 'error') i
 """
 
 ORACLE_SQL["range_join"] = SQL_RANGE_JOIN
+
+
+_REMAP_CASE = """CASE WHEN {c} = 32 THEN 0
+         WHEN {c} BETWEEN 97 AND 122 THEN {c} - 96
+         WHEN {c} BETWEEN 48 AND 57 THEN 28
+         WHEN {c} IN (46, 44, 59, 58, 33, 63, 39, 34) THEN 29
+         WHEN {c} >= 192 THEN 31 WHEN {c} >= 128 THEN 30
+         ELSE 27 END"""
+
+
+def _make_langid_sql() -> str:
+    """langid_documents oracle: the whole classifier in SQL. Training
+    corpora (the fixed public wordlists, ~1.5KB) are inlined; the dense
+    remapped-byte trigram model (stages/_chargram.py: 32^3 codes,
+    Laplace alpha=0.5, logprob = ln((cnt+0.5)/(total+0.5*32768))) is
+    rebuilt per language; documents are scored by summed logprob /
+    trigram count, temperature-0.1 softmax, argmax with first-max
+    ties."""
+    from cleanlab_ray.fixtures.transcripts import DE_WORDS, EN_WORDS, FR_WORDS, GIB_WORDS
+
+    corpora = {
+        "en": " ".join(EN_WORDS), "de": " ".join(DE_WORDS),
+        "fr": " ".join(FR_WORDS), "und": " ".join(GIB_WORDS),
+    }
+    corpus_rows = ",\n    ".join(
+        "('{}', '{}')".format(lang, s.replace("'", "''")) for lang, s in corpora.items()
+    )
+    r0 = _REMAP_CASE.format(c="ord(substr(s, g.p, 1))")
+    r1 = _REMAP_CASE.format(c="ord(substr(s, g.p + 1, 1))")
+    r2 = _REMAP_CASE.format(c="ord(substr(s, g.p + 2, 1))")
+    d0 = _REMAP_CASE.format(c="ord(substr(tx, g.p, 1))")
+    d1 = _REMAP_CASE.format(c="ord(substr(tx, g.p + 1, 1))")
+    d2 = _REMAP_CASE.format(c="ord(substr(tx, g.p + 2, 1))")
+    return f"""
+WITH corpora(lang, s) AS (VALUES
+    {corpus_rows}),
+ctri AS (
+  SELECT lang, ({r0}) * 1024 + ({r1}) * 32 + ({r2}) AS code
+  FROM corpora CROSS JOIN generate_series(1, 4096) AS g(p)
+  WHERE g.p <= length(s) - 2),
+ccnt AS (SELECT lang, code, count(*) AS n FROM ctri GROUP BY 1, 2),
+ctot AS (SELECT lang, count(*) AS total FROM ctri GROUP BY 1),
+model AS (
+  SELECT c.code, t.lang,
+         ln((coalesce(n.n, 0) + 0.5) / (t.total + 16384.0)) AS lp
+  FROM generate_series(0, 32767) AS c(code)
+  CROSS JOIN ctot t
+  LEFT JOIN ccnt n ON n.lang = t.lang AND n.code = c.code),
+docs AS (SELECT doc_id, lower(text) AS tx FROM documents),
+dtri AS (
+  SELECT doc_id, ({d0}) * 1024 + ({d1}) * 32 + ({d2}) AS code
+  FROM docs CROSS JOIN generate_series(1, 4096) AS g(p)
+  WHERE g.p <= length(tx) - 2),
+dsc AS (
+  SELECT d.doc_id, m.lang, sum(m.lp) AS ll, count(*) AS cnt
+  FROM dtri d JOIN model m ON m.code = d.code
+  GROUP BY 1, 2),
+wide AS (
+  SELECT doc_id,
+         max(CASE lang WHEN 'en' THEN ll END) / greatest(max(cnt), 1) AS z_en,
+         max(CASE lang WHEN 'de' THEN ll END) / greatest(max(cnt), 1) AS z_de,
+         max(CASE lang WHEN 'fr' THEN ll END) / greatest(max(cnt), 1) AS z_fr,
+         max(CASE lang WHEN 'und' THEN ll END) / greatest(max(cnt), 1) AS z_und
+  FROM dsc GROUP BY doc_id),
+soft AS (
+  SELECT doc_id,
+         exp((z_en - zm) / 0.1) AS e_en, exp((z_de - zm) / 0.1) AS e_de,
+         exp((z_fr - zm) / 0.1) AS e_fr, exp((z_und - zm) / 0.1) AS e_und
+  FROM (SELECT w.*, greatest(z_en, z_de, z_fr, z_und) AS zm FROM wide w)),
+probs AS (
+  SELECT doc_id,
+         e_en / (e_en + e_de + e_fr + e_und) AS p_en,
+         e_de / (e_en + e_de + e_fr + e_und) AS p_de,
+         e_fr / (e_en + e_de + e_fr + e_und) AS p_fr,
+         e_und / (e_en + e_de + e_fr + e_und) AS p_und
+  FROM soft),
+labeled AS (
+  SELECT doc_id,
+         CASE WHEN p_en >= p_de AND p_en >= p_fr AND p_en >= p_und THEN 'en'
+              WHEN p_de >= p_fr AND p_de >= p_und THEN 'de'
+              WHEN p_fr >= p_und THEN 'fr' ELSE 'und' END AS lang,
+         CAST(round(CAST(CAST(p_en AS REAL) AS DOUBLE) * 1000000) AS BIGINT)
+           AS prob_en_e6
+  FROM probs)
+SELECT d.doc_id,
+       coalesce(l.lang, 'en') AS lang,
+       coalesce(l.prob_en_e6, 250000) AS prob_en_e6
+FROM docs d LEFT JOIN labeled l ON l.doc_id = d.doc_id
+"""
+
+
+ORACLE_SQL["langid_documents"] = _make_langid_sql()
 
 
 def q_crowdlab_consensus(sf_dir: str):
