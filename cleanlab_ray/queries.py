@@ -1700,27 +1700,31 @@ def _make_langid_sql() -> str:
     trigram count, temperature-0.1 softmax, argmax with first-max
     ties."""
     from cleanlab_ray.fixtures.transcripts import DE_WORDS, EN_WORDS, FR_WORDS, GIB_WORDS
+    from cleanlab_ray.stages._chargram import _BYTE_REMAP
 
+    # The training corpora go in as REMAPPED UTF-8 BYTE classes (the
+    # engine trains on bytes; SQL ord() sees codepoints, and the DE/FR
+    # lists contain non-ASCII letters that are 2 UTF-8 bytes each).
     corpora = {
         "en": " ".join(EN_WORDS), "de": " ".join(DE_WORDS),
         "fr": " ".join(FR_WORDS), "und": " ".join(GIB_WORDS),
     }
     corpus_rows = ",\n    ".join(
-        "('{}', '{}')".format(lang, s.replace("'", "''")) for lang, s in corpora.items()
+        "('{}', [{}]::INT[])".format(
+            lang, ", ".join(str(int(_BYTE_REMAP[b])) for b in s.encode("utf-8"))
+        )
+        for lang, s in corpora.items()
     )
-    r0 = _REMAP_CASE.format(c="ord(substr(s, g.p, 1))")
-    r1 = _REMAP_CASE.format(c="ord(substr(s, g.p + 1, 1))")
-    r2 = _REMAP_CASE.format(c="ord(substr(s, g.p + 2, 1))")
     d0 = _REMAP_CASE.format(c="ord(substr(tx, g.p, 1))")
     d1 = _REMAP_CASE.format(c="ord(substr(tx, g.p + 1, 1))")
     d2 = _REMAP_CASE.format(c="ord(substr(tx, g.p + 2, 1))")
     return f"""
-WITH corpora(lang, s) AS (VALUES
+WITH corpora(lang, cls) AS (VALUES
     {corpus_rows}),
 ctri AS (
-  SELECT lang, ({r0}) * 1024 + ({r1}) * 32 + ({r2}) AS code
+  SELECT lang, cls[g.p] * 1024 + cls[g.p + 1] * 32 + cls[g.p + 2] AS code
   FROM corpora CROSS JOIN generate_series(1, 4096) AS g(p)
-  WHERE g.p <= length(s) - 2),
+  WHERE g.p <= len(cls) - 2),
 ccnt AS (SELECT lang, code, count(*) AS n FROM ctri GROUP BY 1, 2),
 ctot AS (SELECT lang, count(*) AS total FROM ctri GROUP BY 1),
 model AS (
