@@ -548,8 +548,10 @@ def load_transcripts(sf_dir: str):
 
 
 def q_flagship_quality_filter(sf_dir: str):
-    """Full flagship pipeline over the derived transcripts (rows-only
-    check: langid/ppl models are not SQL-expressible)."""
+    """Full flagship pipeline over the derived transcripts — SQL-checked
+    END-TO-END: the oracle (see _make_flagship_sql) replicates scoring
+    (heuristics + scrub + trigram langid/ppl + fused softmax), the
+    confident-joint cascade, and the global bottom-T decision."""
     from cleanlab_ray.stages.decision import resolve_bottom_t
     from cleanlab_ray.pipelines.quality_filter import _decision_columns, score_turns
     from cleanlab_ray.state.confident import compute_confident_stats
@@ -558,10 +560,22 @@ def q_flagship_quality_filter(sf_dir: str):
     stats = compute_confident_stats(scored, 3)
     bin_lo, boundary = resolve_bottom_t(scored, stats.num_issues)
     final = scored.map_batches(_decision_columns(bin_lo, boundary), batch_format="pyarrow")
-    return final.select_columns(
-        ["conv_id", "turn_idx", "lang", "scrubbed_text", "score_self_confidence",
-         "is_label_issue", "keep"]
-    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        sc = batch["score_self_confidence"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
+                "lang": batch["lang"],
+                "scrubbed_text": pc.cast(batch["scrubbed_text"], pa.string()),
+                "score_e6": pa.array(np.round(sc * 1e6).astype(np.int64)),
+                "is_label_issue": batch["is_label_issue"],
+                "keep": batch["keep"],
+            }
+        )
+
+    return final.map_batches(finalize, batch_format="pyarrow")
 
 
 def q_langid_documents(sf_dir: str):
@@ -1691,20 +1705,16 @@ _REMAP_CASE = """CASE WHEN {c} = 32 THEN 0
          ELSE 27 END"""
 
 
-def _make_langid_sql() -> str:
-    """langid_documents oracle: the whole classifier in SQL. Training
-    corpora (the fixed public wordlists, ~1.5KB) are inlined; the dense
-    remapped-byte trigram model (stages/_chargram.py: 32^3 codes,
-    Laplace alpha=0.5, logprob = ln((cnt+0.5)/(total+0.5*32768))) is
-    rebuilt per language; documents are scored by summed logprob /
-    trigram count, temperature-0.1 softmax, argmax with first-max
-    ties."""
+def _langid_model_ctes() -> str:
+    """Shared CTE block rebuilding the dense trigram language model in
+    SQL (stages/_chargram.py: 32^3 remapped-byte codes, Laplace 0.5,
+    logprob = ln((cnt+0.5)/(total+0.5*32768))). Training corpora are
+    inlined as REMAPPED UTF-8 BYTE classes (the engine trains on bytes;
+    SQL ord() sees codepoints, and the DE/FR wordlists contain
+    non-ASCII letters that are 2 UTF-8 bytes each)."""
     from cleanlab_ray.fixtures.transcripts import DE_WORDS, EN_WORDS, FR_WORDS, GIB_WORDS
     from cleanlab_ray.stages._chargram import _BYTE_REMAP
 
-    # The training corpora go in as REMAPPED UTF-8 BYTE classes (the
-    # engine trains on bytes; SQL ord() sees codepoints, and the DE/FR
-    # lists contain non-ASCII letters that are 2 UTF-8 bytes each).
     corpora = {
         "en": " ".join(EN_WORDS), "de": " ".join(DE_WORDS),
         "fr": " ".join(FR_WORDS), "und": " ".join(GIB_WORDS),
@@ -1715,11 +1725,7 @@ def _make_langid_sql() -> str:
         )
         for lang, s in corpora.items()
     )
-    d0 = _REMAP_CASE.format(c="ord(substr(tx, g.p, 1))")
-    d1 = _REMAP_CASE.format(c="ord(substr(tx, g.p + 1, 1))")
-    d2 = _REMAP_CASE.format(c="ord(substr(tx, g.p + 2, 1))")
-    return f"""
-WITH corpora(lang, cls) AS (VALUES
+    return f"""corpora(lang, cls) AS (VALUES
     {corpus_rows}),
 ctri AS (
   SELECT lang, cls[g.p] * 1024 + cls[g.p + 1] * 32 + cls[g.p + 2] AS code
@@ -1732,7 +1738,18 @@ model AS (
          ln((coalesce(n.n, 0) + 0.5) / (t.total + 16384.0)) AS lp
   FROM generate_series(0, 32767) AS c(code)
   CROSS JOIN ctot t
-  LEFT JOIN ccnt n ON n.lang = t.lang AND n.code = c.code),
+  LEFT JOIN ccnt n ON n.lang = t.lang AND n.code = c.code)"""
+
+
+def _make_langid_sql() -> str:
+    """langid_documents oracle: the whole classifier in SQL — shared
+    model CTEs + per-document scoring (length-normalized log-lik,
+    temperature-0.1 softmax, first-max argmax)."""
+    d0 = _REMAP_CASE.format(c="ord(substr(tx, g.p, 1))")
+    d1 = _REMAP_CASE.format(c="ord(substr(tx, g.p + 1, 1))")
+    d2 = _REMAP_CASE.format(c="ord(substr(tx, g.p + 2, 1))")
+    return f"""
+WITH {_langid_model_ctes()},
 docs AS (SELECT doc_id, lower(text) AS tx FROM documents),
 dtri AS (
   SELECT doc_id, ({d0}) * 1024 + ({d1}) * 32 + ({d2}) AS code
@@ -1777,6 +1794,145 @@ FROM docs d LEFT JOIN labeled l ON l.doc_id = d.doc_id
 
 
 ORACLE_SQL["langid_documents"] = _make_langid_sql()
+
+
+def _make_flagship_sql() -> str:
+    """THE FLAGSHIP, end-to-end in SQL: derived transcripts -> heuristic
+    features -> PII/toxicity scrub (same ordered RE2 patterns) ->
+    trigram language model (shared CTEs) -> perplexity -> fused softmax
+    pred_probs -> self-confidence -> confident thresholds/joint ->
+    num_issues -> global bottom-T rank with (conv_id, turn_idx)
+    tie-break -> keep/drop. Every float32 storage boundary in the
+    engine (rep/sym/lang_prob/ppl/pred_probs/score) is replicated with
+    CAST(x AS REAL) so values match to the e6 digit."""
+    from cleanlab_ray.stages.scrub import SCRUB_PATTERNS
+
+    scrub_expr = "text"
+    for _name, pat, rep in SCRUB_PATTERNS:
+        p = pat.replace("'", "''")
+        scrub_expr = f"regexp_replace({scrub_expr}, '{p}', '{rep}', 'g')"
+    d0 = _REMAP_CASE.format(c="ord(substr(sub, g.p, 1))")
+    d1 = _REMAP_CASE.format(c="ord(substr(sub, g.p + 1, 1))")
+    d2 = _REMAP_CASE.format(c="ord(substr(sub, g.p + 2, 1))")
+    f32 = "CAST(CAST({x} AS REAL) AS DOUBLE)"
+    return f"""
+WITH {_langid_model_ctes()},
+tr AS (
+  SELECT doc_id,
+         'c' || lpad(CAST(doc_id // 8 AS VARCHAR), 8, '0') AS conv_id,
+         CAST(doc_id % 8 AS INT) AS turn_idx,
+         CASE WHEN (doc_id * 2654435761) % 97 < 10
+              THEN (CASE WHEN n_chars < 80 THEN 1
+                         WHEN lang = 'en' THEN 0 ELSE 2 END + 1) % 3
+              ELSE CASE WHEN n_chars < 80 THEN 1
+                        WHEN lang = 'en' THEN 0 ELSE 2 END END AS label,
+         text
+  FROM documents),
+heur AS (
+  SELECT doc_id, conv_id, turn_idx, label, text,
+         {scrub_expr} AS scrubbed_text,
+         substr(lower(text), 1, 160) AS sub,
+         length(text) AS nc,
+         len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS nt,
+         len(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> ''))) AS ndist,
+         length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]+', '', 'g')) AS ns
+  FROM tr),
+feats AS (
+  SELECT *,
+         {f32.format(x="CASE WHEN nt > 0 THEN 1.0 - ndist::DOUBLE / greatest(nt, 1) ELSE 0.0 END")} AS rep,
+         {f32.format(x="CASE WHEN nc > 0 THEN ns::DOUBLE / greatest(nc, 1) ELSE 0.0 END")} AS sym,
+         CASE WHEN nt < 3 THEN 1.0 ELSE 0.0 END AS short,
+         CASE WHEN nt = 0 THEN 1.0 ELSE 0.0 END AS empty
+  FROM heur),
+dtri AS (
+  SELECT f.doc_id, ({d0}) * 1024 + ({d1}) * 32 + ({d2}) AS code
+  FROM feats f CROSS JOIN generate_series(1, 160) AS g(p)
+  WHERE g.p <= length(sub) - 2),
+dsc AS (
+  SELECT d.doc_id, m.lang, sum(m.lp) AS ll, count(*) AS cnt
+  FROM dtri d JOIN model m ON m.code = d.code
+  GROUP BY 1, 2),
+wide AS (
+  SELECT doc_id, greatest(max(cnt), 1) AS cnt,
+         max(CASE lang WHEN 'en' THEN ll END) AS ll_en,
+         max(CASE lang WHEN 'en' THEN ll END) / greatest(max(cnt), 1) AS z_en,
+         max(CASE lang WHEN 'de' THEN ll END) / greatest(max(cnt), 1) AS z_de,
+         max(CASE lang WHEN 'fr' THEN ll END) / greatest(max(cnt), 1) AS z_fr,
+         max(CASE lang WHEN 'und' THEN ll END) / greatest(max(cnt), 1) AS z_und
+  FROM dsc GROUP BY doc_id),
+lang_probs AS (
+  SELECT doc_id,
+         {f32.format(x="e_en / (e_en + e_de + e_fr + e_und)")} AS p_en,
+         CASE WHEN pe >= pd AND pe >= pf AND pe >= pu THEN 'en'
+              WHEN pd >= pf AND pd >= pu THEN 'de'
+              WHEN pf >= pu THEN 'fr' ELSE 'und' END AS lang,
+         {f32.format(x="exp(-ll_en / cnt)")} AS ppl
+  FROM (SELECT w.*,
+               exp((z_en - zm) / 0.1) AS e_en, exp((z_de - zm) / 0.1) AS e_de,
+               exp((z_fr - zm) / 0.1) AS e_fr, exp((z_und - zm) / 0.1) AS e_und,
+               exp((z_en - zm) / 0.1) / (exp((z_en - zm) / 0.1) + exp((z_de - zm) / 0.1) + exp((z_fr - zm) / 0.1) + exp((z_und - zm) / 0.1)) AS pe,
+               exp((z_de - zm) / 0.1) / (exp((z_en - zm) / 0.1) + exp((z_de - zm) / 0.1) + exp((z_fr - zm) / 0.1) + exp((z_und - zm) / 0.1)) AS pd,
+               exp((z_fr - zm) / 0.1) / (exp((z_en - zm) / 0.1) + exp((z_de - zm) / 0.1) + exp((z_fr - zm) / 0.1) + exp((z_und - zm) / 0.1)) AS pf,
+               exp((z_und - zm) / 0.1) / (exp((z_en - zm) / 0.1) + exp((z_de - zm) / 0.1) + exp((z_fr - zm) / 0.1) + exp((z_und - zm) / 0.1)) AS pu
+        FROM (SELECT w0.*, greatest(z_en, z_de, z_fr, z_und) AS zm FROM wide w0) w)),
+fused AS (
+  SELECT f.doc_id, f.conv_id, f.turn_idx, f.label, f.scrubbed_text, l.lang,
+         {f32.format(x="e0 / (e0 + e1 + e2)")} AS p0,
+         {f32.format(x="e1 / (e0 + e1 + e2)")} AS p1,
+         {f32.format(x="e2 / (e0 + e1 + e2)")} AS p2
+  FROM feats f
+  JOIN (SELECT z.*,
+               exp(z0 - greatest(z0, z1, z2)) AS e0,
+               exp(z1 - greatest(z0, z1, z2)) AS e1,
+               exp(z2 - greatest(z0, z1, z2)) AS e2
+        FROM (SELECT fx.doc_id,
+                     2.2 * lpx.p_en - 1.8 * least(greatest(1.3 * fx.rep + 2.2 * fx.sym + 0.9 * fx.short + 1.5 * fx.empty, 0.0), 2.0)
+                       - 0.8 * least(greatest((ln(greatest(lpx.ppl, 1.0)) - 8.5) / 2.5, 0.0), 1.0) + 0.4 AS z0,
+                     3.2 * least(greatest(1.3 * fx.rep + 2.2 * fx.sym + 0.9 * fx.short + 1.5 * fx.empty, 0.0), 2.0) - 1.2 AS z1,
+                     3.0 * (1.0 - lpx.p_en) + 0.8 * least(greatest((ln(greatest(lpx.ppl, 1.0)) - 8.5) / 2.5, 0.0), 1.0) - 1.4 AS z2
+              FROM feats fx JOIN lang_probs lpx ON lpx.doc_id = fx.doc_id) z) lp2
+    ON lp2.doc_id = f.doc_id
+  JOIN lang_probs l ON l.doc_id = f.doc_id),
+scored AS (
+  SELECT *, CASE label WHEN 0 THEN p0 WHEN 1 THEN p1 ELSE p2 END AS sc
+  FROM fused),
+thresholds AS (
+  SELECT label, avg(sc) AS t FROM scored GROUP BY label),
+conf AS (
+  SELECT s.*,
+         (s.p0 >= coalesce((SELECT t FROM thresholds WHERE label = 0), 1e30) - 1e-6) AS c0,
+         (s.p1 >= coalesce((SELECT t FROM thresholds WHERE label = 1), 1e30) - 1e-6) AS c1,
+         (s.p2 >= coalesce((SELECT t FROM thresholds WHERE label = 2), 1e30) - 1e-6) AS c2
+  FROM scored s),
+veto AS (
+  SELECT doc_id,
+         (CASE WHEN q0 >= q1 AND q0 >= q2 THEN 0 WHEN q1 >= q2 THEN 1 ELSE 2 END)
+           = label AS vetoed
+  FROM (SELECT doc_id, label,
+               p0 + CASE WHEN label = 0 THEN 1e-6 ELSE 0 END AS q0,
+               p1 + CASE WHEN label = 1 THEN 1e-6 ELSE 0 END AS q1,
+               p2 + CASE WHEN label = 2 THEN 1e-6 ELSE 0 END AS q2
+        FROM scored)),
+issues AS (
+  SELECT count(*) AS t FROM conf c JOIN veto v ON c.doc_id = v.doc_id
+  WHERE (c.c0 OR c.c1 OR c.c2)
+    AND (CASE WHEN (c.c0::INT + c.c1::INT + c.c2::INT) > 1 THEN
+              CASE WHEN c.p0 >= c.p1 AND c.p0 >= c.p2 THEN 0 WHEN c.p1 >= c.p2 THEN 1 ELSE 2 END
+         ELSE CASE WHEN c.c0 THEN 0 WHEN c.c1 THEN 1 ELSE 2 END END) != c.label
+    AND NOT v.vetoed),
+ranked AS (
+  SELECT s.*, row_number() OVER (ORDER BY s.sc ASC, s.conv_id ASC, s.turn_idx ASC) AS rn
+  FROM scored s)
+SELECT r.conv_id, r.turn_idx, r.lang, r.scrubbed_text,
+       CAST(round(r.sc * 1000000) AS BIGINT) AS score_e6,
+       (r.rn <= (SELECT t FROM issues)) AS is_label_issue,
+       NOT (r.rn <= (SELECT t FROM issues)) AS keep
+FROM ranked r
+"""
+
+
+ORACLE_SQL["flagship_quality_filter"] = _make_flagship_sql()
 
 
 def q_crowdlab_consensus(sf_dir: str):
