@@ -612,14 +612,32 @@ def q_near_dup_documents(sf_dir: str):
 
 def q_conv_pooling(sf_dir: str):
     """Per-conversation min/mean/softmin pooling of flagship scores over
-    the derived transcripts (rows-only: scores are model-derived)."""
+    the derived transcripts. SQL-checked: the scorer is replicated by
+    the shared flagship scored-CTE chain; pooling is a plain GROUP BY."""
     from cleanlab_ray.pipelines.quality_filter import score_turns
     from cleanlab_ray.stages.pooling import pool_conversations_fast
 
     scored = score_turns(load_transcripts(sf_dir), concurrency=None, batch_size=4096)
-    return pool_conversations_fast(
+    out = pool_conversations_fast(
         scored.select_columns(["conv_id", "score_self_confidence"])
     )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        def e6(name):
+            v = batch[name].to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.array(np.round(v * 1e6).astype(np.int64))
+
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "n_turns": batch["n_turns"],
+                "min_e6": e6("min_score"),
+                "mean_e6": e6("mean_score"),
+                "softmin_e6": e6("softmin_score"),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
 
 
 QUERIES = {
@@ -1796,15 +1814,16 @@ FROM docs d LEFT JOIN labeled l ON l.doc_id = d.doc_id
 ORACLE_SQL["langid_documents"] = _make_langid_sql()
 
 
-def _make_flagship_sql() -> str:
-    """THE FLAGSHIP, end-to-end in SQL: derived transcripts -> heuristic
-    features -> PII/toxicity scrub (same ordered RE2 patterns) ->
-    trigram language model (shared CTEs) -> perplexity -> fused softmax
-    pred_probs -> self-confidence -> confident thresholds/joint ->
-    num_issues -> global bottom-T rank with (conv_id, turn_idx)
-    tie-break -> keep/drop. Every float32 storage boundary in the
-    engine (rep/sym/lang_prob/ppl/pred_probs/score) is replicated with
-    CAST(x AS REAL) so values match to the e6 digit."""
+def _flagship_scored_ctes() -> str:
+    """CTE chain replicating the flagship scorer in SQL, ending in a
+    ``scored`` CTE (doc_id, conv_id, turn_idx, label, scrubbed_text,
+    lang, p0/p1/p2, sc): derived transcripts -> heuristic features ->
+    ordered RE2 scrub -> trigram language model (shared CTEs) ->
+    perplexity -> fused softmax pred_probs -> self-confidence. Every
+    float32 storage boundary in the engine (rep/sym/lang_prob/ppl/
+    pred_probs/score) is replicated with CAST(x AS REAL) so values
+    match to the e6 digit. Shared by the flagship and conv_pooling
+    oracles."""
     from cleanlab_ray.stages.scrub import SCRUB_PATTERNS
 
     scrub_expr = "text"
@@ -1896,7 +1915,14 @@ fused AS (
   JOIN lang_probs l ON l.doc_id = f.doc_id),
 scored AS (
   SELECT *, CASE label WHEN 0 THEN p0 WHEN 1 THEN p1 ELSE p2 END AS sc
-  FROM fused),
+  FROM fused)"""
+
+
+def _make_flagship_sql() -> str:
+    """THE FLAGSHIP end-to-end: the shared scored CTEs + confident
+    thresholds/joint, num_issues, and the global bottom-T decision with
+    the (conv_id, turn_idx) tie-break."""
+    return f"""{_flagship_scored_ctes()},
 thresholds AS (
   SELECT label, avg(sc) AS t FROM scored GROUP BY label),
 conf AS (
@@ -1933,6 +1959,28 @@ FROM ranked r
 
 
 ORACLE_SQL["flagship_quality_filter"] = _make_flagship_sql()
+
+
+def _make_conv_pooling_sql() -> str:
+    """conv_pooling oracle: the shared flagship scored CTEs + per-conv
+    min / mean (sum/max(n,1)) / softmin (exp((1-s)/0.05) weights)."""
+    return f"""{_flagship_scored_ctes()},
+pooled AS (
+  SELECT conv_id, count(*) AS n_turns,
+         min(sc) AS mn,
+         sum(sc) / greatest(count(*), 1) AS mean_s,
+         sum(sc * exp((1.0 - sc) / 0.05))
+           / greatest(sum(exp((1.0 - sc) / 0.05)), 1e-300) AS soft
+  FROM scored GROUP BY conv_id)
+SELECT conv_id, n_turns,
+       CAST(round(mn * 1000000) AS BIGINT) AS min_e6,
+       CAST(round(mean_s * 1000000) AS BIGINT) AS mean_e6,
+       CAST(round(soft * 1000000) AS BIGINT) AS softmin_e6
+FROM pooled
+"""
+
+
+ORACLE_SQL["conv_pooling"] = _make_conv_pooling_sql()
 
 
 def q_crowdlab_consensus(sf_dir: str):
