@@ -792,13 +792,17 @@ def q_prune_by_class(sf_dir: str):
 
 
 def q_audit_summary(sf_dir: str):
-    """Datalab-style audit over the derived pair (rows-only)."""
+    """Datalab-style audit over the derived pair. SQL-checked: each of
+    the four stages (label CL mask, entropy outlier, class imbalance,
+    null fraction) is a closed-form aggregate the oracle reproduces."""
     from cleanlab_ray.pipelines.audit import find_issues
 
     result = find_issues(
         _derived_pair_ds(sf_dir), ["label", "outlier", "class_imbalance", "null"]
     )
-    return result.summary_frame()
+    df = result.summary_frame()
+    df["score_e6"] = np.round(df["score"].astype(np.float64) * 1e6).astype(np.int64)
+    return df[["issue_type", "num_issues", "score_e6"]]
 
 
 def q_health_summary(sf_dir: str):
@@ -3228,6 +3232,75 @@ FROM flagged f JOIN veto v ON f.vec_id = v.vec_id
 
 ORACLE_SQL["prune_by_class"] = SQL_PRUNE_BY_CLASS
 ORACLE_SQL["prune_by_noise_rate"] = SQL_PRUNE_BY_NOISE_RATE
+
+
+# audit_summary oracle: all four stages are closed-form over the derived
+# pair — label (confident mask minus veto; mean float32 self-conf),
+# outlier (1 - normalized entropy of threshold-adjusted probs, cutoff
+# 0.1 compared in float64, mean of the float32 scores), class imbalance
+# (rarest prior < 0.1/K), null (pair table has no nulls).
+SQL_AUDIT_SUMMARY = f"""
+WITH {_SQL_CJ_PREFIX},
+tpiv AS (
+  SELECT max(CASE label3 WHEN 0 THEN t END) AS t0,
+         max(CASE label3 WHEN 1 THEN t END) AS t1,
+         max(CASE label3 WHEN 2 THEN t END) AS t2
+  FROM thresholds),
+grow AS (
+  SELECT c.vec_id, c.label3,
+         CASE WHEN (c0::INT + c1::INT + c2::INT) > 1 THEN
+              CASE WHEN p0 >= p1 AND p0 >= p2 THEN 0 WHEN p1 >= p2 THEN 1 ELSE 2 END
+         ELSE CASE WHEN c0 THEN 0 WHEN c1 THEN 1 ELSE 2 END END AS g,
+         (c0 OR c1 OR c2) AS any_conf
+  FROM conf c),
+label_stats AS (
+  SELECT count(CASE WHEN g.any_conf AND g.g != g.label3 AND NOT v.vetoed
+                    THEN 1 END) AS n,
+         avg(CAST(CAST(CASE d.label3 WHEN 0 THEN d.p0 WHEN 1 THEN d.p1 ELSE d.p2 END
+                       AS REAL) AS DOUBLE)) AS s
+  FROM derived d
+  JOIN grow g ON g.vec_id = d.vec_id
+  JOIN veto v ON v.vec_id = d.vec_id),
+ood AS (
+  SELECT d.vec_id, d.label3,
+         1.0 + ((CASE WHEN q0 > 0 THEN q0 * ln(q0) ELSE 0 END
+               + CASE WHEN q1 > 0 THEN q1 * ln(q1) ELSE 0 END
+               + CASE WHEN q2 > 0 THEN q2 * ln(q2) ELSE 0 END) / ln(3)) AS sc
+  FROM (
+    SELECT d.vec_id, d.label3,
+           a0 / (a0 + a1 + a2) AS q0, a1 / (a0 + a1 + a2) AS q1,
+           a2 / (a0 + a1 + a2) AS q2
+    FROM (SELECT d.*,
+                 d.p0 - t.t0 + greatest(t.t0, t.t1, t.t2) AS a0,
+                 d.p1 - t.t1 + greatest(t.t0, t.t1, t.t2) AS a1,
+                 d.p2 - t.t2 + greatest(t.t0, t.t1, t.t2) AS a2
+          FROM derived d CROSS JOIN tpiv t) d) d),
+outlier_stats AS (
+  SELECT count(CASE WHEN sc < 0.1 THEN 1 END) AS n,
+         avg(CAST(CAST(sc AS REAL) AS DOUBLE)) AS s
+  FROM ood),
+priors AS (
+  SELECT label3 AS c, count(*)::DOUBLE / (SELECT count(*) FROM derived) AS prior
+  FROM derived GROUP BY 1),
+rarest AS (
+  SELECT c, prior FROM priors ORDER BY prior, c LIMIT 1),
+imb_stats AS (
+  SELECT CASE WHEN (SELECT prior FROM rarest) < 0.1 / 3.0
+              THEN (SELECT count(*) FROM derived d
+                    WHERE d.label3 = (SELECT c FROM rarest))
+              ELSE 0 END AS n,
+         (SELECT prior FROM rarest) AS s)
+SELECT 'label' AS issue_type, n AS num_issues,
+       CAST(round(s * 1000000) AS BIGINT) AS score_e6 FROM label_stats
+UNION ALL
+SELECT 'outlier', n, CAST(round(s * 1000000) AS BIGINT) FROM outlier_stats
+UNION ALL
+SELECT 'class_imbalance', n, CAST(round(s * 1000000) AS BIGINT) FROM imb_stats
+UNION ALL
+SELECT 'null', 0, 1000000
+"""
+
+ORACLE_SQL["audit_summary"] = SQL_AUDIT_SUMMARY
 
 
 # health_summary oracle: calibrate_confident_joint (count.py:221-291,
