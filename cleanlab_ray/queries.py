@@ -3303,6 +3303,117 @@ SELECT 'null', 0, 1000000
 ORACLE_SQL["audit_summary"] = SQL_AUDIT_SUMMARY
 
 
+def _phi_sql(z: str) -> str:
+    """Normal CDF in SQL via the Abramowitz-Stegun 7.1.26 erf
+    approximation (|err| < 1.5e-7 — the p-value is compared against
+    0.05, so the decision matches math.erf unless p sits within 1e-7 of
+    the threshold, which the fixture does not)."""
+    x = f"(abs({z}) / sqrt(2.0))"
+    t = f"(1.0 / (1.0 + 0.3275911 * {x}))"
+    poly = (f"({t} * (0.254829592 + {t} * (-0.284496736 + {t} * (1.421413741 "
+            f"+ {t} * (-1.453152027 + {t} * 1.061405429)))))")
+    erf = f"(1.0 - {poly} * exp(-({x}) * ({x})))"
+    return f"(0.5 * (1.0 + CASE WHEN ({z}) >= 0 THEN {erf} ELSE -{erf} END))"
+
+
+def _make_noniid_sql(n: int = 500, k: int = 10, num_permutations: int = 25,
+                     seed: int = 0) -> str:
+    """noniid_detection oracle: the reference kNN permutation test in
+    SQL. Exact kNN neighbor INDICES (rank in vec_id order), observed +
+    per-permutation KS statistics over index distances (permutations
+    are np.random.seed(seed) draws, inlined as INT[] literals), Gaussian
+    -KDE tail p-value (Scott bandwidth, normal CDF via _phi_sql), and
+    the per-row piecewise AUC-difference score with tanh mapping.
+    Note: n is the fixture's embeddings row count (the correctness gate
+    runs at sf0.01 where n=500)."""
+    np.random.seed(seed)
+    perms = [np.random.permutation(n) for _ in range(num_permutations)]
+    perm_rows = ",\n    ".join(
+        "({}, [{}]::INT[])".format(pi, ", ".join(str(int(v)) for v in p))
+        for pi, p in enumerate(perms)
+    )
+    m_tot = n * k + 1  # samples per KS run incl. the N-1 sentinel
+    c2 = n * (n - 1) / 2.0
+    phi_hi = _phi_sql("(100.0 - s.ks) / kde.h")
+    phi_obs = _phi_sql("(obs.ks - s.ks) / kde.h")
+    return f"""
+WITH perms(pi, parr) AS (VALUES
+    {perm_rows}),
+ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+         row_number() OVER (ORDER BY vec_id) - 1 AS idx
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id, a.idx AS own, b.idx AS nbr,
+         row_number() OVER (PARTITION BY a.vec_id
+                            ORDER BY list_distance(a.e, b.e), b.vec_id) AS rn
+  FROM ev a JOIN ev b ON a.vec_id <> b.vec_id),
+knn AS (SELECT vec_id, own, nbr, rn FROM pairs WHERE rn <= {k}),
+obs_samples AS (
+  SELECT abs(own - nbr) AS d FROM knn
+  UNION ALL SELECT {n - 1}),
+obs_ks AS (
+  SELECT max(abs((rn - 1.0) / {m_tot - 1}
+         - (d * {n} - d * (d + 1) / 2.0) / {c2!r})) AS ks
+  FROM (SELECT d, row_number() OVER (ORDER BY d) AS rn FROM obs_samples)),
+perm_samples AS (
+  SELECT p.pi, abs(p.parr[kn.own + 1] - p.parr[kn.nbr + 1]) AS d
+  FROM knn kn CROSS JOIN perms p
+  UNION ALL SELECT pi, {n - 1} FROM perms),
+perm_ks AS (
+  SELECT pi, max(abs((rn - 1.0) / {m_tot - 1}
+         - (d * {n} - d * (d + 1) / 2.0) / {c2!r})) AS ks
+  FROM (SELECT pi, d, row_number() OVER (PARTITION BY pi ORDER BY d) AS rn
+        FROM perm_samples)
+  GROUP BY pi),
+kde AS (
+  SELECT greatest(stddev_samp(ks) * power({num_permutations}, -0.2), 1e-12) AS h
+  FROM perm_ks),
+pval AS (
+  SELECT avg({phi_hi} - {phi_obs}) AS p
+  FROM perm_ks s CROSS JOIN kde CROSS JOIN obs_ks obs),
+rowdist AS (
+  SELECT vec_id, own, d,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d, seq) AS j
+  FROM (
+    SELECT vec_id, own, abs(own - nbr) AS d, rn AS seq FROM knn
+    UNION ALL
+    SELECT DISTINCT vec_id, own, {n - 1}, {k + 1} FROM knn)),
+segs AS (
+  SELECT vec_id, own, j, d,
+         CASE WHEN own > ({n} - 1) // 2 THEN abs(own - {n - 1}) ELSE own END AS dd
+  FROM rowdist),
+areas AS (
+  SELECT vec_id, own, j, d, dd,
+         CASE WHEN d <= dd THEN d * d / {n - 1.0!r}
+              WHEN d <= {n} - dd - 1 THEN dd * dd / {n - 1.0!r}
+                   + 0.5 * ((d + 3.0 * dd) * (d - dd) / {n - 1.0!r})
+              ELSE dd * dd / {n - 1.0!r}
+                   + 0.5 * (2.0 * dd / {n - 1.0!r} + 1.0) * ({n} - 2.0 * dd - 1.0)
+                   + (d - ({n} - dd - 1.0)) END AS bg
+  FROM segs),
+contrib AS (
+  SELECT vec_id, own,
+         abs(((j - 1.0) / {k}) * (d - coalesce(lag(d) OVER w, 0))
+             - (bg - coalesce(lag(bg) OVER w, 0))) AS c
+  FROM areas
+  WINDOW w AS (PARTITION BY vec_id ORDER BY j)),
+scores AS (
+  SELECT vec_id, own,
+         -- tanh(-u)+1 == 2/(1+exp(2u)); DuckDB 1.0 has no tanh()
+         2.0 / (1.0 + exp(2.0 * sum(c) / greatest(own, {n} - own))) AS s
+  FROM contrib GROUP BY vec_id, own),
+mn AS (SELECT min(s) AS ms FROM scores)
+SELECT sc.vec_id,
+       CAST(round(sc.s * 1000000) AS BIGINT) AS noniid_e6,
+       (pv.p < 0.05 AND sc.s = mn.ms) AS is_noniid_issue
+FROM scores sc CROSS JOIN pval pv CROSS JOIN mn
+"""
+
+
+ORACLE_SQL["noniid_detection"] = _make_noniid_sql()
+
+
 # health_summary oracle: calibrate_confident_joint (count.py:221-291,
 # incl. the largest-remainder row rounding) + rank_classes (dataset.py:
 # 16-108), all on the dense 3x3 confident joint.
