@@ -1346,7 +1346,10 @@ def q_drift_windows(sf_dir: str):
 
 def q_spurious_correlations(sf_dir: str):
     """Per-property spurious-correlation scores over document heuristic
-    features vs a derived label (rows-only; model-fit diagnostic)."""
+    features vs a derived label. SQL-checked: the single-feature
+    GaussianNB is closed-form (per-fold class means/variances/priors are
+    aggregates; prediction is an argmax of quadratics), and the hash
+    folds are deterministic."""
     from cleanlab_ray.pipelines.spurious import spurious_correlations
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
@@ -1355,7 +1358,12 @@ def q_spurious_correlations(sf_dir: str):
         filled = pc.fill_null(batch["text"], "")
         n_tokens = pc.count_substring_regex(filled, r"[^\s]+").to_numpy(zero_copy_only=False)
         lang = batch["lang"].to_pylist()
+        nch = batch["n_chars"].to_numpy(zero_copy_only=False)
+        # label partly determined by n_chars (like the flagship's true
+        # label) so the n_chars property is a REAL shortcut and the
+        # spurious score leaves the clamped-1.0 regime
         label = np.array([0 if x == "en" else (1 if x in ("de", "fr") else 2) for x in lang])
+        label = np.where(nch < 80, 1, label)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
@@ -1366,9 +1374,11 @@ def q_spurious_correlations(sf_dir: str):
         )
 
     derived = ds.map_batches(kernel, batch_format="pyarrow")
-    return spurious_correlations(
+    df = spurious_correlations(
         derived, ["n_chars_prop", "n_tokens_prop"], id_col="doc_id"
     )
+    df["score_e6"] = np.round(df["score"].astype(np.float64) * 1e6).astype(np.int64)
+    return df[["property", "score_e6"]]
 
 
 def q_clean_learning(sf_dir: str):
@@ -3412,6 +3422,75 @@ FROM scores sc CROSS JOIN pval pv CROSS JOIN mn
 
 
 ORACLE_SQL["noniid_detection"] = _make_noniid_sql()
+
+
+# spurious_correlations oracle: 5-fold CV of a closed-form 1D GaussianNB
+# per property. Folds are the deterministic multiplicative hash; class
+# stats are per-(property, fold) aggregates over the train side;
+# prediction = first-max argmax of the per-class quadratics; score =
+# min(1, (1-mean_acc)/(1-baseline)).
+SQL_SPURIOUS = """
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN n_chars < 80 THEN 1
+              WHEN lang = 'en' THEN 0 WHEN lang IN ('de', 'fr') THEN 1 ELSE 2 END AS label,
+         CAST(((doc_id * 2654435761) % 4294967296) % 5 AS INT) AS fold,
+         n_chars::DOUBLE AS x_chars,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))::DOUBLE AS x_tokens
+  FROM documents),
+props AS (
+  SELECT 'n_chars_prop' AS property, doc_id, label, fold, x_chars AS x FROM base
+  UNION ALL
+  SELECT 'n_tokens_prop', doc_id, label, fold, x_tokens FROM base),
+folds(f) AS (VALUES (0), (1), (2), (3), (4)),
+classes(c) AS (VALUES (0), (1), (2)),
+trainstats AS (
+  SELECT p.property, f.f, cl.c,
+         coalesce(s.nc, 0) AS nc,
+         coalesce(s.mu, 0.0) AS mu,
+         CASE WHEN s.nc IS NULL THEN 1.0 ELSE greatest(s.vr, 1e-9) END AS vr
+  FROM (SELECT DISTINCT property FROM props) p
+  CROSS JOIN folds f CROSS JOIN classes cl
+  LEFT JOIN (
+    SELECT property, f.f, label AS c, count(*) AS nc, avg(x) AS mu,
+           var_pop(x) AS vr
+    FROM props CROSS JOIN folds f
+    WHERE fold != f.f
+    GROUP BY property, f.f, label) s
+    ON s.property = p.property AND s.f = f.f AND s.c = cl.c),
+tot AS (
+  SELECT property, f.f, count(*) AS n
+  FROM props CROSS JOIN folds f WHERE fold != f.f GROUP BY property, f.f),
+ll AS (
+  SELECT p.property, p.doc_id, p.label, p.fold,
+         max(CASE ts.c WHEN 0 THEN lv END) AS l0,
+         max(CASE ts.c WHEN 1 THEN lv END) AS l1,
+         max(CASE ts.c WHEN 2 THEN lv END) AS l2
+  FROM props p
+  JOIN (SELECT ts.*, t.n FROM trainstats ts JOIN tot t
+        ON t.property = ts.property AND t.f = ts.f) ts
+    ON ts.property = p.property AND ts.f = p.fold
+  CROSS JOIN LATERAL (SELECT
+      -0.5 * (p.x - ts.mu) * (p.x - ts.mu) / ts.vr - 0.5 * ln(ts.vr)
+      + ln(greatest(ts.nc::DOUBLE / ts.n, 1e-12)) AS lv) q
+  GROUP BY 1, 2, 3, 4),
+acc AS (
+  SELECT property, fold,
+         avg(CASE WHEN (CASE WHEN l0 >= l1 AND l0 >= l2 THEN 0
+                             WHEN l1 >= l2 THEN 1 ELSE 2 END) = label
+                  THEN 1.0 ELSE 0.0 END) AS a
+  FROM ll GROUP BY 1, 2),
+meanacc AS (SELECT property, avg(a) AS ma FROM acc GROUP BY 1),
+baseline AS (
+  SELECT max(cnt)::DOUBLE / sum(cnt) AS b
+  FROM (SELECT label, count(*) AS cnt FROM base GROUP BY 1))
+SELECT m.property,
+       CAST(round(least(1.0, (1.0 - m.ma) / (1.0 - b.b)) * 1000000) AS BIGINT)
+           AS score_e6
+FROM meanacc m CROSS JOIN baseline b
+"""
+
+ORACLE_SQL["spurious_correlations"] = SQL_SPURIOUS
 
 
 # health_summary oracle: calibrate_confident_joint (count.py:221-291,
