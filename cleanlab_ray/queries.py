@@ -3493,6 +3493,43 @@ FROM meanacc m CROSS JOIN baseline b
 ORACLE_SQL["spurious_correlations"] = SQL_SPURIOUS
 
 
+def q_sliding_windows(sf_dir: str):
+    """Sliding event-time windows (1h width, 15min slide) over events:
+    per-window count + e2-rounded value sum. SQL-checked against a
+    grid-join formulation."""
+    from cleanlab_ray.stages.window import sliding_window_agg
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    out = sliding_window_agg(ds)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        sv = batch["sum_value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "window_start_us": batch["window_start_us"],
+                "n_events": batch["n_events"],
+                "sum_value_c": pa.array(np.round(sv * 100).astype(np.int64)),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["sliding_windows"] = q_sliding_windows
+
+SQL_SLIDING_WINDOWS = """
+WITH ev AS (SELECT epoch_us(ts) AS t, value FROM events),
+assigned AS (
+  SELECT ((t // 900000000) - s.i) * 900000000 AS window_start_us, value
+  FROM ev CROSS JOIN generate_series(0, 3) AS s(i))
+SELECT window_start_us, count(*) AS n_events,
+       CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_c
+FROM assigned GROUP BY 1
+"""
+
+ORACLE_SQL["sliding_windows"] = SQL_SLIDING_WINDOWS
+
+
 # health_summary oracle: calibrate_confident_joint (count.py:221-291,
 # incl. the largest-remainder row rounding) + rank_classes (dataset.py:
 # 16-108), all on the dense 3x3 confident joint.
