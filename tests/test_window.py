@@ -27,9 +27,11 @@ def test_sliding_windows_match_bruteforce(ray_session):
         .sort_values("window_start_us")
         .reset_index(drop=True)
     )
-    # brute force: every grid start whose window contains >= 1 event
+    # brute force: every grid start whose window contains >= 1 event —
+    # including negative starts (a window beginning before the first
+    # event can still contain it)
     rows = []
-    for w in range(0, int(ts.max()) + W, S):
+    for w in range(-(W - S), int(ts.max()) + W, S):
         sel = (ts >= w) & (ts < w + W)
         if sel.any():
             rows.append((w, int(sel.sum()), val[sel].sum()))
