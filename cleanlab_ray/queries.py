@@ -543,7 +543,7 @@ def docs_to_transcripts_kernel(batch: pa.Table) -> pa.Table:
 
 
 def load_transcripts(sf_dir: str):
-    ds = _read(sf_dir, "documents")
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
     return ds.map_batches(docs_to_transcripts_kernel, batch_format="pyarrow")
 
 
