@@ -318,28 +318,48 @@ REGISTRY["data_valuation"] = _data_valuation_stage
 REGISTRY["drift"] = _drift_stage
 
 
-def report(result: AuditResult, max_rows: int = 5) -> str:
-    """Human-readable audit report (Datalab.report analogue,
-    datalab/datalab.py:355-409)."""
-    lines = ["Audit report", "============", ""]
+def report(result: AuditResult, max_rows: int = 5,
+           show_all_issues: bool = False) -> str:
+    """Human-readable audit report (Reporter semantics,
+    datalab/internal/report.py:76-200): a dataset-information header, a
+    prevalence-sorted summary restricted to issue types that actually
+    fired (``show_all_issues=True`` keeps zero-count rows, like the
+    reference flag), then per-issue sections listing the worst
+    ``max_rows`` examples by ascending score."""
+    info = result.info.get("confident_stats", {})
+    header = f"Dataset Information: num_examples: {info.get('n', '?')}"
+    if info.get("num_classes"):
+        header += f", num_classes: {info['num_classes']}"
+    lines = [header, "", "Summary of detected issue types:", ""]
     frame = result.summary_frame()
     if not frame.empty:
         frame = frame.sort_values("num_issues", ascending=False)
-        lines.append("Issue summary (sorted by prevalence):")
+        if not show_all_issues:
+            frame = frame[frame["num_issues"] > 0]
         lines.append(frame.to_string(index=False))
         lines.append("")
+        lines.append(
+            "Rows flagged for each issue carry an is_<type>_issue column; "
+            "per-row quality is in <type>_score (lower = worse)."
+        )
+        lines.append("")
+    shown = set(frame["issue_type"]) if not frame.empty else set()
     for s in result.summaries:
         t = s["issue_type"]
+        if t not in shown and not show_all_issues:
+            continue
         col = f"{t}_score"
+        head = f"--------- {t}: {s['num_issues']} issues, dataset score {s['score']:.4f} ---------"
         try:
             worst = (
                 result.dataset.select_columns([*KEYS, col]).sort(col).limit(max_rows).to_pandas()
             )
-            lines.append(f"--- {t}: {s['num_issues']} issues, dataset score {s['score']:.4f}")
+            lines.append(head)
+            lines.append(f"Worst {len(worst)} examples by {col}:")
             lines.append(worst.to_string(index=False))
             lines.append("")
         except Exception:
-            lines.append(f"--- {t}: {s['num_issues']} issues, dataset score {s['score']:.4f}")
+            lines.append(head)
     if result.errors:
         lines.append(f"Stages skipped with errors: {result.errors}")
     return "\n".join(lines)

@@ -81,7 +81,7 @@ def test_report_renders(audited):
 
     result, ds = audited
     text = report(result)
-    assert "Audit report" in text and "label" in text and "outlier" in text
+    assert "Dataset Information" in text and "label" in text and "outlier" in text
 
 
 def test_drift_and_valuation_stages_guarded(ray_session, corpus_dir):
