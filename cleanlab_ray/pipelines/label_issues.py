@@ -280,7 +280,13 @@ def _prune_by_class_mask(ds, k, pcm, label_counts, min_examples, label_col, prob
         mask = sc < bin_lo[labels]
         mask &= bin_id[labels] >= 0
         if len(boundary_arr):
-            mask |= boundary_membership(batch, ("conv_id", "turn_idx"), boundary_arr)
+            # only rows inside their class's boundary bin can be members
+            bins = np.clip((sc * NUM_BINS).astype(np.int64), 0, NUM_BINS)
+            cand = np.flatnonzero((bin_id[labels] >= 0) & (bins == bin_id[labels]))
+            if len(cand):
+                sub = batch.select(["conv_id", "turn_idx"]).take(pa.array(cand))
+                memb = boundary_membership(sub, ("conv_id", "turn_idx"), boundary_arr)
+                mask[cand[memb]] = True
         return mask
 
     return mask_fn
@@ -344,7 +350,14 @@ def _prune_by_count_mask(ds, k, pcm, label_counts, min_examples, label_col, prob
         over = s > bin_hi[labels]  # (B, K); diagonal is never set (bin_hi=2)
         mask = over.any(axis=1)
         if len(boundary_arr):
-            mask |= boundary_membership(batch, ("conv_id", "turn_idx"), boundary_arr)
+            # candidates: any (class, j) margin inside its boundary bin
+            bins = np.clip((s * NUM_BINS).astype(np.int64), 0, NUM_BINS)
+            in_bin = (bin_id[labels] >= 0) & (bins == bin_id[labels])  # (B, K)
+            cand = np.flatnonzero(in_bin.any(axis=1))
+            if len(cand):
+                sub = batch.select(["conv_id", "turn_idx"]).take(pa.array(cand))
+                memb = boundary_membership(sub, ("conv_id", "turn_idx"), boundary_arr)
+                mask[cand[memb]] = True
         return mask
 
     return mask_fn

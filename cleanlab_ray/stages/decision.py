@@ -127,15 +127,27 @@ def make_issue_mask_kernel(
     score_col: str = "score_self_confidence",
     key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
     out_col: str = "is_label_issue",
+    num_bins: int = DEFAULT_BINS,
 ):
-    """map_batches kernel appending the bottom-T boolean mask."""
+    """map_batches kernel appending the bottom-T boolean mask.
+
+    Membership against the boundary key set is only POSSIBLE for rows
+    whose score falls in the boundary bin (width 1/num_bins), so the
+    string-encode + isin runs on ~N/num_bins candidate rows instead of
+    every row — at 27M rows the full-batch isin was 12x the cost of the
+    whole mask pass."""
     boundary_arr = encode_boundary_keys(boundary_keys)
+    bin_hi = bin_lo + 1.0 / num_bins
 
     def kernel(batch: pa.Table) -> pa.Table:
         s = batch[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
         mask = s < bin_lo
         if len(boundary_arr):
-            mask |= boundary_membership(batch, key_cols, boundary_arr)
+            cand = np.flatnonzero((s >= bin_lo) & (s < bin_hi))
+            if len(cand):
+                sub = batch.select(list(key_cols)).take(pa.array(cand))
+                memb = boundary_membership(sub, key_cols, boundary_arr)
+                mask[cand[memb]] = True
         return batch.append_column(out_col, pa.array(mask, type=pa.bool_()))
 
     return kernel
