@@ -92,9 +92,12 @@ def resolve_bottom_t_from_hist(
     import pyarrow.compute as pc
 
     def filter_bin(batch: pa.Table) -> pa.Table:
+        # select BEFORE filter: filtering the full table would copy the
+        # wide pass-through columns (scrubbed text) just to drop them
+        batch = batch.select([*key_cols, score_col])
         s = pc.cast(batch[score_col], pa.float64())
         mask = pc.and_(pc.greater_equal(s, bin_lo), pc.less(s, bin_hi))
-        return batch.filter(mask).select([*key_cols, score_col])
+        return batch.filter(mask)
 
     boundary = ds.map_batches(filter_bin, batch_format="pyarrow").to_pandas()
     boundary = boundary.sort_values([score_col, *key_cols], kind="mergesort")
