@@ -3530,6 +3530,76 @@ FROM assigned GROUP BY 1
 ORACLE_SQL["sliding_windows"] = SQL_SLIDING_WINDOWS
 
 
+def q_ensemble_scores(sf_dir: str):
+    """Ensemble label-quality scores (rank.py:158-360): two derived
+    models (softmax over embedding dims 0-2 and 3-5), accuracy-weighted
+    self-confidence average. SQL-checked end-to-end."""
+    from cleanlab_ray.functions.ensemble import ensemble_label_quality_scores
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        mat = np.asarray(col.values, dtype=np.float64).reshape(len(col), -1)
+        out = {"vec_id": batch["vec_id"],
+               "label": pa.array(
+                   batch["label"].to_numpy(zero_copy_only=False).astype(np.int64) % 3)}
+        for i, lo in enumerate((0, 3)):
+            e = np.exp(mat[:, lo:lo + 3])
+            p = e / e.sum(axis=1, keepdims=True)
+            out[f"pred_probs_{i}"] = pa.FixedSizeListArray.from_arrays(
+                pa.array(p.reshape(-1)), 3
+            )
+        return pa.table(out)
+
+    derived = ds.map_batches(derive, batch_format="pyarrow")
+    scored, _w = ensemble_label_quality_scores(derived, num_models=2)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        s = batch["ensemble_score"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"],
+                "ensemble_e6": pa.array(np.round(s * 1e6).astype(np.int64)),
+            }
+        )
+
+    return scored.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["ensemble_scores"] = q_ensemble_scores
+
+# Two softmax models from disjoint embedding slices; weights = relative
+# argmax accuracy (first-max ties); score = weighted self-confidence.
+SQL_ENSEMBLE_SCORES = """
+WITH d AS (
+  SELECT vec_id, label % 3 AS y,
+         exp(embedding[1]::DOUBLE) / (exp(embedding[1]::DOUBLE) + exp(embedding[2]::DOUBLE) + exp(embedding[3]::DOUBLE)) AS a0,
+         exp(embedding[2]::DOUBLE) / (exp(embedding[1]::DOUBLE) + exp(embedding[2]::DOUBLE) + exp(embedding[3]::DOUBLE)) AS a1,
+         exp(embedding[3]::DOUBLE) / (exp(embedding[1]::DOUBLE) + exp(embedding[2]::DOUBLE) + exp(embedding[3]::DOUBLE)) AS a2,
+         exp(embedding[4]::DOUBLE) / (exp(embedding[4]::DOUBLE) + exp(embedding[5]::DOUBLE) + exp(embedding[6]::DOUBLE)) AS b0,
+         exp(embedding[5]::DOUBLE) / (exp(embedding[4]::DOUBLE) + exp(embedding[5]::DOUBLE) + exp(embedding[6]::DOUBLE)) AS b1,
+         exp(embedding[6]::DOUBLE) / (exp(embedding[4]::DOUBLE) + exp(embedding[5]::DOUBLE) + exp(embedding[6]::DOUBLE)) AS b2
+  FROM embeddings),
+accs AS (
+  SELECT avg(CASE WHEN (CASE WHEN a0 >= a1 AND a0 >= a2 THEN 0
+                             WHEN a1 >= a2 THEN 1 ELSE 2 END) = y
+                  THEN 1.0 ELSE 0.0 END) AS acc0,
+         avg(CASE WHEN (CASE WHEN b0 >= b1 AND b0 >= b2 THEN 0
+                             WHEN b1 >= b2 THEN 1 ELSE 2 END) = y
+                  THEN 1.0 ELSE 0.0 END) AS acc1
+  FROM d)
+SELECT d.vec_id,
+       CAST(round((
+         (a.acc0 / (a.acc0 + a.acc1)) * (CASE d.y WHEN 0 THEN d.a0 WHEN 1 THEN d.a1 ELSE d.a2 END)
+       + (a.acc1 / (a.acc0 + a.acc1)) * (CASE d.y WHEN 0 THEN d.b0 WHEN 1 THEN d.b1 ELSE d.b2 END)
+       ) * 1000000) AS BIGINT) AS ensemble_e6
+FROM d CROSS JOIN accs a
+"""
+
+ORACLE_SQL["ensemble_scores"] = SQL_ENSEMBLE_SCORES
+
+
 # health_summary oracle: calibrate_confident_joint (count.py:221-291,
 # incl. the largest-remainder row rounding) + rank_classes (dataset.py:
 # 16-108), all on the dense 3x3 confident joint.
