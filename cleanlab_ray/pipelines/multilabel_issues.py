@@ -1,0 +1,87 @@
+"""Multi-label find_label_issues — one-vs-rest reduction, distributed.
+
+Reference semantics (multilabel_classification/filter.py:13-156 +
+internal/multilabel_utils.py): per class c the problem reduces to the
+binary pair (labels = onehot[:, c], probs = [1-p_c, p_c]); an example
+has a label issue iff ANY class's binary filter flags it.
+
+Ray shape: one derivation map per class feeding the engine's ordinary
+binary ``find_label_issues`` (all five filter strategies available),
+then the per-class flag tables (compact: keys + bool) are unioned and
+OR-merged with a single ``groupby(keys).max`` — K small shuffles of
+flag rows, never the wide data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from cleanlab_ray.state.confident import pred_probs_to_numpy
+from cleanlab_ray.state.multilabel import labels_col_to_onehot
+
+
+def multilabel_find_label_issues(
+    ds,
+    num_classes: int,
+    labels_col: str = "labels",
+    probs_col: str = "pred_probs",
+    key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+    filter_by: str = "prune_by_noise_rate",
+):
+    """Dataset[(keys..., is_label_issue)] — flagged iff any class's
+    one-vs-rest binary filter flags the row."""
+    from cleanlab_ray.pipelines.label_issues import find_label_issues
+
+    per_class = []
+    for c in range(num_classes):
+
+        def derive_c(batch: pa.Table, c=c) -> pa.Table:
+            onehot = labels_col_to_onehot(batch[labels_col], num_classes)
+            probs = pred_probs_to_numpy(batch[probs_col]).astype(np.float64)
+            p = probs[:, c]
+            bin_probs = np.stack([1.0 - p, p], axis=1)
+            return pa.table(
+                {
+                    **{k: batch[k] for k in key_cols},
+                    "label": pa.array(onehot[:, c].astype(np.int64)),
+                    "pred_probs": pa.FixedSizeListArray.from_arrays(
+                        pa.array(bin_probs.reshape(-1)), 2
+                    ),
+                }
+            )
+
+        sub = ds.map_batches(derive_c, batch_format="pyarrow")
+        out, _stats = find_label_issues(sub, filter_by=filter_by, num_classes=2)
+
+        def compact(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    **{k: batch[k] for k in key_cols},
+                    "_flag": pa.array(
+                        batch["is_label_issue"].to_numpy(zero_copy_only=False).astype(np.int8)
+                    ),
+                }
+            )
+
+        per_class.append(out.map_batches(compact, batch_format="pyarrow"))
+
+    unioned = per_class[0]
+    for o in per_class[1:]:
+        unioned = unioned.union(o)
+
+    from ray.data.aggregate import Max
+
+    merged = unioned.groupby(list(key_cols)).aggregate(Max("_flag", alias_name="_any"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                **{k: batch[k] for k in key_cols},
+                "is_label_issue": pa.array(
+                    batch["_any"].to_numpy(zero_copy_only=False).astype(np.int8) > 0
+                ),
+            }
+        )
+
+    return merged.map_batches(finalize, batch_format="pyarrow")

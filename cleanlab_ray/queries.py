@@ -3600,6 +3600,124 @@ FROM d CROSS JOIN accs a
 ORACLE_SQL["ensemble_scores"] = SQL_ENSEMBLE_SCORES
 
 
+def q_multilabel_issues(sf_dir: str):
+    """Multi-label find_label_issues (multilabel filter.py:13-156):
+    one-vs-rest binary CL per class, row flagged iff any class flags.
+    Labels derive from embedding signs with planted noise (class
+    vec_id%3 flipped when hash < 6/89). SQL-checked: each class's
+    binary prune_by_noise_rate cascade is generated per class and OR'd."""
+    from cleanlab_ray.pipelines.multilabel_issues import multilabel_find_label_issues
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        mat = np.asarray(col.values, dtype=np.float64).reshape(len(col), -1)[:, :_ML_K]
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        probs = 1.0 / (1.0 + np.exp(-mat))
+        onehot = (mat > 0).astype(np.int8)
+        flip = (vid * 2654435761) % 89 < 6
+        fc = (vid % _ML_K).astype(np.int64)
+        rows = np.flatnonzero(flip)
+        onehot[rows, fc[rows]] ^= 1
+        labels = [list(np.nonzero(r)[0].astype(int)) for r in onehot]
+        return pa.table(
+            {
+                "conv_id": pc.cast(batch["vec_id"], pa.string()),
+                "turn_idx": pa.array(np.zeros(len(vid), dtype=np.int32)),
+                "vec_id": batch["vec_id"],
+                "labels": pa.array(labels, type=pa.list_(pa.int32())),
+                "pred_probs": pa.FixedSizeListArray.from_arrays(
+                    pa.array(probs.reshape(-1)), _ML_K
+                ),
+            }
+        )
+
+    derived = ds.map_batches(derive, batch_format="pyarrow").materialize()
+    out = multilabel_find_label_issues(derived, _ML_K)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch["conv_id"], pa.int64()),
+                "is_label_issue": batch["is_label_issue"],
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+QUERIES["multilabel_issues"] = q_multilabel_issues
+
+
+def _make_ml_issues_sql() -> str:
+    """Per-class binary prune_by_noise_rate cascade, OR'd across
+    classes. Binary reduction: y = noisy onehot[:, c],
+    p1 = sigmoid(embedding[c]), p0 = 1 - p1; tie order is the engine's
+    (conv_id-as-string, turn_idx) mergesort."""
+    parts = []
+    for c in range(_ML_K):
+        e = f"embedding[{c + 1}]::DOUBLE"
+        parts.append(f"""
+SELECT vec_id, is_issue FROM (
+  WITH derived AS (
+    SELECT vec_id,
+           CASE WHEN (vec_id * 2654435761) % 89 < 6 AND vec_id % {_ML_K} = {c}
+                THEN 1 - (CASE WHEN {e} > 0 THEN 1 ELSE 0 END)
+                ELSE (CASE WHEN {e} > 0 THEN 1 ELSE 0 END) END AS y,
+           1.0 / (1.0 + exp(-({e}))) AS p1,
+           1.0 - 1.0 / (1.0 + exp(-({e}))) AS p0
+    FROM embeddings),
+  thr AS (
+    SELECT avg(CASE WHEN y = 0 THEN p0 END) AS t0,
+           avg(CASE WHEN y = 1 THEN p1 END) AS t1
+    FROM derived),
+  conf AS (
+    SELECT d.*, (d.p0 >= t.t0 - 1e-6) AS c0, (d.p1 >= t.t1 - 1e-6) AS c1
+    FROM derived d CROSS JOIN thr t),
+  guessed AS (
+    SELECT y AS giv,
+           CASE WHEN c0 AND c1 THEN CASE WHEN p0 >= p1 THEN 0 ELSE 1 END
+                WHEN c0 THEN 0 ELSE 1 END AS gus
+    FROM conf WHERE c0 OR c1),
+  cj AS (SELECT giv, gus, count(*) AS n FROM guessed GROUP BY 1, 2),
+  labelcnt AS (SELECT y AS cls, count(*) AS n_c FROM derived GROUP BY 1),
+  veto AS (
+    SELECT vec_id,
+           (CASE WHEN q0 >= q1 THEN 0 ELSE 1 END) = y AS vetoed
+    FROM (SELECT vec_id, y,
+                 p0 + CASE WHEN y = 0 THEN 1e-6 ELSE 0 END AS q0,
+                 p1 + CASE WHEN y = 1 THEN 1e-6 ELSE 0 END AS q1
+          FROM derived)),
+  margins AS (
+    SELECT vec_id, y AS cls, 1 - y AS j,
+           ((CASE WHEN y = 0 THEN p1 ELSE p0 END)
+            - (CASE WHEN y = 0 THEN p0 ELSE p1 END) + 1.0) / 2.0 AS s
+    FROM derived),
+  rk AS (
+    SELECT m.*, row_number() OVER (PARTITION BY m.cls
+                                   ORDER BY m.s DESC, CAST(m.vec_id AS VARCHAR) ASC) AS rn
+    FROM margins m),
+  flagged AS (
+    SELECT r.vec_id,
+           (l.n_c > 1
+            AND coalesce((SELECT n FROM cj WHERE giv = r.cls AND gus = r.j), 0) >= 1
+            AND r.rn <= coalesce((SELECT n FROM cj WHERE giv = r.cls AND gus = r.j), 0)
+           ) AS flag
+    FROM rk r JOIN labelcnt l ON l.cls = r.cls)
+  SELECT f.vec_id, (f.flag AND NOT v.vetoed) AS is_issue
+  FROM flagged f JOIN veto v ON f.vec_id = v.vec_id)""")
+    unions = "\nUNION ALL".join(parts)
+    return f"""
+WITH per_class AS ({unions})
+SELECT vec_id, bool_or(is_issue) AS is_label_issue
+FROM per_class GROUP BY vec_id
+"""
+
+
+ORACLE_SQL["multilabel_issues"] = _make_ml_issues_sql()
+
+
 # health_summary oracle: calibrate_confident_joint (count.py:221-291,
 # incl. the largest-remainder row rounding) + rank_classes (dataset.py:
 # 16-108), all on the dense 3x3 confident joint.
