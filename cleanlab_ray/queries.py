@@ -3600,6 +3600,33 @@ FROM d CROSS JOIN accs a
 ORACLE_SQL["ensemble_scores"] = SQL_ENSEMBLE_SCORES
 
 
+def _ml_noisy_derive(batch: pa.Table) -> pa.Table:
+    """Derived multilabel pair with planted noise: class c applies iff
+    embedding[c] > 0; p_c = sigmoid; class vec_id%K flipped when
+    (vec_id * 2654435761) % 89 < 6."""
+    col = batch["embedding"].combine_chunks()
+    mat = np.asarray(col.values, dtype=np.float64).reshape(len(col), -1)[:, :_ML_K]
+    vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    probs = 1.0 / (1.0 + np.exp(-mat))
+    onehot = (mat > 0).astype(np.int8)
+    flip = (vid * 2654435761) % 89 < 6
+    fc = (vid % _ML_K).astype(np.int64)
+    rows = np.flatnonzero(flip)
+    onehot[rows, fc[rows]] ^= 1
+    labels = [list(np.nonzero(r)[0].astype(int)) for r in onehot]
+    return pa.table(
+        {
+            "conv_id": pc.cast(batch["vec_id"], pa.string()),
+            "turn_idx": pa.array(np.zeros(len(vid), dtype=np.int32)),
+            "vec_id": batch["vec_id"],
+            "labels": pa.array(labels, type=pa.list_(pa.int32())),
+            "pred_probs": pa.FixedSizeListArray.from_arrays(
+                pa.array(probs.reshape(-1)), _ML_K
+            ),
+        }
+    )
+
+
 def q_multilabel_issues(sf_dir: str):
     """Multi-label find_label_issues (multilabel filter.py:13-156):
     one-vs-rest binary CL per class, row flagged iff any class flags.
@@ -3609,31 +3636,7 @@ def q_multilabel_issues(sf_dir: str):
     from cleanlab_ray.pipelines.multilabel_issues import multilabel_find_label_issues
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-
-    def derive(batch: pa.Table) -> pa.Table:
-        col = batch["embedding"].combine_chunks()
-        mat = np.asarray(col.values, dtype=np.float64).reshape(len(col), -1)[:, :_ML_K]
-        vid = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        probs = 1.0 / (1.0 + np.exp(-mat))
-        onehot = (mat > 0).astype(np.int8)
-        flip = (vid * 2654435761) % 89 < 6
-        fc = (vid % _ML_K).astype(np.int64)
-        rows = np.flatnonzero(flip)
-        onehot[rows, fc[rows]] ^= 1
-        labels = [list(np.nonzero(r)[0].astype(int)) for r in onehot]
-        return pa.table(
-            {
-                "conv_id": pc.cast(batch["vec_id"], pa.string()),
-                "turn_idx": pa.array(np.zeros(len(vid), dtype=np.int32)),
-                "vec_id": batch["vec_id"],
-                "labels": pa.array(labels, type=pa.list_(pa.int32())),
-                "pred_probs": pa.FixedSizeListArray.from_arrays(
-                    pa.array(probs.reshape(-1)), _ML_K
-                ),
-            }
-        )
-
-    derived = ds.map_batches(derive, batch_format="pyarrow").materialize()
+    derived = ds.map_batches(_ml_noisy_derive, batch_format="pyarrow").materialize()
     out = multilabel_find_label_issues(derived, _ML_K)
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -3716,6 +3719,92 @@ FROM per_class GROUP BY vec_id
 
 
 ORACLE_SQL["multilabel_issues"] = _make_ml_issues_sql()
+
+
+def q_multilabel_common_issues(sf_dir: str):
+    """common_multilabel_issues (multilabel dataset.py:18-97): per
+    (class, given-label polarity) flagged-example counts + issue
+    probability, over the same planted-noise derivation as
+    multilabel_issues. SQL-checked."""
+    from cleanlab_ray.pipelines.multilabel_issues import common_multilabel_issues
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    derived = ds.map_batches(_ml_noisy_derive, batch_format="pyarrow").materialize()
+    df = common_multilabel_issues(derived, _ML_K)
+    df["prob_e6"] = np.round(df["issue_probability"].astype(np.float64) * 1e6).astype(np.int64)
+    return df[["class_idx", "in_given", "num_examples", "prob_e6"]]
+
+
+QUERIES["multilabel_common_issues"] = q_multilabel_common_issues
+
+
+def _make_ml_common_sql() -> str:
+    """Per-class flagged counts split by given-label polarity: the same
+    generated binary cascades as multilabel_issues, aggregated."""
+    parts = []
+    for c in range(_ML_K):
+        e = f"embedding[{c + 1}]::DOUBLE"
+        parts.append(f"""
+SELECT {c} AS class_idx, y = 1 AS in_given, count(*) FILTER (WHERE is_issue) AS num_examples
+FROM (
+  WITH derived AS (
+    SELECT vec_id,
+           CASE WHEN (vec_id * 2654435761) % 89 < 6 AND vec_id % {_ML_K} = {c}
+                THEN 1 - (CASE WHEN {e} > 0 THEN 1 ELSE 0 END)
+                ELSE (CASE WHEN {e} > 0 THEN 1 ELSE 0 END) END AS y,
+           1.0 / (1.0 + exp(-({e}))) AS p1,
+           1.0 - 1.0 / (1.0 + exp(-({e}))) AS p0
+    FROM embeddings),
+  thr AS (
+    SELECT avg(CASE WHEN y = 0 THEN p0 END) AS t0,
+           avg(CASE WHEN y = 1 THEN p1 END) AS t1
+    FROM derived),
+  conf AS (
+    SELECT d.*, (d.p0 >= t.t0 - 1e-6) AS c0, (d.p1 >= t.t1 - 1e-6) AS c1
+    FROM derived d CROSS JOIN thr t),
+  guessed AS (
+    SELECT y AS giv,
+           CASE WHEN c0 AND c1 THEN CASE WHEN p0 >= p1 THEN 0 ELSE 1 END
+                WHEN c0 THEN 0 ELSE 1 END AS gus
+    FROM conf WHERE c0 OR c1),
+  cj AS (SELECT giv, gus, count(*) AS n FROM guessed GROUP BY 1, 2),
+  labelcnt AS (SELECT y AS cls, count(*) AS n_c FROM derived GROUP BY 1),
+  veto AS (
+    SELECT vec_id,
+           (CASE WHEN q0 >= q1 THEN 0 ELSE 1 END) = y AS vetoed
+    FROM (SELECT vec_id, y,
+                 p0 + CASE WHEN y = 0 THEN 1e-6 ELSE 0 END AS q0,
+                 p1 + CASE WHEN y = 1 THEN 1e-6 ELSE 0 END AS q1
+          FROM derived)),
+  margins AS (
+    SELECT vec_id, y, y AS cls, 1 - y AS j,
+           ((CASE WHEN y = 0 THEN p1 ELSE p0 END)
+            - (CASE WHEN y = 0 THEN p0 ELSE p1 END) + 1.0) / 2.0 AS s
+    FROM derived),
+  rk AS (
+    SELECT m.*, row_number() OVER (PARTITION BY m.cls
+                                   ORDER BY m.s DESC, CAST(m.vec_id AS VARCHAR) ASC) AS rn
+    FROM margins m),
+  flagged AS (
+    SELECT r.vec_id, r.y,
+           (l.n_c > 1
+            AND r.rn <= coalesce((SELECT n FROM cj WHERE giv = r.cls AND gus = r.j), 0)
+           ) AS flag
+    FROM rk r JOIN labelcnt l ON l.cls = r.cls)
+  SELECT f.vec_id, f.y, (f.flag AND NOT v.vetoed) AS is_issue
+  FROM flagged f JOIN veto v ON f.vec_id = v.vec_id)
+GROUP BY 1, 2""")
+    unions = "\nUNION ALL".join(parts)
+    return f"""
+WITH per AS ({unions}),
+n AS (SELECT count(*) AS n FROM embeddings)
+SELECT p.class_idx, p.in_given, coalesce(p.num_examples, 0) AS num_examples,
+       CAST(round(coalesce(p.num_examples, 0) * 1000000.0 / n.n) AS BIGINT) AS prob_e6
+FROM per p CROSS JOIN n
+"""
+
+
+ORACLE_SQL["multilabel_common_issues"] = _make_ml_common_sql()
 
 
 # health_summary oracle: calibrate_confident_joint (count.py:221-291,

@@ -65,3 +65,24 @@ def test_multilabel_issues_or_of_binary(ray_session):
         want |= f
     assert (got == want).all()
     assert want.any()  # planted noise must be detectable
+
+
+def test_common_issues_and_health(ray_session):
+    from cleanlab_ray.pipelines.multilabel_issues import (
+        common_multilabel_issues,
+        overall_multilabel_health_score,
+    )
+
+    ds, onehot, probs = _fixture()
+    df = common_multilabel_issues(ds, 3)
+    assert len(df) == 6  # 3 classes x 2 polarities
+    assert (df["issue_probability"] >= 0).all()
+    assert df["num_examples"].sum() > 0
+    # issue probabilities are sorted descending (reference contract)
+    assert (np.diff(df["issue_probability"].to_numpy()) <= 1e-12).all()
+    h = overall_multilabel_health_score(ds, 3)
+    assert 0.0 <= h <= 1.0
+    # health consistent with the OR'd flags
+    from cleanlab_ray.pipelines.multilabel_issues import multilabel_find_label_issues
+    flags = multilabel_find_label_issues(ds, 3).to_pandas()["is_label_issue"]
+    assert abs(h - (1.0 - flags.mean())) < 1e-12
