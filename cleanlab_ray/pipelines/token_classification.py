@@ -130,6 +130,45 @@ def token_label_quality_scores(
     return _sorted_block_map(scored, "conv_id", pool_block)
 
 
+def token_common_label_issues(token_ds, top: int | None = None):
+    """Which token strings most commonly carry label issues
+    (token_classification/summary.py:139-300): count flagged tokens per
+    (token, given_label, predicted_label) swap, ordered by count.
+
+    ``token_ds`` columns: token (string), given_label (int),
+    predicted_label (int), is_label_issue (bool). One compact
+    groupby-aggregate; the result is O(vocabulary), tiny."""
+    from ray.data.aggregate import Sum
+
+    def pre(batch: pa.Table) -> pa.Table:
+        flag = batch["is_label_issue"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "token": batch["token"],
+                "given_label": batch["given_label"],
+                "predicted_label": batch["predicted_label"],
+                "_n": pa.array(flag.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        token_ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["token", "given_label", "predicted_label"])
+        .aggregate(Sum("_n", alias_name="num_label_issues"))
+    )
+
+    def keep_flagged(batch: pa.Table) -> pa.Table:
+        n = batch["num_label_issues"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(n > 0))
+
+    out = counts.map_batches(keep_flagged, batch_format="pyarrow")
+    df = out.to_pandas().sort_values(
+        ["num_label_issues", "token", "given_label", "predicted_label"],
+        ascending=[False, True, True, True],
+    ).reset_index(drop=True)
+    return df.head(top) if top else df
+
+
 def token_find_label_issues(
     ds,
     labels_col: str = "token_labels",

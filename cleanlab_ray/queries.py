@@ -3807,6 +3807,103 @@ FROM per p CROSS JOIN n
 ORACLE_SQL["multilabel_common_issues"] = _make_ml_common_sql()
 
 
+def q_token_common_issues(sf_dir: str):
+    """token_classification common_label_issues (summary.py:139-300)
+    over REAL word tokens from documents: per-token deterministic
+    (given, probs) derivation, threshold issues, counts per
+    (token, given, predicted) swap. SQL-checked."""
+    from cleanlab_ray.pipelines.token_classification import token_common_label_issues
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch["text"], "")
+        toks = pc.ascii_split_whitespace(col)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = toks.flatten()
+        if not pa.types.is_large_string(flat.type):
+            flat = flat.cast(pa.large_string())
+        buffers = flat.buffers()
+        offsets = np.frombuffer(buffers[1], dtype=np.int64)[
+            flat.offset : flat.offset + len(flat) + 1
+        ]
+        data = np.frombuffer(buffers[2], dtype=np.uint8)
+        lens = np.diff(offsets)
+        keep = lens > 0
+        first = np.where(keep, data[np.minimum(offsets[:-1], len(data) - 1)], 0)
+        last = np.where(keep, data[np.maximum(offsets[1:] - 1, 0)], 0)
+        h = (
+            first.astype(np.int64) * 65536
+            + last.astype(np.int64) * 256
+            + (lens % 256)
+        )
+        true = h % 3
+        flip = (h * 2654435761) % 97 < 12
+        given = np.where(flip, (true + 1) % 3, true)
+        match2 = (h // 9) % 3
+        logits = (
+            1.5 * (np.arange(3)[None, :] == true[:, None])
+            + 0.7 * (np.arange(3)[None, :] == match2[:, None])
+        )
+        e = np.exp(logits)
+        probs = e / e.sum(axis=1, keepdims=True)
+        pred = probs.argmax(axis=1)
+        sc = probs[np.arange(len(h)), given]
+        idx = np.flatnonzero(keep)
+        return pa.table(
+            {
+                "token": flat.cast(pa.string()).take(pa.array(idx)),
+                "given_label": pa.array(given[idx]),
+                "predicted_label": pa.array(pred[idx].astype(np.int64)),
+                "is_label_issue": pa.array(sc[idx] < 0.35),
+            }
+        )
+
+    tokens = ds.map_batches(derive, batch_format="pyarrow")
+    df = token_common_label_issues(tokens)
+    return df
+
+
+QUERIES["token_common_issues"] = q_token_common_issues
+
+SQL_TOKEN_COMMON_ISSUES = """
+WITH wt AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+  FROM documents),
+h AS (
+  SELECT w,
+         ord(substr(w, 1, 1)) * 65536 + ord(substr(w, length(w), 1)) * 256
+           + length(w) % 256 AS h
+  FROM wt),
+lab AS (
+  SELECT w, h, h % 3 AS tru,
+         CASE WHEN (h * 2654435761) % 97 < 12 THEN (h % 3 + 1) % 3 ELSE h % 3 END AS given,
+         (h // 9) % 3 AS m2
+  FROM h),
+pr AS (
+  SELECT w, given,
+         exp(1.5 * (0 = tru)::INT + 0.7 * (0 = m2)::INT) AS e0,
+         exp(1.5 * (1 = tru)::INT + 0.7 * (1 = m2)::INT) AS e1,
+         exp(1.5 * (2 = tru)::INT + 0.7 * (2 = m2)::INT) AS e2
+  FROM lab),
+scored AS (
+  SELECT w AS token, given AS given_label,
+         CASE WHEN e0 >= e1 AND e0 >= e2 THEN 0 WHEN e1 >= e2 THEN 1 ELSE 2 END
+           AS predicted_label,
+         (CASE given WHEN 0 THEN e0 WHEN 1 THEN e1 ELSE e2 END)
+           / (e0 + e1 + e2) < 0.35 AS issue
+  FROM pr)
+SELECT token, given_label, predicted_label,
+       CAST(sum(issue::INT) AS BIGINT) AS num_label_issues
+FROM scored
+GROUP BY 1, 2, 3
+HAVING sum(issue::INT) > 0
+"""
+
+ORACLE_SQL["token_common_issues"] = SQL_TOKEN_COMMON_ISSUES
+
+
 # health_summary oracle: calibrate_confident_joint (count.py:221-291,
 # incl. the largest-remainder row rounding) + rank_classes (dataset.py:
 # 16-108), all on the dense 3x3 confident joint.
