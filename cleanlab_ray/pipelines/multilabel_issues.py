@@ -151,6 +151,35 @@ def common_multilabel_issues(
     return df.sort_values("issue_probability", ascending=False).reset_index(drop=True)
 
 
+def rank_classes_by_multilabel_quality(
+    ds,
+    num_classes: int,
+    labels_col: str = "labels",
+    probs_col: str = "pred_probs",
+    key_cols: tuple[str, str] = ("conv_id", "turn_idx"),
+):
+    """Per-class quality frame (multilabel dataset.py:100-188):
+    Label Issues / Inverse Label Issues counts, Label Noise =
+    issue probability (the implementation's definition — NOT divided by
+    the class count, despite the reference docstring), quality =
+    1 - noise; ordered worst-first."""
+    import pandas as pd
+
+    df = common_multilabel_issues(ds, num_classes, labels_col, probs_col, key_cols)
+    rows = {}
+    for _, r in df.iterrows():
+        d = rows.setdefault(int(r["class_idx"]), {})
+        if r["in_given"]:
+            d["label_issues"] = int(r["num_examples"])
+            d["label_noise"] = float(r["issue_probability"])
+            d["label_quality_score"] = 1.0 - float(r["issue_probability"])
+        else:
+            d["inverse_label_issues"] = int(r["num_examples"])
+            d["inverse_label_noise"] = float(r["issue_probability"])
+    out = pd.DataFrame([{"class_idx": c, **v} for c, v in sorted(rows.items())])
+    return out.sort_values("label_quality_score").reset_index(drop=True)
+
+
 def overall_multilabel_health_score(
     ds,
     num_classes: int,

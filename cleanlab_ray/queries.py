@@ -3904,6 +3904,43 @@ HAVING sum(issue::INT) > 0
 ORACLE_SQL["token_common_issues"] = SQL_TOKEN_COMMON_ISSUES
 
 
+def q_multilabel_class_quality(sf_dir: str):
+    """rank_classes_by_multilabel_quality (multilabel dataset.py:
+    100-188) on the planted-noise derivation. SQL-checked (pivot of the
+    per-class cascade counts)."""
+    from cleanlab_ray.pipelines.multilabel_issues import (
+        rank_classes_by_multilabel_quality,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    derived = ds.map_batches(_ml_noisy_derive, batch_format="pyarrow").materialize()
+    df = rank_classes_by_multilabel_quality(derived, _ML_K)
+    for c in ("label_noise", "inverse_label_noise", "label_quality_score"):
+        df[f"{c}_e6"] = np.round(df[c].astype(np.float64) * 1e6).astype(np.int64)
+    return df[["class_idx", "label_issues", "inverse_label_issues",
+               "label_noise_e6", "inverse_label_noise_e6",
+               "label_quality_score_e6"]]
+
+
+QUERIES["multilabel_class_quality"] = q_multilabel_class_quality
+
+
+def _make_ml_class_quality_sql() -> str:
+    return f"""
+WITH common AS ({_make_ml_common_sql().strip().rstrip()})
+SELECT class_idx,
+       max(CASE WHEN in_given THEN num_examples END) AS label_issues,
+       max(CASE WHEN NOT in_given THEN num_examples END) AS inverse_label_issues,
+       max(CASE WHEN in_given THEN prob_e6 END) AS label_noise_e6,
+       max(CASE WHEN NOT in_given THEN prob_e6 END) AS inverse_label_noise_e6,
+       1000000 - max(CASE WHEN in_given THEN prob_e6 END) AS label_quality_score_e6
+FROM common GROUP BY class_idx
+"""
+
+
+ORACLE_SQL["multilabel_class_quality"] = _make_ml_class_quality_sql()
+
+
 # health_summary oracle: calibrate_confident_joint (count.py:221-291,
 # incl. the largest-remainder row rounding) + rank_classes (dataset.py:
 # 16-108), all on the dense 3x3 confident joint.
