@@ -4203,3 +4203,97 @@ def q_noniid_detection(sf_dir: str):
 
 
 QUERIES["noniid_detection"] = q_noniid_detection
+
+
+# ---------------------------------------------------------------------------
+# kNN-vote pred_probs fallback (features-only label issues, SQL-checked)
+# ---------------------------------------------------------------------------
+
+def q_knn_vote_probs(sf_dir: str):
+    """Features-only Datalab fallback: out-of-sample pred_probs from a
+    kNN vote over the embeddings table (reference
+    datalab/internal/issue_manager/label.py:147-159 — fit k+1 including
+    self, algebraically remove the self vote == vote over the k nearest
+    OTHER rows). LSH-bucketed scale path; seeded planes are inlined into
+    the oracle so the bucketed approximation is reproduced exactly."""
+    from cleanlab_ray.stages.knn_outlier import knn_vote_pred_probs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+    out = knn_vote_pred_probs(
+        ds, num_classes=10, k=10, num_planes=4, num_tables=2, seed=23
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        p = batch["knn_prob_given"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "vec_id": pc.cast(batch["vec_id"], pa.int64()),
+                "label": pc.cast(batch["label"], pa.int64()),
+                # floor(x*1e6+0.5): DuckDB round() is half-away, np.round half-even
+                "knn_prob_given_e6": pa.array(np.floor(p * 1e6 + 0.5).astype(np.int64)),
+                "knn_pred": pc.cast(batch["knn_pred"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _make_knn_vote_sql(
+    k: int = 10, num_planes: int = 4, num_tables: int = 2, seed: int = 23,
+    dim: int = 64,
+) -> str:
+    """knn_vote_pred_probs oracle: per-(table, bucket) exact kNN with
+    (dist, j) tie order, kk = least(k, bucket_size - 1); per row the
+    vote of the best table (min avg dist, ties to lowest t). Isolated
+    rows keep the given label at prob 1."""
+    return f"""
+WITH planes(t, p, w) AS (VALUES
+    {_planes_values_sql(seed, num_tables, num_planes, dim)}),
+ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+dots AS (
+  SELECT ev.vec_id, pl.t, pl.p, list_dot_product(ev.e, pl.w) AS d
+  FROM ev CROSS JOIN planes pl),
+bv AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS b
+  FROM dots GROUP BY 1, 2),
+bsz AS (SELECT t, b, count(*) AS sz FROM bv GROUP BY 1, 2),
+pairs AS (
+  SELECT m1.vec_id AS i, m1.t, m1.b, m2.vec_id AS j, e2.label AS jlab,
+         list_distance(e1.e, e2.e) AS dist
+  FROM bv m1 JOIN bv m2 ON m1.t = m2.t AND m1.b = m2.b AND m1.vec_id <> m2.vec_id
+  JOIN ev e1 ON e1.vec_id = m1.vec_id
+  JOIN ev e2 ON e2.vec_id = m2.vec_id),
+rk AS (
+  SELECT p.i, p.t, p.jlab, p.dist, s.sz,
+         row_number() OVER (PARTITION BY p.i, p.t, p.b ORDER BY p.dist, p.j) AS rn
+  FROM pairs p JOIN bsz s ON p.t = s.t AND p.b = s.b),
+nbr AS (SELECT i, t, jlab, dist FROM rk WHERE rn <= least({k}, sz - 1)),
+stats AS (SELECT i, t, count(*) AS kk, avg(dist) AS a FROM nbr GROUP BY 1, 2),
+best AS (
+  SELECT i, t, kk FROM (
+    SELECT i, t, kk, row_number() OVER (PARTITION BY i ORDER BY a, t) AS rn
+    FROM stats) WHERE rn = 1),
+votes AS (
+  SELECT n.i, n.jlab AS c, count(*) AS v
+  FROM nbr n JOIN best b ON n.i = b.i AND n.t = b.t GROUP BY 1, 2),
+predc AS (
+  SELECT i, c FROM (
+    SELECT i, c, row_number() OVER (PARTITION BY i ORDER BY v DESC, c) AS rn
+    FROM votes) WHERE rn = 1),
+given AS (
+  SELECT b.i, b.kk, coalesce(v.v, 0) AS m
+  FROM best b JOIN ev ON ev.vec_id = b.i
+  LEFT JOIN votes v ON v.i = b.i AND v.c = ev.label)
+SELECT ev.vec_id, CAST(ev.label AS BIGINT) AS label,
+       CAST(floor(CASE WHEN g.i IS NULL THEN 1.0
+                       ELSE g.m::DOUBLE / g.kk END * 1000000 + 0.5) AS BIGINT)
+         AS knn_prob_given_e6,
+       CAST(coalesce(p.c, ev.label) AS BIGINT) AS knn_pred
+FROM ev LEFT JOIN given g ON g.i = ev.vec_id
+LEFT JOIN predc p ON p.i = ev.vec_id
+"""
+
+
+QUERIES["knn_vote_probs"] = q_knn_vote_probs
+ORACLE_SQL["knn_vote_probs"] = _make_knn_vote_sql()

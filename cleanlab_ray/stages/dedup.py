@@ -36,18 +36,91 @@ def add_content_hash(
     return batch.append_column(out_col, pa.array(h.astype(np.int64), type=pa.int64()))
 
 
-def _sorted_block_map(ds, sort_cols, fn):
+def _sorted_block_map(ds, sort_cols, fn, guard: bool = True):
     """Sort-shuffle + whole-block vectorized map.
 
     ``Dataset.sort`` range-partitions so that all rows with equal sort
     keys land in ONE block — the exact guarantee GroupedData.map_groups
-    relies on (ray.data.grouped_data: sort + batch_size=None). Unlike
-    map_groups, ``fn`` receives the WHOLE sorted block (many groups) as
-    one pyarrow Table, so per-group work can be vectorized instead of
-    paying a Python/pandas roundtrip per group."""
+    relies on (ray.data.grouped_data: sort + batch_size=None). The
+    exchange splits each map block at sampled boundaries with a
+    searchsorted, which places ALL rows equal to a boundary key on one
+    side, so an equal-key run can never straddle two reduce partitions
+    even when the run is larger than the target block size (the hot key
+    simply yields one oversized block). Unlike map_groups, ``fn``
+    receives the WHOLE sorted block (many groups) as one pyarrow Table,
+    so per-group work can be vectorized instead of paying a
+    Python/pandas roundtrip per group.
+
+    ``guard=True`` wraps ``fn`` with a vectorized monotonicity assert on
+    the primary sort key: if a future Ray version ever handed this
+    kernel a block that is not internally sorted (the precondition for
+    the run-colocation guarantee above), the stage fails loudly instead
+    of silently splitting groups. Full cross-block straddle detection
+    (needs block identity) lives in :func:`edge_run_report` and is
+    exercised by the hot-key tests."""
+    if guard:
+        primary = sort_cols if isinstance(sort_cols, str) else sort_cols[0]
+
+        def checked(batch: pa.Table) -> pa.Table:
+            col = batch[primary]
+            if len(col) > 1:
+                arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+                try:
+                    vals = arr.to_numpy(zero_copy_only=False)
+                    ok = bool(np.all(vals[1:] >= vals[:-1]))
+                except (TypeError, ValueError, pa.ArrowInvalid):
+                    srt = pc.take(arr, pc.array_sort_indices(arr))
+                    ok = bool(pc.min(pc.equal(arr, srt)).as_py())
+                if not ok:
+                    raise AssertionError(
+                        f"_sorted_block_map: block not sorted on {primary!r}; "
+                        "run-colocation precondition violated"
+                    )
+            return fn(batch)
+
+        mapped = checked
+    else:
+        mapped = fn
     return ds.sort(sort_cols).map_batches(
-        fn, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+        mapped, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def edge_run_report(ds, sort_cols) -> pd.DataFrame:
+    """Loud cross-block straddle detector for the sort-colocation
+    guarantee ``_sorted_block_map`` relies on.
+
+    Sorts ``ds`` exactly like ``_sorted_block_map`` would, then maps each
+    block to its two EDGE keys tagged with a per-block nonce. A key run
+    straddles a block boundary iff the same key value appears at the
+    edges of two DIFFERENT blocks, i.e. shows >1 distinct nonce in this
+    report. Returns the offending keys (empty DataFrame == guarantee
+    holds). Cost: one sort exchange + 2 rows per block — test/debug
+    scale, not a hot-path stage."""
+    import uuid
+
+    primary = sort_cols if isinstance(sort_cols, str) else sort_cols[0]
+
+    def edges(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"_key": pa.array([], batch[primary].type),
+                             "_block": pa.array([], pa.string())})
+        nonce = uuid.uuid4().hex
+        keys = batch[primary]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return pa.table({
+            "_key": keys.take(pa.array([0, len(batch) - 1])),
+            "_block": pa.array([nonce, nonce]),
+        })
+
+    rep = (
+        ds.sort(sort_cols)
+        .map_batches(edges, batch_size=None, batch_format="pyarrow")
+        .to_pandas()
+    )
+    per_key = rep.groupby("_key")["_block"].nunique()
+    return per_key[per_key > 1].reset_index().rename(columns={"_block": "n_blocks"})
 
 
 def _run_starts(*sorted_cols) -> np.ndarray:

@@ -238,3 +238,164 @@ def knn_outlier_scores_bucketed(
         return batch.append_column("ood_score_knn", pa.array(score))
 
     return dists.map_batches(score_kernel, batch_format="pyarrow")
+
+
+def knn_vote_pred_probs(
+    ds,
+    embedding_col: str = "embedding",
+    label_col: str = "label",
+    key_cols: tuple[str, ...] = ("vec_id",),
+    num_classes: int | None = None,
+    k: int = 10,
+    num_planes: int = 4,
+    num_tables: int = 2,
+    seed: int = 23,
+    max_bucket: int = 4096,
+):
+    """kNN-vote out-of-sample pred_probs from features + labels — the
+    features-only Datalab fallback when no model pred_probs exist.
+
+    Reference semantics
+    (/root/reference/cleanlab/datalab/internal/issue_manager/label.py:147-159):
+    sklearn fits k+1 neighbors INCLUDING self then algebraically removes
+    the self vote, which equals a plain vote over the k nearest OTHER
+    rows: pred_probs[i, c] = |{j in kNN(i) : y_j = c}| / k. The engine
+    computes that vote per LSH bucket (same random-hyperplane family and
+    partitioning assumption as knn_outlier_scores_bucketed); per row the
+    vote of the BEST table — minimal in-bucket avg kNN distance, ties to
+    the lowest table index — is kept, so the neighborhood used is the
+    tightest one any table found. kk = min(k, bucket_size - 1) like the
+    bucketed outlier op.
+
+    Rows isolated in every table (no bucket with >= 2 rows) have no
+    evidence against their given label: knn_prob_given = 1.0 and
+    knn_pred = the given label (documented engine choice; the reference
+    never sees this case because its kNN is global-exact).
+
+    Returns Dataset[key_cols + (label, knn_prob_given, knn_pred)] where
+    knn_prob_given is the self-confidence pred_probs[i, y_i] and
+    knn_pred the argmax class (ties -> lowest class index).
+    """
+    from cleanlab_ray.stages.dedup import _encode_keys, _run_starts, _sorted_block_map
+
+    table_salt = (np.arange(num_tables, dtype=np.uint64) + np.uint64(1)) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+    planes_cache: dict = {}
+
+    def make_planes(dim):
+        rng = np.random.default_rng(seed)
+        return rng.standard_normal((num_tables, num_planes, dim))
+
+    def bucket_kernel(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        mat = _embed_matrix(batch, embedding_col)
+        dim = mat.shape[1]
+        if dim not in planes_cache:
+            planes_cache[dim] = make_planes(dim)
+        planes = planes_cache[dim]
+        bucket = np.empty((n, num_tables), dtype=np.uint64)
+        for ti in range(num_tables):
+            signs = (mat @ planes[ti].T) > 0
+            bucket[:, ti] = signs.dot(1 << np.arange(num_planes)).astype(np.uint64)
+        bucket ^= table_salt[None, :]
+        keep = batch.select([*key_cols, label_col, embedding_col]).append_column(
+            "_ekey", _encode_keys(batch, key_cols)
+        )
+        tiled = keep.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), num_tables)))
+        tiled = tiled.append_column(
+            "_t", pa.array(np.tile(np.arange(num_tables, dtype=np.int64), n))
+        )
+        return tiled.append_column("bucket", pa.array(bucket.reshape(-1).astype(np.int64)))
+
+    banded = ds.map_batches(bucket_kernel, batch_format="pyarrow")
+
+    def bucket_vote(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out_base = batch.select([*key_cols, label_col, "_ekey", "_t"])
+        if n == 0:
+            return out_base.append_column(
+                "avg_knn_distance", pa.array([], type=pa.float64())
+            ).append_column("_match", pa.array([], type=pa.int64())).append_column(
+                "_pred", pa.array([], type=pa.int64())
+            ).append_column("_kk", pa.array([], type=pa.int64()))
+        bucket = batch["bucket"].to_numpy(zero_copy_only=False)
+        labels = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch[key_cols[0]].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _embed_matrix(batch, embedding_col)
+        nclasses = int(num_classes) if num_classes else int(labels.max()) + 1
+        starts = _run_starts(bucket)
+        bounds = np.append(starts, n)
+        avg = np.full(n, np.inf)
+        match = np.zeros(n, dtype=np.int64)
+        pred = labels.copy()
+        kks = np.zeros(n, dtype=np.int64)
+        for gi in range(len(starts)):
+            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+            b = hi - lo
+            if b < 2:
+                continue
+            sub = np.arange(lo, hi)
+            if b > max_bucket:
+                # deterministic cap: evenly spaced rows of the id-sorted bucket
+                by_id = sub[np.argsort(ids[sub], kind="stable")]
+                sub = np.sort(by_id[np.linspace(0, b - 1, max_bucket).astype(np.int64)])
+            m = mat[sub]
+            sid = ids[sub]
+            slab = labels[sub]
+            d2 = (
+                np.sum(m * m, axis=1)[:, None]
+                + np.sum(m * m, axis=1)[None, :]
+                - 2.0 * (m @ m.T)
+            )
+            np.maximum(d2, 0.0, out=d2)
+            d = np.sqrt(d2)
+            self_mask = sid[:, None] == sid[None, :]
+            d[self_mask] = np.inf
+            kk = min(k, len(sub) - 1)
+            # deterministic (dist, id) tie order — matches the SQL oracle
+            order = np.lexsort((np.broadcast_to(sid, d.shape), d), axis=-1)[:, :kk]
+            nd = np.take_along_axis(d, order, axis=1)
+            nlab = slab[order]  # (B, kk) neighbor labels
+            votes = np.zeros((len(sub), nclasses), dtype=np.int64)
+            rows = np.repeat(np.arange(len(sub)), kk)
+            np.add.at(votes, (rows, nlab.ravel()), 1)
+            avg[sub] = nd.mean(axis=1)
+            match[sub] = votes[np.arange(len(sub)), slab]
+            pred[sub] = votes.argmax(axis=1)  # ties -> lowest class index
+            kks[sub] = kk
+        return (
+            out_base.append_column("avg_knn_distance", pa.array(avg))
+            .append_column("_match", pa.array(match))
+            .append_column("_pred", pa.array(pred))
+            .append_column("_kk", pa.array(kks))
+        )
+
+    per_table = _sorted_block_map(banded, "bucket", bucket_vote)
+
+    def best_per_row(batch: pa.Table) -> pa.Table:
+        out = batch.select([*key_cols, label_col])
+        n = batch.num_rows
+        if n == 0:
+            return out.append_column(
+                "knn_prob_given", pa.array([], type=pa.float64())
+            ).append_column("knn_pred", pa.array([], type=pa.int64()))
+        ekey = np.asarray(batch["_ekey"].to_pandas(), dtype=object)
+        avg = batch["avg_knn_distance"].to_numpy(zero_copy_only=False).astype(np.float64)
+        t = batch["_t"].to_numpy(zero_copy_only=False)
+        match = batch["_match"].to_numpy(zero_copy_only=False).astype(np.float64)
+        pred = batch["_pred"].to_numpy(zero_copy_only=False).astype(np.int64)
+        kk = batch["_kk"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # blocks arrive sorted by _ekey; order rows (avg, t) within runs
+        order = np.lexsort((t, np.nan_to_num(avg, nan=np.inf, posinf=np.inf), ekey))
+        starts = _run_starts(ekey[order])
+        pick = order[starts]
+        prob = np.where(kk[pick] > 0, match[pick] / np.maximum(kk[pick], 1.0), 1.0)
+        labels = batch[label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        best_pred = np.where(kk[pick] > 0, pred[pick], labels[pick])
+        out = out.take(pa.array(pick))
+        return out.append_column("knn_prob_given", pa.array(prob)).append_column(
+            "knn_pred", pa.array(best_pred)
+        )
+
+    return _sorted_block_map(per_table, "_ekey", best_per_row)

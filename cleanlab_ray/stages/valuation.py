@@ -23,17 +23,22 @@ import pyarrow as pa
 
 
 def knn_shapley_score(neighbor_indices: np.ndarray, y: np.ndarray, k: int) -> np.ndarray:
-    """Exact reference recursion (data_valuation.py:14-51)."""
+    """Exact reference recursion (data_valuation.py:14-51), vectorized.
+
+    The backward recurrence
+    ``s_alpha[idx[j]] = s_alpha[idx[j+1]] + (matches[j] - matches[j+1])``
+    seeded with ``s_alpha[idx[k-1]] = 0`` telescopes to
+    ``s_alpha[idx[j]] = matches[j] - matches[k-1]``, so the whole (n, n)
+    score matrix reduces to one (n, k) match matrix plus a bincount
+    scatter-add over the neighbor indices — no per-row Python loop.
+    """
     n = y.shape[0]
-    scores = np.zeros((n, n))
-    for y_alpha, s_alpha, idx in zip(y, scores, neighbor_indices):
-        y_neighbors = y[idx]
-        matches = (y_neighbors == y_alpha).flatten()
-        # NOTE: like the reference, the j = k-1 seed stays 0 (the
-        # pre-allocated zeros incorporate its eq.-18 simplification)
-        for j in range(k - 2, -1, -1):
-            s_alpha[idx[j]] = s_alpha[idx[j + 1]] + float(int(matches[j]) - int(matches[j + 1]))
-    return np.mean(scores / k, axis=0)
+    matches = (y[neighbor_indices] == y[:, None]).astype(np.float64)
+    contrib = matches - matches[:, -1:]
+    totals = np.bincount(
+        neighbor_indices.ravel(), weights=contrib.ravel(), minlength=n
+    )
+    return totals / (n * k)
 
 
 def data_valuation(

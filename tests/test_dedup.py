@@ -109,3 +109,37 @@ def test_fingerprint_deterministic(dup_corpus):
     by_text = out.groupby("text")["fingerprint"].nunique()
     assert (by_text == 1).all()  # same text -> same fingerprint
     assert out["fingerprint"].nunique() == out["text"].nunique()
+
+
+def test_hot_key_run_does_not_straddle_blocks(ray_session):
+    """A single key whose run is far larger than any input block must
+    still land in ONE sorted block (the _sorted_block_map colocation
+    guarantee) — and exact_dedup must therefore keep exactly one copy.
+    edge_run_report fails loudly if Ray ever splits the run."""
+    import ray.data as rd
+
+    from cleanlab_ray.stages.dedup import (
+        add_content_hash,
+        edge_run_report,
+        exact_dedup,
+    )
+
+    hot = "the same hot text repeated everywhere " * 4
+    rows = [
+        {"conv_id": f"h{i:05d}", "turn_idx": i, "text": hot} for i in range(4000)
+    ] + [
+        {"conv_id": f"u{i:05d}", "turn_idx": 0, "text": f"unique text {i}"}
+        for i in range(500)
+    ]
+    # 45 input blocks of ~100 rows: the hot run spans ~40 of them pre-sort.
+    ds = rd.from_items(rows).repartition(45)
+
+    hashed = ds.map_batches(add_content_hash, batch_format="pyarrow")
+    straddles = edge_run_report(hashed, "content_hash")
+    assert straddles.empty, f"hot key split across blocks: {straddles}"
+
+    out = exact_dedup(ds).to_pandas()
+    assert len(out) == 501
+    kept_hot = out[out["text"] == hot]
+    assert len(kept_hot) == 1
+    assert kept_hot.iloc[0]["conv_id"] == "h00000"

@@ -78,3 +78,41 @@ def test_exact_median_utility(ray_session):
         vals = rng.standard_normal(n) * 3.7 + 1.2
         ds = rd.from_pandas(pd.DataFrame({"x": vals}))
         assert exact_median(ds, "x") == pytest.approx(np.median(vals), abs=1e-12)
+
+
+def test_knn_vote_pred_probs_recovers_cluster_labels(ray_session):
+    """Clustered embeddings labeled by cluster: the kNN vote must assign
+    near-1 self-confidence to correctly-labeled rows and flag planted
+    label flips with low knn_prob_given + the true cluster as knn_pred."""
+    import ray.data as rd
+
+    from cleanlab_ray.stages.knn_outlier import knn_vote_pred_probs
+
+    rng = np.random.default_rng(11)
+    n_per, n_cls = 60, 3
+    mat = np.concatenate(
+        [rng.standard_normal((n_per, 8)) * 0.3 + 6.0 * c for c in range(n_cls)]
+    )
+    labels = np.repeat(np.arange(n_cls), n_per)
+    flipped = [0, 65, 130]
+    for i in flipped:
+        labels[i] = (labels[i] + 1) % n_cls
+    rows = [
+        {"vec_id": i, "embedding": mat[i].tolist(), "label": int(labels[i])}
+        for i in range(len(mat))
+    ]
+    ds = rd.from_items(rows)
+    out = (
+        knn_vote_pred_probs(ds, num_classes=n_cls, k=10, num_planes=3, num_tables=2)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(mat)
+    true_cluster = np.repeat(np.arange(n_cls), n_per)
+    for i in flipped:
+        row = out.iloc[i]
+        assert row["knn_prob_given"] <= 0.2  # flipped label gets few votes
+        assert row["knn_pred"] == true_cluster[i]
+    clean = out.drop(index=flipped)
+    assert (clean["knn_prob_given"] >= 0.8).mean() > 0.95
