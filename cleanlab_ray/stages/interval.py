@@ -11,10 +11,21 @@ once, each interval finds its matching points with two searchsorted
 probes, and the (point, interval) pair indices are materialized with
 the counts/cumsum arange trick — no per-pair Python.
 
-Partitioning assumption (documented): one key's points + intervals fit
-in a block (same as any groupby on the key). Un-keyed range joins
-(key_col=None semantics) would need value-range binning with interval
-replication across spanned bins; this operator requires a key.
+Mega-key salting (``num_salts``): a key whose points + intervals exceed
+one block is split by VALUE range — the point domain is cut into
+``num_salts`` bins at linspace boundaries, each point lands in exactly
+one bin, and each interval is REPLICATED to every bin its [lo, hi]
+spans. The exchange key becomes (key, bin), so no single partition
+holds more than one bin of one key. Output is identical to the unsalted
+join with no dedup pass: a (point, interval) match is emitted only in
+the point's bin, and the interval is present there iff it overlaps that
+bin. Replication factor = interval span / bin width (documented cost —
+pick num_salts from the hot key's row count / target block rows).
+Boundaries come from a one-pass min/max aggregate over the point values
+unless passed explicitly (at scale pass ``boundaries`` to skip it).
+
+Un-keyed range joins (key_col=None semantics) would need the same
+binning without the key — this operator requires a key.
 """
 
 from __future__ import annotations
@@ -32,6 +43,8 @@ def interval_join(
     lo_col: str,
     hi_col: str,
     suffix: str = "_iv",
+    num_salts: int | None = None,
+    boundaries: np.ndarray | None = None,
 ):
     """Returns point columns + every interval column suffixed, one output
     row per (point, containing interval) pair."""
@@ -41,6 +54,20 @@ def interval_join(
     p_cols = [c for c in p_schema if c != key_col]
     i_cols = [c for c in i_schema if c != key_col]
 
+    if num_salts is not None and num_salts > 1 and boundaries is None:
+        stats = points.select_columns([val_col]).aggregate(
+            *_min_max_aggs(val_col)
+        )
+        vmin, vmax = float(stats[f"min({val_col})"]), float(stats[f"max({val_col})"])
+        boundaries = np.linspace(vmin, vmax, num_salts + 1)[1:-1]
+    if boundaries is not None:
+        boundaries = np.asarray(boundaries, dtype=np.float64)
+
+    def _salt_of(vals: np.ndarray) -> np.ndarray:
+        if boundaries is None:
+            return np.zeros(len(vals), dtype=np.int32)
+        return np.searchsorted(boundaries, vals, side="right").astype(np.int32)
+
     def tag_points(batch: pa.Table) -> pa.Table:
         cols = {key_col: batch[key_col],
                 "_side": pa.array(np.zeros(batch.num_rows, dtype=np.int8))}
@@ -48,15 +75,30 @@ def interval_join(
             cols[c] = batch[c]
         for c in i_cols:
             cols[f"{c}{suffix}"] = pa.nulls(batch.num_rows, i_schema[c])
+        val = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        cols["_salt"] = pa.array(_salt_of(val))
         return pa.table(cols)
 
     def tag_intervals(batch: pa.Table) -> pa.Table:
-        cols = {key_col: batch[key_col],
-                "_side": pa.array(np.ones(batch.num_rows, dtype=np.int8))}
+        n = batch.num_rows
+        lo = batch[lo_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi = batch[hi_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        lo_bin, hi_bin = _salt_of(lo), _salt_of(hi)
+        counts = (hi_bin - lo_bin + 1).astype(np.int64)
+        total = int(counts.sum())
+        rep = np.repeat(np.arange(n, dtype=np.int64), counts)
+        offs = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+        )
+        salts = (lo_bin[rep] + offs).astype(np.int32)
+        taken = batch.take(pa.array(rep))
+        cols = {key_col: taken[key_col],
+                "_side": pa.array(np.ones(total, dtype=np.int8))}
         for c in p_cols:
-            cols[c] = pa.nulls(batch.num_rows, p_schema[c])
+            cols[c] = pa.nulls(total, p_schema[c])
         for c in i_cols:
-            cols[f"{c}{suffix}"] = batch[c]
+            cols[f"{c}{suffix}"] = taken[c]
+        cols["_salt"] = pa.array(salts)
         return pa.table(cols)
 
     unioned = points.map_batches(tag_points, batch_format="pyarrow").union(
@@ -70,17 +112,18 @@ def interval_join(
         if n == 0:
             return batch.select(out_names)
         key = batch[key_col].to_numpy(zero_copy_only=False)
+        salt = batch["_salt"].to_numpy(zero_copy_only=False)
         side = batch["_side"].to_numpy(zero_copy_only=False)
         val = batch[val_col].to_numpy(zero_copy_only=False).astype(np.float64)
         lo = batch[f"{lo_col}{suffix}"].to_numpy(zero_copy_only=False).astype(np.float64)
         hi = batch[f"{hi_col}{suffix}"].to_numpy(zero_copy_only=False).astype(np.float64)
-        # sort (key, side, val-or-lo): point values sorted within each run
+        # sort (key, salt, side, val-or-lo): point values sorted per run
         sortv = np.where(side == 0, val, lo)
-        order = np.lexsort((sortv, side, key))
-        k_s, s_s = key[order], side[order]
-        # per key run: points first (side 0, val ascending), then intervals
+        order = np.lexsort((sortv, side, salt, key))
+        k_s, sa_s, s_s = key[order], salt[order], side[order]
+        # per (key, salt) run: points first (side 0, val ascending), then intervals
         run_change = np.ones(n, dtype=bool)
-        run_change[1:] = k_s[1:] != k_s[:-1]
+        run_change[1:] = (k_s[1:] != k_s[:-1]) | (sa_s[1:] != sa_s[:-1])
         run_id = np.cumsum(run_change) - 1
         is_pt = s_s == 0
         pt_rows = order[is_pt]                       # global rows, val-sorted per run
@@ -117,6 +160,13 @@ def interval_join(
             out = out.append_column(f"{c}{suffix}", batch[f"{c}{suffix}"].take(iv_take))
         return out
 
-    return unioned.sort(key_col).map_batches(
+    sort_keys = [key_col, "_salt"] if boundaries is not None else key_col
+    return unioned.sort(sort_keys).map_batches(
         join_block, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _min_max_aggs(col: str):
+    from ray.data.aggregate import Max, Min
+
+    return Min(col), Max(col)

@@ -34,13 +34,32 @@ import numpy as np
 import pyarrow as pa
 
 
+#: Hard cap on the exact (global-broadcast) path. The permutation test
+#: is inherently global-order, so the exact path materializes the full
+#: (N, D) embedding matrix on the driver and broadcasts it; past this
+#: row count use :func:`noniid_issues_windowed` (per-window test, no
+#: broadcast) instead.
+MAX_EXACT_ROWS = 2_000_000
+
+
 def knn_index_graph(ds, embedding_col: str = "embedding", key_col: str = "vec_id",
-                    k: int = 10):
+                    k: int = 10, max_rows: int = MAX_EXACT_ROWS):
     """Dataset[(key, neighbor indices fixed_size_list<int64>[k])] — exact
     broadcast kNN with (distance, id) tie order. Row 'index' = the rank
-    of its key in ascending key order (collection order)."""
+    of its key in ascending key order (collection order).
+
+    Raises ValueError past ``max_rows`` — this path broadcasts the full
+    embedding matrix (documented exact-only design); the scale path is
+    noniid_issues_windowed."""
     import ray
 
+    n_total = ds.count()
+    if n_total > max_rows:
+        raise ValueError(
+            f"knn_index_graph exact path materializes the full embedding "
+            f"matrix; {n_total} rows > max_rows={max_rows}. Use "
+            f"noniid_issues_windowed for the windowed scale path."
+        )
     ref = ds.select_columns([key_col, embedding_col]).to_pandas()
     ref = ref.sort_values(key_col, kind="mergesort")
     ref_ids = ref[key_col].to_numpy().astype(np.int64)
@@ -260,3 +279,169 @@ def noniid_issues(
     info = {"p_value": float(p_value), "ks": float(observed_ks),
             "num_permutations": num_permutations, "k": k, "n": n}
     return out, info
+
+
+def noniid_issues_windowed(
+    ds,
+    embedding_col: str = "embedding",
+    key_col: str = "vec_id",
+    order_col: str | None = None,
+    num_windows: int = 8,
+    k: int = 10,
+    num_permutations: int = 25,
+    significance_threshold: float = 0.05,
+    seed: int = 0,
+    boundaries: np.ndarray | None = None,
+):
+    """Windowed non-IID scale path: the SAME kNN permutation test run
+    independently inside contiguous windows of the global order — no
+    global embedding broadcast, no driver materialization.
+
+    The order column's span is cut into ``num_windows`` value ranges
+    (one min/max aggregate, or pass ``boundaries``); rows are exchanged
+    once on the window id (sort — the map_groups co-location guarantee)
+    and each window runs the full exact test in its block: in-window
+    kNN graph (chunked brute force, (dist, key) tie order), in-window
+    index order by (order_col, key), observed + permutation histograms,
+    KS -> KDE-tail p-value, per-row AUC scores, min-score row flagged
+    when that window's p-value is significant.
+
+    With one window covering everything and order_col == key_col the
+    output matches :func:`noniid_issues` exactly (tested). Partitioning
+    assumption: one window's rows fit a block — size num_windows from
+    N / target block rows. Window independence is the documented
+    approximation: drift WITHIN a window is detected, drift only visible
+    across window boundaries shows up in the per-window score levels
+    rather than a single global p-value.
+
+    Returns Dataset[key, window_id, row_index, noniid_score, p_value,
+    is_noniid_issue].
+    """
+    order_col = order_col or key_col
+
+    if boundaries is None:
+        from ray.data.aggregate import Max, Min
+
+        def to_f64(batch: pa.Table) -> pa.Table:
+            v = batch[order_col].to_numpy(zero_copy_only=False)
+            if np.issubdtype(v.dtype, np.datetime64):
+                v = v.view(np.int64)
+            return pa.table({"_o": pa.array(v.astype(np.float64))})
+
+        stats = ds.select_columns([order_col]).map_batches(
+            to_f64, batch_format="pyarrow"
+        ).aggregate(Min("_o"), Max("_o"))
+        boundaries = np.linspace(stats["min(_o)"], stats["max(_o)"],
+                                 num_windows + 1)[1:-1]
+    boundaries = np.asarray(boundaries, dtype=np.float64)
+
+    def assign_window(batch: pa.Table) -> pa.Table:
+        v = batch[order_col].to_numpy(zero_copy_only=False)
+        if np.issubdtype(v.dtype, np.datetime64):
+            v = v.view(np.int64)
+        w = np.searchsorted(boundaries, v.astype(np.float64), side="right")
+        keep = list(dict.fromkeys([key_col, order_col, embedding_col]))
+        return batch.select(keep).append_column(
+            "window_id", pa.array(w.astype(np.int64))
+        )
+
+    windowed = ds.map_batches(assign_window, batch_format="pyarrow")
+
+    def per_window(batch: pa.Table) -> pa.Table:
+        from cleanlab_ray.stages.dedup import _run_starts
+
+        nrows = batch.num_rows
+        empty = pa.table({
+            key_col: pa.array([], batch[key_col].type),
+            "window_id": pa.array([], pa.int64()),
+            "row_index": pa.array([], pa.int64()),
+            "noniid_score": pa.array([], pa.float64()),
+            "p_value": pa.array([], pa.float64()),
+            "is_noniid_issue": pa.array([], pa.bool_()),
+        })
+        if nrows == 0:
+            return empty
+        win = batch["window_id"].to_numpy(zero_copy_only=False)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        ov = batch[order_col].to_numpy(zero_copy_only=False)
+        if np.issubdtype(ov.dtype, np.datetime64):
+            ov = ov.view(np.int64)
+        col = batch[embedding_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64).reshape(
+            nrows, -1
+        )
+        starts = _run_starts(win)
+        bounds = np.append(starts, nrows)
+        outs = []
+        for gi in range(len(starts)):
+            lo, hi = int(bounds[gi]), int(bounds[gi + 1])
+            rows = np.arange(lo, hi)
+            # in-window index order: (order value, key) ascending
+            rows = rows[np.lexsort((keys[lo:hi], ov[lo:hi]))]
+            n = len(rows)
+            if n < k + 2:
+                outs.append({
+                    "keys": keys[rows], "win": win[rows],
+                    "idx": np.arange(n), "score": np.ones(n),
+                    "p": np.ones(n), "flag": np.zeros(n, dtype=bool),
+                })
+                continue
+            m = mat[rows]
+            wkeys = keys[rows]
+            sq = np.sum(m * m, axis=1)
+            nbrs = np.empty((n, k), dtype=np.int64)
+            for c0 in range(0, n, 1024):  # chunked: O(n^2) flops, O(chunk*n) memory
+                c1 = min(c0 + 1024, n)
+                d2 = sq[c0:c1, None] + sq[None, :] - 2.0 * (m[c0:c1] @ m.T)
+                np.maximum(d2, 0.0, out=d2)
+                d = np.sqrt(d2)
+                d[np.arange(c0, c1) - c0, np.arange(c0, c1)] = np.inf
+                nbrs[c0:c1] = np.lexsort(
+                    (np.broadcast_to(wkeys, d.shape), d), axis=-1
+                )[:, :k]
+            own = np.arange(n, dtype=np.int64)
+            hist = np.bincount(np.abs(own[:, None] - nbrs).reshape(-1),
+                               minlength=n)[1:n]
+            observed_ks = _ks_from_hist(hist, n)
+            np.random.seed(seed)
+            perm_ks = np.empty(num_permutations)
+            for pi in range(num_permutations):
+                perm = np.random.permutation(n)
+                ph = np.bincount(np.abs(perm[own][:, None] - perm[nbrs]).reshape(-1),
+                                 minlength=n)[1:n]
+                perm_ks[pi] = _ks_from_hist(ph, n)
+            p_value = _kde_tail_pvalue(perm_ks, observed_ks)
+            tb = pa.table({
+                "row_index": pa.array(own),
+                "neighbor_indices": pa.FixedSizeListArray.from_arrays(
+                    pa.array(nbrs.reshape(-1)), k
+                ),
+            })
+            scores = noniid_scores_kernel(n)(tb)["noniid_score"].to_numpy(
+                zero_copy_only=False
+            )
+            flagged = np.zeros(n, dtype=bool)
+            if p_value < significance_threshold:
+                flagged[np.argmin(scores)] = True
+            outs.append({
+                "keys": keys[rows], "win": win[rows], "idx": own,
+                "score": scores, "p": np.full(n, p_value), "flag": flagged,
+            })
+        return pa.table({
+            key_col: pa.array(np.concatenate([o["keys"] for o in outs])),
+            "window_id": pa.array(
+                np.concatenate([o["win"] for o in outs]).astype(np.int64)
+            ),
+            "row_index": pa.array(
+                np.concatenate([o["idx"] for o in outs]).astype(np.int64)
+            ),
+            "noniid_score": pa.array(np.concatenate([o["score"] for o in outs])),
+            "p_value": pa.array(np.concatenate([o["p"] for o in outs])),
+            "is_noniid_issue": pa.array(np.concatenate([o["flag"] for o in outs])),
+        })
+
+    return windowed.sort("window_id").map_batches(
+        per_window, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -68,3 +68,45 @@ def test_interval_join_empty_key_no_leak(ray_session):
         key_col="k", val_col="v", lo_col="lo", hi_col="hi",
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_interval_join_salted_mega_key(ray_session):
+    """A mega key with >1-block row count: value-range salting must
+    replicate intervals across spanned bins and reproduce the brute
+    force exactly (no dropped or duplicated matches)."""
+    rng = np.random.default_rng(13)
+    n_p, n_i = 30_000, 300
+    pts = pd.DataFrame(
+        {
+            "k": np.where(rng.uniform(size=n_p) < 0.95, 3,
+                           rng.integers(0, 4, size=n_p)),
+            "pid": np.arange(n_p),
+            "v": rng.uniform(0, 100, size=n_p).round(2),
+        }
+    )
+    lo = rng.uniform(0, 95, size=n_i).round(2)
+    ivs = pd.DataFrame(
+        {
+            "k": np.where(rng.uniform(size=n_i) < 0.9, 3,
+                           rng.integers(0, 4, size=n_i)),
+            "iid": np.arange(n_i),
+            "lo": lo,
+            # wide intervals span many salt bins -> replication exercised
+            "hi": (lo + rng.uniform(0, 40, size=n_i)).round(2),
+        }
+    )
+    out = (
+        interval_join(
+            rd.from_pandas(pts).repartition(16),
+            rd.from_pandas(ivs).repartition(3),
+            key_col="k", val_col="v", lo_col="lo", hi_col="hi",
+            num_salts=16,
+        )
+        .to_pandas()
+        .rename(columns={"iid_iv": "iid"})[["k", "pid", "iid"]]
+        .sort_values(["pid", "iid"])
+        .reset_index(drop=True)
+    )
+    want = _oracle(pts, ivs)
+    assert len(out) == len(want) and len(want) > n_p  # multi-match present
+    assert out.equals(want.astype(out.dtypes.to_dict()))

@@ -85,3 +85,48 @@ def test_noniid_not_flagged_on_shuffled(ray_session, sorted_mat):
     out, info = noniid_issues(ds, k=10, num_permutations=25, seed=0)
     assert info["p_value"] > 0.05
     assert out.to_pandas()["is_noniid_issue"].sum() == 0
+
+
+def test_windowed_single_window_matches_exact(ray_session, sorted_mat):
+    """One window covering the full key span must reproduce the exact
+    path bit-for-bit (same graph, permutations, p-value, scores)."""
+    from cleanlab_ray.stages.noniid import noniid_issues, noniid_issues_windowed
+
+    ds = _make_ds(sorted_mat, ray_session)
+    exact, info = noniid_issues(ds, k=10, num_permutations=25, seed=0)
+    exact_df = exact.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    win = (
+        noniid_issues_windowed(ds, k=10, num_permutations=25, seed=0, num_windows=1)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert len(win) == len(exact_df)
+    assert (win["window_id"] == 0).all()
+    np.testing.assert_allclose(
+        win["noniid_score"].to_numpy(), exact_df["noniid_score"].to_numpy(),
+        rtol=0, atol=0,
+    )
+    assert (win["is_noniid_issue"] == exact_df["is_noniid_issue"]).all()
+    assert win["p_value"].iloc[0] == pytest.approx(info["p_value"], rel=1e-12)
+
+
+def test_windowed_scale_path_no_broadcast(ray_session, sorted_mat):
+    """Multi-window run: drifting data is flagged inside windows; the
+    exact path refuses past max_rows with a clear error."""
+    from cleanlab_ray.stages.noniid import knn_index_graph, noniid_issues_windowed
+
+    ds = _make_ds(sorted_mat, ray_session)
+    out = noniid_issues_windowed(
+        ds, k=5, num_permutations=25, seed=0, num_windows=3
+    ).to_pandas()
+    assert len(out) == len(sorted_mat)
+    assert out["window_id"].nunique() == 3
+    assert out["noniid_score"].between(0, 1).all()
+    # within each window the drift persists -> significant p-values
+    per_w = out.groupby("window_id")["p_value"].first()
+    assert (per_w < 0.05).sum() >= 2
+    assert out.groupby("window_id")["is_noniid_issue"].sum().max() <= 1
+
+    with pytest.raises(ValueError, match="windowed"):
+        knn_index_graph(ds, max_rows=10)
