@@ -99,7 +99,11 @@ class _SideAccumulator:
     """Tiny zero-CPU actor collecting per-batch flat partials from map
     tasks (the 'side output' that lets pass 1 ride the scoring scan).
     Batches are deduped by a deterministic key so task retries cannot
-    double-count."""
+    double-count. Senders fire-and-forget — no per-batch ray.get round
+    trip serializing every scoring task through this actor — and the
+    driver settles by row count: the partial layout's count component
+    sums to the number of rows folded in, which must equal the
+    materialized dataset's row count before the state is read."""
 
     def __init__(self, size: int):
         self.acc = np.zeros(size, dtype=np.float64)
@@ -113,6 +117,26 @@ class _SideAccumulator:
 
     def get(self):
         return self.acc
+
+
+def _settle_side_acc(acc_actor, expected_rows: int, k: int,
+                     timeout_s: float = 30.0):
+    """Read the accumulator once every fire-and-forget add has landed
+    (counts sum == expected rows). Returns None on timeout — the caller
+    falls back to a separate aggregate pass (correctness never depends
+    on the side channel)."""
+    import time
+
+    import ray
+
+    deadline = time.monotonic() + timeout_s
+    while True:
+        acc = np.asarray(ray.get(acc_actor.get.remote()))
+        if int(round(acc[k:].sum())) == expected_rows:
+            return acc
+        if time.monotonic() > deadline:
+            return None
+        time.sleep(0.005)
 
 
 def _make_scoring_with_side_pass1(acc_handle, k: int, drop_cols: tuple[str, ...]):
@@ -136,9 +160,9 @@ def _make_scoring_with_side_pass1(acc_handle, k: int, drop_cols: tuple[str, ...]
         sums, counts = threshold_partials(labels, probs, k)
         if out.num_rows:
             key = (str(out["conv_id"][0]), int(out["turn_idx"][0].as_py()), out.num_rows)
-        else:
-            key = ("", -1, 0)
-        ray.get(acc_handle.add.remote(key, np.concatenate([sums, counts])))
+            # fire-and-forget: no ray.get — a blocking round trip here
+            # serializes every concurrent scoring task through one actor
+            acc_handle.add.remote(key, np.concatenate([sums, counts]))
         drop = [c for c in drop_cols if c in out.column_names]
         return out.drop_columns(drop) if drop else out
 
@@ -215,7 +239,11 @@ def run_streaming(
             batch_format="pyarrow",
             batch_size=batch_size,
         ).materialize()
-        acc1 = np.asarray(ray.get(acc_actor.get.remote()))
+        acc1 = _settle_side_acc(acc_actor, scored.count(), K)
+        if acc1 is None:  # side channel lost (never observed) — re-scan
+            acc1 = np.asarray(
+                scored.aggregate(make_threshold_aggfn(K))["threshold_partials"]
+            )
     else:
         scored = score_turns(
             ds, concurrency, batch_size, keep_input_columns=False
