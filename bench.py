@@ -80,9 +80,20 @@ def run_bench() -> dict:
     corpus_bytes = sum(
         os.path.getsize(os.path.join(corpus_dir, f)) for f in os.listdir(corpus_dir)
     )
-    # floor at num_cpus so a small corpus still fills one task wave;
-    # above that, block count is a property of the data alone
-    data_blocks = max(num_cpus, min(4096, corpus_bytes // (8 << 20)))
+    # Block count: data-sized (~8 MB parquet per block) for the wave
+    # count, then WAVE-ALIGNED — rounded up to a multiple of num_cpus
+    # with a >=4-wave floor. A fractional final wave idles most of the
+    # pool for a whole task duration (measured: 80 blocks on 32 CPUs =
+    # 2.5 waves ran 671k turns/s; 128 blocks = 4 exact waves ran 932k in
+    # the same VM window). The 2 MB min-block cap keeps tiny corpora
+    # from shattering; at real scale blocks >> cpus and the alignment
+    # term vanishes into the data-sized count.
+    raw_blocks = max(1, corpus_bytes // (8 << 20))
+    waves = max(4, -(-raw_blocks // num_cpus))
+    data_blocks = min(
+        min(4096, waves * num_cpus),
+        max(num_cpus, corpus_bytes // (2 << 20)),
+    )
 
     def one_flagship():
         import gc

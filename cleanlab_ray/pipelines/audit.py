@@ -47,6 +47,10 @@ class AuditResult:
 
         return pd.DataFrame(self.summaries)
 
+    def get_info(self, issue_name: str) -> dict:
+        """Per-manager info dict (Datalab.get_info semantics)."""
+        return self.info.get(issue_name, {})
+
 
 # --- individual issue stages ------------------------------------------------
 
@@ -71,7 +75,10 @@ def _label_stage(ds, ctx):
 
     out = ds.map_batches(kernel, batch_format="pyarrow")
     agg = out.aggregate(Sum("is_label_issue", alias_name="n"), Mean("label_score", alias_name="s"))
-    return out, {"issue_type": "label", "num_issues": int(agg["n"]), "score": float(agg["s"])}
+    return out, {"issue_type": "label", "num_issues": int(agg["n"]), "score": float(agg["s"]),
+                 "info": {"num_classes": stats.num_classes,
+                          "confident_joint": stats.confident_joint.tolist(),
+                          "noise_diagonal": np.round(stats.noise_matrix.diagonal(), 4).tolist()}}
 
 
 def _outlier_stage(ds, ctx):
@@ -98,7 +105,8 @@ def _outlier_stage(ds, ctx):
 
     out = ds.map_batches(kernel, batch_format="pyarrow")
     agg = out.aggregate(Sum("is_outlier_issue", alias_name="n"), Mean("outlier_score", alias_name="s"))
-    return out, {"issue_type": "outlier", "num_issues": int(agg["n"]), "score": float(agg["s"])}
+    return out, {"issue_type": "outlier", "num_issues": int(agg["n"]), "score": float(agg["s"]),
+                 "info": {"threshold": cutoff, "adjusted_by_thresholds": True}}
 
 
 def _class_imbalance_stage(ds, ctx):
@@ -130,6 +138,8 @@ def _class_imbalance_stage(ds, ctx):
         "issue_type": "class_imbalance",
         "num_issues": n_issues,
         "score": float(class_probs[rarest]),
+        "info": {"rarest_class": rarest, "threshold": threshold,
+                 "class_probs": np.round(class_probs, 4).tolist()},
     }
 
 
@@ -159,7 +169,8 @@ def _null_stage(ds, ctx):
 
     out = ds.map_batches(kernel, batch_format="pyarrow")
     agg = out.aggregate(Sum("is_null_issue", alias_name="n"), Mean("null_score", alias_name="s"))
-    return out, {"issue_type": "null", "num_issues": int(agg["n"]), "score": float(agg["s"])}
+    return out, {"issue_type": "null", "num_issues": int(agg["n"]), "score": float(agg["s"]),
+                 "info": {"audited_columns": list(cols) if cols else "all data columns"}}
 
 
 def _near_duplicate_stage(ds, ctx):
@@ -196,6 +207,7 @@ def _near_duplicate_stage(ds, ctx):
         "issue_type": "near_duplicate",
         "num_issues": n,
         "score": float(1.0 - n / max(int(agg["c"]), 1)),
+        "info": {"jaccard_threshold": ctx.get("jaccard_threshold", 0.8)},
     }
 
 
@@ -249,6 +261,10 @@ def find_issues(
         stage_ctx = {**ctx, **per_type.get(name, {})}
         try:
             current, summary = stage(current, stage_ctx)
+            # per-manager info dict (issue_manager.py:91-150): stages
+            # attach extra state under summary["info"], surfaced by
+            # report(verbosity=...) and result.get_info(name)
+            result.info[summary["issue_type"]] = summary.pop("info", {})
             result.summaries.append(summary)
         except Exception as exc:  # per-stage failure isolation
             result.errors[name] = f"{type(exc).__name__}: {exc}"
@@ -294,6 +310,7 @@ def _data_valuation_stage(ds, ctx):
         "issue_type": "data_valuation",
         "num_issues": int(agg["n"] or 0),
         "score": float(agg["s"]) if agg["s"] is not None else 0.5,
+        "info": {"k": 10},
     }
 
 
@@ -311,6 +328,9 @@ def _drift_stage(ds, ctx):
         "issue_type": "drift",
         "num_issues": int((windows["ks_statistic"] > ctx.get("drift_ks_threshold", 0.3)).sum()),
         "score": float(windows.attrs["dataset_score"]),
+        "info": {"window": ctx.get("drift_window", "hour"),
+                 "ks_threshold": ctx.get("drift_ks_threshold", 0.3),
+                 "num_windows": int(len(windows))},
     }
 
 
@@ -318,25 +338,117 @@ REGISTRY["data_valuation"] = _data_valuation_stage
 REGISTRY["drift"] = _drift_stage
 
 
+#: Per-issue report prose, reference issue-manager `description` class
+#: attrs. verbosity=0 prints only the first paragraph (issue_manager.py
+#: report(): description.split("\n\n")[0]).
+DESCRIPTIONS = {
+    "label": (
+        "Examples whose given label appears incorrect based on the "
+        "model's confident predictions.\n\n"
+        "Flagged via the confident-learning mask over the confident "
+        "joint; per-row quality is the self-confidence score."
+    ),
+    "outlier": (
+        "Examples that look atypical relative to the rest of the "
+        "dataset.\n\n"
+        "Scored as 1 - normalized entropy of threshold-adjusted "
+        "pred_probs; rows below the cutoff are flagged."
+    ),
+    "class_imbalance": (
+        "The rarest class is severely under-represented.\n\n"
+        "Flagged when the rarest class prior falls below "
+        "threshold / num_classes; its rows score that prior."
+    ),
+    "null": (
+        "Examples with missing values across the audited columns.\n\n"
+        "Score is the non-null column fraction; all-null rows are "
+        "flagged."
+    ),
+    "near_duplicate": (
+        "Examples that are near-copies of other examples.\n\n"
+        "Detected by MinHash-LSH over the text column at the configured "
+        "Jaccard threshold."
+    ),
+    "data_valuation": (
+        "Examples contributing little (or negatively) to model "
+        "performance per KNN-Shapley valuation.\n\n"
+        "Values are computed inside LSH buckets and rescaled to [0, 1]."
+    ),
+    "drift": (
+        "Event-time windows whose score distribution drifts from the "
+        "global distribution.\n\n"
+        "Per-window KS statistic against the pooled histogram."
+    ),
+    "noniid": (
+        "The dataset ordering looks non-IID (e.g. sorted or "
+        "drifting).\n\n"
+        "kNN permutation test over collection order; the minimum-score "
+        "row is flagged when the p-value is significant."
+    ),
+}
+
+#: Per-issue verbosity levels (issue_manager.py verbosity_levels class
+#: var): info keys added to the report at each level; higher levels
+#: include everything below them, and the top level prints every key in
+#: the manager's info dict.
+VERBOSITY_LEVELS = {
+    "label": {1: ["num_classes"], 2: ["confident_joint"], 3: ["noise_diagonal"]},
+    "outlier": {1: ["threshold"], 2: ["adjusted_by_thresholds"]},
+    "class_imbalance": {1: ["rarest_class", "threshold"], 2: ["class_probs"]},
+    "null": {1: ["audited_columns"]},
+    "near_duplicate": {1: ["jaccard_threshold"]},
+    "data_valuation": {1: ["k"]},
+    "drift": {1: ["window", "ks_threshold"], 2: ["num_windows"]},
+    "noniid": {1: ["p_value"], 2: ["ks", "num_permutations"]},
+}
+
+_MAX_VERBOSITY = 3
+
+
 def report(result: AuditResult, max_rows: int = 5,
+           verbosity: int = 1,
+           include_description: bool = True,
+           show_summary_score: bool = False,
            show_all_issues: bool = False) -> str:
     """Human-readable audit report (Reporter semantics,
     datalab/internal/report.py:76-200): a dataset-information header, a
     prevalence-sorted summary restricted to issue types that actually
-    fired (``show_all_issues=True`` keeps zero-count rows, like the
-    reference flag), then per-issue sections listing the worst
-    ``max_rows`` examples by ascending score."""
-    info = result.info.get("confident_stats", {})
-    header = f"Dataset Information: num_examples: {info.get('n', '?')}"
-    if info.get("num_classes"):
-        header += f", num_classes: {info['num_classes']}"
-    lines = [header, "", "Summary of detected issue types:", ""]
+    fired (``show_all_issues=True`` keeps zero-count rows), then
+    per-issue sections — description (``include_description``; verbosity
+    0 keeps only its first paragraph), counts, the worst ``max_rows``
+    examples by ascending score, and the manager's info keys for the
+    requested ``verbosity`` (levels accumulate; ``verbosity=4`` prints
+    every info key, like the reference's top level)."""
+    if verbosity not in range(_MAX_VERBOSITY + 2):
+        raise ValueError(
+            f"Verbosity level {verbosity} not supported. Supported: "
+            f"0..{_MAX_VERBOSITY}; use {_MAX_VERBOSITY + 1} for all info."
+        )
+    cstats = result.info.get("confident_stats", {})
+    header = f"Dataset Information: num_examples: {cstats.get('n', '?')}"
+    if cstats.get("num_classes"):
+        header += f", num_classes: {cstats['num_classes']}"
     frame = result.summary_frame()
+    any_issues = (not frame.empty) and frame["num_issues"].sum() > 0
+    if not (show_all_issues or any_issues):
+        return (
+            "No issues found in the data. Good job!\n\n"
+            "Try re-running report() with show_summary_score=True "
+            "and show_all_issues=True."
+        )
+    lines = [header, "", "Here is a summary of various issues found in your data:", ""]
     if not frame.empty:
         frame = frame.sort_values("num_issues", ascending=False)
         if not show_all_issues:
             frame = frame[frame["num_issues"] > 0]
-        lines.append(frame.to_string(index=False))
+        shown_frame = frame if show_summary_score else frame.drop(columns=["score"])
+        lines.append(shown_frame.to_string(index=False))
+        if show_summary_score:
+            lines.append("")
+            lines.append(
+                "(Note: A lower score indicates a more severe issue "
+                "across all examples in the dataset.)"
+            )
         lines.append("")
         lines.append(
             "Rows flagged for each issue carry an is_<type>_issue column; "
@@ -349,17 +461,38 @@ def report(result: AuditResult, max_rows: int = 5,
         if t not in shown and not show_all_issues:
             continue
         col = f"{t}_score"
-        head = f"--------- {t}: {s['num_issues']} issues, dataset score {s['score']:.4f} ---------"
+        lines.append(f"{' ' + t + ' issues ':-^60}")
+        lines.append("")
+        if include_description and t in DESCRIPTIONS:
+            desc = DESCRIPTIONS[t]
+            if verbosity == 0:
+                desc = desc.split("\n\n", maxsplit=1)[0]
+            lines.append("About this issue:\n\t" + desc.replace("\n\n", "\n\t"))
+            lines.append("")
+        lines.append(f"Number of examples with this issue: {s['num_issues']}")
+        lines.append(f"Overall dataset quality in terms of this issue: {s['score']:.4f}")
+        lines.append("")
         try:
             worst = (
                 result.dataset.select_columns([*KEYS, col]).sort(col).limit(max_rows).to_pandas()
             )
-            lines.append(head)
-            lines.append(f"Worst {len(worst)} examples by {col}:")
+            lines.append("Examples representing most severe instances of this issue:")
             lines.append(worst.to_string(index=False))
             lines.append("")
         except Exception:
-            lines.append(head)
+            pass
+        info = result.get_info(t)
+        if info:
+            levels = VERBOSITY_LEVELS.get(t, {})
+            keys: list[str] = []
+            for lvl in range(min(verbosity, _MAX_VERBOSITY) + 1):
+                keys.extend(k for k in levels.get(lvl, []) if k in info)
+            if verbosity > _MAX_VERBOSITY:
+                keys.extend(k for k in sorted(info) if k not in keys)
+            for k in keys:
+                lines.append(f"Additional Information: {k}: {info[k]}")
+            if keys:
+                lines.append("")
     if result.errors:
         lines.append(f"Stages skipped with errors: {result.errors}")
     return "\n".join(lines)
@@ -399,6 +532,8 @@ def _noniid_stage(ds, ctx):
         "issue_type": "noniid",
         "num_issues": n_issues,
         "score": float(info["p_value"]),
+        "info": {"p_value": float(info["p_value"]), "ks": float(info["ks"]),
+                 "num_permutations": info["num_permutations"]},
     }
 
 

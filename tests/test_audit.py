@@ -96,3 +96,37 @@ def test_drift_and_valuation_stages_guarded(ray_session, corpus_dir):
     types = [s["issue_type"] for s in result.summaries]
     assert "label" in types and "drift" in types
     assert "data_valuation" in result.errors
+
+
+def test_report_verbosity_levels(audited):
+    from cleanlab_ray.pipelines.audit import report
+
+    result, ds = audited
+    # verbosity 0: only the first description paragraph, no info keys
+    v0 = report(result, verbosity=0)
+    assert "About this issue" in v0
+    # verbosity 1+: layered info keys appear
+    v1 = report(result, verbosity=1)
+    assert "Additional Information" in v1
+    v2 = report(result, verbosity=2)
+    assert len(v2) >= len(v1)
+    # top level prints every info key
+    v4 = report(result, verbosity=4)
+    assert "confident_joint" in v4
+    assert v4.count("Additional Information") >= v1.count("Additional Information")
+    # reference Reporter section header shape
+    assert " label issues " in v1
+    with pytest.raises(ValueError, match="Verbosity"):
+        report(result, verbosity=9)
+    # include_description=False drops the prose
+    nod = report(result, include_description=False)
+    assert "About this issue" not in nod
+    # show_summary_score keeps the score column + note
+    wss = report(result, show_summary_score=True)
+    assert "lower score indicates" in wss
+
+
+def test_report_info_dicts(audited):
+    result, _ = audited
+    assert result.get_info("label").get("num_classes") == 3
+    assert "confident_joint" in result.get_info("label")
