@@ -78,7 +78,7 @@ def score_turns(
             lambda b: b.drop_columns(
                 [c for c in ("text", "role", "tool", "ts") if c in b.column_names]
             ),
-            batch_format="pyarrow",
+            batch_format="pyarrow", batch_size=None, zero_copy_batch=True,
         )
     return scored
 
@@ -200,6 +200,86 @@ def _make_fused_pass2_aggfn(k: int, thresholds, num_bins: int, score_col: str):
     )
 
 
+def _pass2_block(thresholds: np.ndarray, k: int, num_bins: int, score_col: str,
+                 *blocks) -> np.ndarray:
+    """Per-block pass-2 partial [cj | n_issues | label_counts | hist] —
+    the same math as _make_fused_pass2_aggfn.accumulate_block."""
+    from cleanlab_ray.state.confident import cj_partials, labels_to_numpy, pred_probs_to_numpy
+
+    acc = np.zeros(k * k + 1 + k + num_bins + 1, dtype=np.float64)
+    for block in blocks:
+        labels = labels_to_numpy(block["label"])
+        probs = pred_probs_to_numpy(block["pred_probs"]).astype(np.float64)
+        cj, n_issues, label_counts = cj_partials(labels, probs, thresholds, k)
+        s = block[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.clip((s * num_bins).astype(np.int64), 0, num_bins)
+        hist = np.bincount(idx, minlength=num_bins + 1)
+        acc += np.concatenate([cj.reshape(-1), [n_issues], label_counts, hist])
+    return acc
+
+
+def _boundary_block(bin_lo: float, bin_hi: float, score_col: str,
+                    key_cols: tuple, *blocks) -> "pa.Table":
+    import pyarrow.compute as pc
+
+    outs = []
+    for block in blocks:
+        block = block.select([*key_cols, score_col])
+        s = pc.cast(block[score_col], pa.float64())
+        mask = pc.and_(pc.greater_equal(s, bin_lo), pc.less(s, bin_hi))
+        outs.append(block.filter(mask))
+    return pa.concat_tables(outs)
+
+
+def _fanout_pass2(scored, k: int, thresholds, num_bins: int, score_col: str,
+                  refs_per_task: int = 4) -> np.ndarray:
+    """Raw-task pass 2 over a MATERIALIZED dataset's block refs."""
+    import ray
+
+    task = ray.remote(_pass2_block)
+    refs = scored.to_arrow_refs()
+    thr = np.asarray(thresholds, dtype=np.float64)
+    parts = ray.get([
+        task.remote(thr, k, num_bins, score_col, *refs[i : i + refs_per_task])
+        for i in range(0, len(refs), refs_per_task)
+    ])
+    return np.sum(parts, axis=0)
+
+
+def _fanout_boundary(scored, hist: np.ndarray, t: int,
+                     score_col: str = "score_self_confidence",
+                     key_cols: tuple = ("conv_id", "turn_idx"),
+                     num_bins: int | None = None,
+                     refs_per_task: int = 4):
+    """resolve_bottom_t_from_hist with the boundary-bin pull as a raw
+    task fan-out over the materialized block refs (same result set)."""
+    import ray
+
+    from cleanlab_ray.stages.decision import DEFAULT_BINS
+
+    num_bins = num_bins or DEFAULT_BINS
+    if t <= 0:
+        return 0.0, set()
+    hist = np.asarray(hist, dtype=np.int64)
+    cum = np.cumsum(hist)
+    b = int(np.searchsorted(cum, t))
+    count_below = int(cum[b - 1]) if b > 0 else 0
+    bin_lo, bin_hi = b / num_bins, (b + 1) / num_bins
+    need = t - count_below
+    if need <= 0:
+        return bin_lo, set()
+    task = ray.remote(_boundary_block)
+    refs = scored.to_arrow_refs()
+    tables = ray.get([
+        task.remote(bin_lo, bin_hi, score_col, key_cols, *refs[i : i + refs_per_task])
+        for i in range(0, len(refs), refs_per_task)
+    ])
+    boundary = pa.concat_tables([tb for tb in tables if tb.num_rows]).to_pandas()
+    boundary = boundary.sort_values([score_col, *key_cols], kind="mergesort")
+    chosen = boundary.head(need)
+    return bin_lo, set(zip(chosen[key_cols[0]], chosen[key_cols[1]]))
+
+
 def run_streaming(
     input_dir: str,
     concurrency: int | tuple = 4,
@@ -252,12 +332,13 @@ def run_streaming(
         acc1 = np.asarray(scored.aggregate(make_threshold_aggfn(K))["threshold_partials"])
     thresholds = thresholds_from_partials(acc1[:K], acc1[K:].astype(np.int64))
 
-    # pass 2 (fused): confident joint + issue count + decision histogram
-    acc2 = np.asarray(
-        scored.aggregate(
-            _make_fused_pass2_aggfn(K, thresholds, DEFAULT_BINS, "score_self_confidence")
-        )["fused_pass2"]
-    )
+    # pass 2 (fused): confident joint + issue count + decision histogram.
+    # `scored` is already materialized, so the pass runs as a raw task
+    # fan-out over its block refs — bit-identical partials to the
+    # AggregateFn (same accumulate/merge), minus one Dataset-execution
+    # fixed startup (~0.4 s measured; 3 post passes paid it 3x). Blocks
+    # never leave the object store; only (K*K + bins) floats return.
+    acc2 = _fanout_pass2(scored, K, thresholds, DEFAULT_BINS, "score_self_confidence")
     cj = finalize_confident_joint(acc2[: K * K].astype(np.int64).reshape(K, K))
     num_issues = int(acc2[K * K])
     label_counts = acc2[K * K + 1 : K * K + 1 + K].astype(np.int64)
@@ -276,17 +357,18 @@ def run_streaming(
         inv_noise_matrix=inv_noise_matrix,
     )
 
-    # boundary-bin pull (tiny filter pass) + final mask pass, projected to
-    # the flagship output contract (keys, lang, scrubbed_text, score,
-    # keep/drop) — the diagnostic columns stay queryable on `scored` but
-    # don't ride the final copy
-    bin_lo, boundary = resolve_bottom_t_from_hist(scored, hist, stats.num_issues)
+    # boundary-bin pull (tiny filter fan-out over the materialized block
+    # refs) + final mask pass, projected to the flagship output contract
+    # (keys, lang, scrubbed_text, score, keep/drop) — the diagnostic
+    # columns stay queryable on `scored` but don't ride the final copy
+    bin_lo, boundary = _fanout_boundary(scored, hist, stats.num_issues)
     contract = [
         "conv_id", "turn_idx", "lang", "scrubbed_text",
         "score_self_confidence", "is_label_issue", "keep",
     ]
     final = scored.map_batches(
-        _decision_columns(bin_lo, boundary), batch_format="pyarrow"
+        _decision_columns(bin_lo, boundary), batch_format="pyarrow",
+        batch_size=None, zero_copy_batch=True,
     ).select_columns(contract)
     return final, stats
 
@@ -378,7 +460,10 @@ def run_resumable(
         if g in done:
             continue
         part = rd.read_parquet(lio.partition_dir(scored_dir, g))
-        final = part.map_batches(_decision_columns(bin_lo, boundary), batch_format="pyarrow")
+        final = part.map_batches(
+            _decision_columns(bin_lo, boundary), batch_format="pyarrow",
+            batch_size=None, zero_copy_batch=True,
+        )
         lio.write_partition(
             final, final_dir, g, [lio.partition_dir(scored_dir, g)],
             extra={"num_issues_total": stats.num_issues},

@@ -50,18 +50,15 @@ def ann_brute_force(
         sims = mat @ q.T  # (B, Q)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         kk = min(k, sims.shape[0])
-        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (k, Q)
-        rows = {"query_id": [], "vec_id": [], "cos_sim": []}
-        for qi in range(q.shape[0]):
-            sel = top[:, qi]
-            rows["query_id"].extend([qi] * len(sel))
-            rows["vec_id"].extend(ids[sel].tolist())
-            rows["cos_sim"].extend(sims[sel, qi].tolist())
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+        nq = q.shape[0]
+        qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        sel = top.T.reshape(-1)  # row indices, one flatten — no per-query loop
         return pa.table(
             {
-                "query_id": pa.array(rows["query_id"], type=pa.int64()),
-                "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
-                "cos_sim": pa.array(rows["cos_sim"], type=pa.float64()),
+                "query_id": pa.array(qid),
+                "vec_id": pa.array(ids[sel].astype(np.int64)),
+                "cos_sim": pa.array(sims[sel, qid]),
             }
         )
 

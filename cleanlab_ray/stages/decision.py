@@ -99,7 +99,11 @@ def resolve_bottom_t_from_hist(
         mask = pc.and_(pc.greater_equal(s, bin_lo), pc.less(s, bin_hi))
         return batch.filter(mask)
 
-    boundary = ds.map_batches(filter_bin, batch_format="pyarrow").to_pandas()
+    # batch_size=None: whole-block batches — the default 1024-row batches
+    # turn this cheap filter scan into thousands of kernel invocations
+    boundary = ds.map_batches(
+        filter_bin, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).to_pandas()
     boundary = boundary.sort_values([score_col, *key_cols], kind="mergesort")
     chosen = boundary.head(need)
     boundary_keys = set(zip(chosen[key_cols[0]], chosen[key_cols[1]]))
