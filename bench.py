@@ -45,13 +45,20 @@ def run_bench() -> dict:
 
     # Headline corpus: a deterministic ~630k-turn transcript table
     # (FIXTURES.md §1 bench knob), generated once and cached under /tmp.
+    # Shard count is a pure function of DATA SIZE (~1.4 KB/conv measured,
+    # ~4 MB parquet per shard, rounded to a multiple of 32 so both
+    # scaling legs see exact waves): the fused ReadParquet->score path
+    # gets one task per file, so file count IS the stage parallelism, and
+    # generation depends on shard count — both legs must share one corpus.
     n_convs = int(os.environ.get("GRAFT_BENCH_CONVS", "45000"))
-    corpus_dir = f"/tmp/cleanlab_ray_bench/transcripts_n{n_convs}_s42"
+    est_bytes = n_convs * 1400
+    shards = min(4096, max(32, -(-est_bytes // (4 << 20)) + 31 & ~31))
+    corpus_dir = f"/tmp/cleanlab_ray_bench/transcripts_n{n_convs}_s42_p{shards}"
     if not os.path.isdir(corpus_dir) or not os.listdir(corpus_dir):
         from cleanlab_ray.fixtures.transcripts import write_transcripts_parallel
 
         write_transcripts_parallel(
-            corpus_dir, n_convs=n_convs, seed=42, shards=max(16, num_cpus)
+            corpus_dir, n_convs=n_convs, seed=42, shards=shards
         )
 
     from cleanlab_ray.pipelines.quality_filter import run_streaming
@@ -64,7 +71,7 @@ def run_bench() -> dict:
     from cleanlab_ray.stages.turn_scorer import turn_scorer_task
 
     rd.read_parquet(corpus_dir, columns=["conv_id", "turn_idx", "text", "label"]).map_batches(
-        turn_scorer_task, batch_size=8192, batch_format="pyarrow"
+        turn_scorer_task, batch_size=None, batch_format="pyarrow"
     ).count()
 
     timings: dict[str, float] = {}
@@ -73,26 +80,15 @@ def run_bench() -> dict:
     # over the transcript corpus, fully consumed. Two timed runs, best
     # reported — the first run in a fresh session pays actor-pool spin-up
     # and page-cache effects that aren't steady-state throughput.
-    # Block count sized to the DATA (~8 MB parquet per block), not the
-    # cluster: post-scoring passes (aggregates, boundary pull, mask) pay
-    # a per-block fixed cost that anti-scales when blocks = f(cpus), and
-    # at 100 TB block count must be a property of the input anyway.
-    corpus_bytes = sum(
-        os.path.getsize(os.path.join(corpus_dir, f)) for f in os.listdir(corpus_dir)
-    )
-    # Block count: data-sized (~8 MB parquet per block) for the wave
-    # count, then WAVE-ALIGNED — rounded up to a multiple of num_cpus
-    # with a >=4-wave floor. A fractional final wave idles most of the
-    # pool for a whole task duration (measured: 80 blocks on 32 CPUs =
-    # 2.5 waves ran 671k turns/s; 128 blocks = 4 exact waves ran 932k in
-    # the same VM window). The 2 MB min-block cap keeps tiny corpora
-    # from shattering; at real scale blocks >> cpus and the alignment
-    # term vanishes into the data-sized count.
-    raw_blocks = max(1, corpus_bytes // (8 << 20))
-    waves = max(4, -(-raw_blocks // num_cpus))
-    data_blocks = min(
-        min(4096, waves * num_cpus),
-        max(num_cpus, corpus_bytes // (2 << 20)),
+    # Block count is the corpus file count — sized to the DATA (~4 MB
+    # parquet per shard) at generation, not the cluster: post-scoring
+    # passes pay a per-block fixed cost that anti-scales when blocks =
+    # f(cpus), and at 100 TB block count is a property of the input.
+    # override_num_blocks == file count pins one fused read+score task
+    # per file (Ray would otherwise merge small files per task, making
+    # parallelism cluster-dependent) and does NOT break fusion.
+    n_files = len(
+        [f for f in os.listdir(corpus_dir) if f.endswith(".parquet")]
     )
 
     def one_flagship():
@@ -102,12 +98,17 @@ def run_bench() -> dict:
         final, _stats = run_streaming(
             corpus_dir,
             concurrency=None,  # stateless tasks w/ per-worker cached scorer
-            batch_size=8192,
+            # batch_size=None: the read FUSES with the scoring task (one
+            # operator, raw text never enters the object store); the
+            # scorer slices blocks internally to keep its kernel
+            # cache-resident. File count (data-sized at generation) is
+            # the stage parallelism.
+            batch_size=None,
             # prune at the read: the flagship output contract is
             # (keys, scrubbed_text, scores, keep) — role/tool/ts never
             # leave the scorer, so decoding them is wasted bandwidth
             columns=["conv_id", "turn_idx", "text", "label"],
-            override_num_blocks=data_blocks,
+            override_num_blocks=n_files,
         )
         n = final.count()
         dt = time.perf_counter() - t0

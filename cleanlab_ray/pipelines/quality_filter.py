@@ -46,7 +46,7 @@ K = 3
 def score_turns(
     ds,
     concurrency: int | tuple | None = 4,
-    batch_size: int = 8192,
+    batch_size: int | None = None,
     keep_input_columns: bool = True,
 ):
     """The fused scoring stage.
@@ -283,7 +283,7 @@ def _fanout_boundary(scored, hist: np.ndarray, t: int,
 def run_streaming(
     input_dir: str,
     concurrency: int | tuple = 4,
-    batch_size: int = 8192,
+    batch_size: int | None = None,
     columns: list[str] | None = None,
     override_num_blocks: int | None = None,
 ):
@@ -398,7 +398,7 @@ def run_resumable(
     work_dir: str,
     num_groups: int = 8,
     concurrency: int | tuple = 4,
-    batch_size: int = 8192,
+    batch_size: int | None = None,
 ):
     """Checkpointed flagship run. Safe to re-invoke after a kill: completed
     partitions (marked by _lineage.json) are skipped; the stats phase is

@@ -4297,3 +4297,163 @@ LEFT JOIN predc p ON p.i = ev.vec_id
 
 QUERIES["knn_vote_probs"] = q_knn_vote_probs
 ORACLE_SQL["knn_vote_probs"] = _make_knn_vote_sql()
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard all-pairs dedup (inverted-index)
+# ---------------------------------------------------------------------------
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """EXACT character-5-gram Jaccard for every document pair sharing a
+    shingle (stages/dedup.py ngram_jaccard_pairs): postings map -> one
+    sort exchange on the shingle hash -> vectorized pair emission per
+    equal-shingle run -> groupby pair count. Text never shuffles; only
+    (shingle, doc, set_size) postings move. SQL-checked: the oracle
+    replicates the FNV shingle fold and the inter/union arithmetic."""
+    from cleanlab_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ngram_jaccard_pairs(
+        ds, text_col="text", key_col="doc_id", shingle_k=5, threshold=0.5
+    )
+
+
+def _make_ngram_jaccard_sql(shingle_k: int = 5, threshold: float = 0.5) -> str:
+    """ngram_jaccard_pairs oracle: same k-byte FNV shingle hashes as the
+    near_dup oracle (HUGEINT fold mod 2^64 over the lowercased,
+    space-padded text), distinct per doc; intersection by self-join on
+    the hash; jaccard = inter / (na + nb - inter) at the threshold."""
+    P = 1099511628211
+    M64 = 1 << 64
+    return f"""
+WITH pad AS (
+  SELECT doc_id,
+         CASE WHEN length(t) < {shingle_k}
+              THEN t || repeat(' ', {shingle_k} - length(t)) ELSE t END AS tx
+  FROM (SELECT doc_id, lower(text) AS t FROM documents)),
+sh AS (
+  SELECT DISTINCT doc_id,
+         ((((((((ord(substr(tx, g.p, 1))::HUGEINT * {P}
+            + ord(substr(tx, g.p + 1, 1))) % {M64})
+            * {P} + ord(substr(tx, g.p + 2, 1))) % {M64})
+            * {P} + ord(substr(tx, g.p + 3, 1))) % {M64})
+            * {P} + ord(substr(tx, g.p + 4, 1))) % {M64}) AS h
+  FROM pad CROSS JOIN generate_series(1, 4096) AS g(p)
+  WHERE g.p <= length(tx) - {shingle_k - 1}),
+setsz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+j AS (
+  SELECT p.da, p.db, p.inter, s1.n AS na, s2.n AS nb
+  FROM pairs p
+  JOIN setsz s1 ON s1.doc_id = p.da
+  JOIN setsz s2 ON s2.doc_id = p.db)
+SELECT da AS doc_a, db AS doc_b,
+       CAST(floor(inter::DOUBLE / (na + nb - inter) * 1000000 + 0.5) AS BIGINT)
+         AS jaccard_e6
+FROM j WHERE inter::DOUBLE / (na + nb - inter) >= {threshold!r}
+"""
+
+
+QUERIES["ngram_jaccard_pairs"] = q_ngram_jaccard_pairs
+ORACLE_SQL["ngram_jaccard_pairs"] = _make_ngram_jaccard_sql()
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN (k-means coarse quantizer + probed-cell search)
+# ---------------------------------------------------------------------------
+
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate top-k (stages/ann.py ann_ivf): distributed-Lloyd
+    coarse quantizer (nlist=8 cells, 3 iterations, centroids seeded
+    from the 8 smallest vec_ids), queries = the vec_id<4 rows probing
+    their nprobe=2 nearest cells; exact cosine rank over probed cells
+    only. SQL-checked: the oracle chains the same Lloyd CTEs as the
+    kmeans_clusters oracle, probes with the identical (distance, cell)
+    order, and ranks candidates exactly."""
+    from cleanlab_ray.stages.ann import ann_ivf
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    first = emb.take(4)
+    queries = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in first])
+    out = ann_ivf(emb, queries, k=5, nlist=8, nprobe=2, n_iter=3)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cs = batch["cos_sim"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "vec_id": batch["vec_id"],
+                "cos_sim_e6": pa.array(np.floor(cs * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _make_ann_ivf_sql(k: int = 5, nlist: int = 8, nprobe: int = 2,
+                      n_iter: int = 3, dim: int = 64) -> str:
+    """ann_ivf oracle: Lloyd CTE chain (identical to the kmeans oracle)
+    for centroids c{n_iter} + assignment a{n_iter}; per query (vec_id<4)
+    probe the nprobe nearest cells (distance, cid order); exact cosine
+    rank (cos DESC, vec_id ASC) top-k over rows assigned to probed
+    cells."""
+    parts = [f"""
+ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+dims AS (SELECT j FROM generate_series(1, {dim}) AS g(j)),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS ce
+  FROM ev ORDER BY vec_id LIMIT {nlist})"""]
+    for i in range(n_iter + 1):
+        parts.append(f"""
+a{i} AS (
+  SELECT vec_id, cid FROM (
+    SELECT ev.vec_id, c.cid,
+           row_number() OVER (PARTITION BY ev.vec_id
+                              ORDER BY list_distance(ev.e, c.ce), c.cid) AS rn
+    FROM ev CROSS JOIN c{i} c) WHERE rn = 1)""")
+        if i < n_iter:
+            parts.append(f"""
+u{i} AS (
+  SELECT a.cid, d.j, avg(ev.e[d.j]) AS v
+  FROM a{i} a JOIN ev ON ev.vec_id = a.vec_id CROSS JOIN dims d
+  GROUP BY 1, 2),
+c{i + 1} AS (
+  SELECT p.cid, coalesce(n.ce, p.ce) AS ce
+  FROM c{i} p
+  LEFT JOIN (SELECT cid, list(v ORDER BY j) AS ce FROM u{i} GROUP BY cid) n
+    ON n.cid = p.cid)""")
+    parts.append(f"""
+probes AS (
+  SELECT vec_id AS qid, cid FROM (
+    SELECT q.vec_id, c.cid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY list_distance(q.e, c.ce), c.cid) AS rn
+    FROM (SELECT vec_id, e FROM ev WHERE vec_id < 4) q
+    CROSS JOIN c{n_iter} c) WHERE rn <= {nprobe}),
+kept AS (
+  SELECT p.qid, a.vec_id
+  FROM probes p JOIN a{n_iter} a ON a.cid = p.cid),
+scored AS (
+  SELECT k.qid AS query_id, k.vec_id,
+         list_dot_product(eq.e, em.e)
+           / (sqrt(list_dot_product(eq.e, eq.e))
+              * sqrt(list_dot_product(em.e, em.e))) AS cs
+  FROM kept k
+  JOIN ev eq ON eq.vec_id = k.qid
+  JOIN ev em ON em.vec_id = k.vec_id),
+rk AS (
+  SELECT query_id, vec_id, cs,
+         row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rn
+  FROM scored)""")
+    body = ",".join(parts)
+    return (f"WITH {body}\n"
+            f"SELECT query_id, vec_id, "
+            f"CAST(floor(cs * 1000000 + 0.5) AS BIGINT) AS cos_sim_e6\n"
+            f"FROM rk WHERE rn <= {k}\n")
+
+
+QUERIES["ann_ivf"] = q_ann_ivf
+ORACLE_SQL["ann_ivf"] = _make_ann_ivf_sql()

@@ -138,3 +138,81 @@ def ann_lsh(
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow")
     return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+
+
+def ann_ivf(
+    ds,
+    queries: np.ndarray,
+    k: int = 10,
+    embedding_col: str = "embedding",
+    id_col: str = "vec_id",
+    nlist: int = 8,
+    nprobe: int = 2,
+    n_iter: int = 3,
+):
+    """IVF (inverted-file) approximate top-k — the classic FAISS-style
+    scale path: a coarse k-means quantizer partitions the corpus into
+    ``nlist`` cells; each query probes only its ``nprobe`` nearest cells,
+    so the scored fraction is ~nprobe/nlist of the data.
+
+    Ray-Data-first: the quantizer is the engine's distributed Lloyd
+    k-means (one streaming moment-aggregate per iteration — only the
+    (nlist, D) centroids ever live on the driver), cell assignment +
+    masked partial top-k run inside one ``map_batches`` pass against a
+    broadcast (queries, centroids, probe-mask) triple, and the merge is
+    a tiny groupby over Q×k candidate rows per block. No all-to-all
+    shuffle of the embeddings.
+
+    Determinism: centroids seed from the ``nlist`` smallest ids;
+    assignment ties break to the lowest cell id (argmin), probe order by
+    (distance, cell id) — all replicable in SQL via the chained Lloyd
+    CTEs of the ``kmeans_clusters`` oracle."""
+    import ray
+
+    from cleanlab_ray.stages.kmeans import _assign, kmeans_fit
+
+    cents = kmeans_fit(ds, embedding_col, id_col, k=nlist, n_iter=n_iter)
+    q = np.asarray(queries, dtype=np.float64)
+    qn = _normalize(q)
+    # probe cells per query: nprobe nearest centroids by euclidean
+    # distance on the RAW query vector, ties to the lowest cell id
+    d2 = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)  # (Q, nlist)
+    order = np.lexsort((np.broadcast_to(np.arange(nlist), d2.shape), d2), axis=1)
+    probes = order[:, :nprobe]  # (Q, nprobe)
+    probe_mask = np.zeros((nlist, q.shape[0]), dtype=bool)  # (nlist, Q)
+    for qi in range(q.shape[0]):  # Q is tiny (driver-side, once)
+        probe_mask[probes[qi], qi] = True
+    bref = ray.put((qn, cents, probe_mask))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        qmat, cmat, pmask = ray.get(bref)
+        mat = _matrix_from_list_col(batch[embedding_col])
+        if len(mat) == 0:
+            return pa.table({
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "cos_sim": pa.array([], type=pa.float64()),
+            })
+        cell = _assign(mat, cmat)                       # (B,)
+        cand = pmask[cell]                              # (B, Q) bool
+        sims = _normalize(mat) @ qmat.T                 # (B, Q)
+        sims = np.where(cand, sims, -np.inf)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        kk = min(k, sims.shape[0])
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]   # (kk, Q)
+        nq = qmat.shape[0]
+        qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        sel = top.T.reshape(-1)
+        vals = sims[sel, qid]
+        ok = np.isfinite(vals)                          # drop non-candidates
+        return pa.table({
+            "query_id": pa.array(qid[ok]),
+            "vec_id": pa.array(ids[sel[ok]].astype(np.int64)),
+            "cos_sim": pa.array(vals[ok]),
+        })
+
+    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow")
+    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")

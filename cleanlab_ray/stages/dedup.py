@@ -787,3 +787,125 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text",
         nonempty = lens > 0
         out[nonempty] = np.add.reduceat(terms, offsets[:-1][nonempty])
     return batch.append_column(out_col, pa.array(out.astype(np.int64), type=pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard all-pairs (inverted-index formulation)
+# ---------------------------------------------------------------------------
+
+def _pairs_within_runs(starts: np.ndarray, lens: np.ndarray):
+    """Position-index pairs (i < j) inside each equal-key run.
+
+    Vectorized per DISTINCT run length: all runs of length m emit their
+    C(m,2) pairs in one broadcast (``starts[:, None] + triu_indices``),
+    so the Python loop count is the number of distinct lengths, not the
+    number of runs or pairs. Returns (pos_a, pos_b) int64 arrays."""
+    out_a, out_b = [], []
+    for m in np.unique(lens):
+        m = int(m)
+        if m < 2:
+            continue
+        sel = starts[lens == m]
+        iu, ju = np.triu_indices(m, k=1)
+        out_a.append((sel[:, None] + iu[None, :]).reshape(-1))
+        out_b.append((sel[:, None] + ju[None, :]).reshape(-1))
+    if not out_a:
+        e = np.empty(0, np.int64)
+        return e, e
+    return np.concatenate(out_a), np.concatenate(out_b)
+
+
+def ngram_jaccard_pairs(
+    ds,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    df_cap: int | None = None,
+):
+    """EXACT n-gram (character k-shingle) Jaccard similarity for every
+    document pair sharing at least one shingle — the inverted-index
+    algorithm, fully distributed (reference semantics: the Jaccard
+    verify step of /root/reference/cleanlab/datalab/internal/
+    issue_manager/duplicate.py applied all-pairs instead of to LSH
+    candidates):
+
+    1. one vectorized map extracts each doc's DISTINCT shingle-hash set
+       (``shingle_hashes_column`` + ``_unique_per_segment`` — the same
+       lowercased, space-padded k-byte shingles as MinHash-LSH) and
+       emits (shingle, doc, set_size) postings;
+    2. a single sort exchange on the shingle hash co-locates postings;
+       equal-shingle runs emit co-occurring (doc_a < doc_b) pairs via
+       ``_pairs_within_runs`` (vectorized per distinct run length);
+    3. ``groupby(doc_a, doc_b).count`` = intersection size; set sizes
+       ride the postings so no extra join is needed;
+    4. jaccard = inter / (|A| + |B| - inter), filtered at ``threshold``.
+
+    Scale notes: the only all-to-all moves (shingle, doc, n) triples —
+    text never shuffles. The quadratic hazard is a stop-shingle shared
+    by thousands of docs; ``df_cap`` drops runs larger than the cap (a
+    documented recall trade — at web scale a shingle shared by >50 docs
+    carries no near-dup signal). Default None = exact (the SQL oracle's
+    semantics).
+
+    Returns Dataset[(doc_a, doc_b, jaccard_e6)] with jaccard_e6 =
+    floor(jaccard * 1e6 + 0.5) (half-away rounding, DuckDB-compatible).
+    """
+    from ray.data.aggregate import Count, Max
+
+    def postings(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        hashes, seg_starts, widths = shingle_hashes_column(col, shingle_k)
+        hu, ru, _useg, usizes = _unique_per_segment(hashes, seg_starts, widths)
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return pa.table({
+            "h": pa.array(hu.astype(np.int64), type=pa.int64()),
+            "doc": keys.take(pa.array(ru)),
+            "n": pa.array(usizes[ru].astype(np.int64), type=pa.int64()),
+        })
+
+    def emit_pairs(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        doc_arr = batch["doc"]
+        if isinstance(doc_arr, pa.ChunkedArray):
+            doc_arr = doc_arr.combine_chunks()
+        doc = doc_arr.to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        # block is sorted on h only — order runs by doc for doc_a < doc_b
+        order = np.lexsort((doc, h))
+        h, doc, n = h[order], doc[order], n[order]
+        starts = _run_starts(h)
+        lens = np.diff(np.append(starts, len(h)))
+        if df_cap is not None:
+            keep = lens <= df_cap
+            starts, lens = starts[keep], lens[keep]
+        pos_a, pos_b = _pairs_within_runs(starts, lens)
+        da = pa.array(doc[pos_a])
+        db = pa.array(doc[pos_b])
+        return pa.table({
+            "doc_a": da, "doc_b": db,
+            "na": pa.array(n[pos_a], type=pa.int64()),
+            "nb": pa.array(n[pos_b], type=pa.int64()),
+        })
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        inter = batch["count()"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch["max(na)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["max(nb)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = inter / np.maximum(na + nb - inter, 1.0)
+        keep = jac >= threshold
+        out = batch.filter(pa.array(keep))
+        jac_e6 = np.floor(jac[keep] * 1_000_000 + 0.5).astype(np.int64)
+        return pa.table({
+            "doc_a": out["doc_a"], "doc_b": out["doc_b"],
+            "jaccard_e6": pa.array(jac_e6, type=pa.int64()),
+        })
+
+    posts = ds.map_batches(postings, batch_format="pyarrow")
+    pairs = _sorted_block_map(posts, "h", emit_pairs)
+    counted = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(), Max("na"), Max("nb")
+    )
+    return counted.map_batches(finalize, batch_format="pyarrow")

@@ -53,3 +53,33 @@ def test_lsh_recall(emb_ds):
         assert qi in a
         # reasonable recall of the exact top-5
         assert len(a & e) >= 2
+
+
+def test_ivf_probed_exactness(emb_ds):
+    """Within probed cells IVF is exact: every returned row must appear
+    in the brute-force ranking restricted to the probed cells, and the
+    query's own vector (which lives in its nearest cell) must be found."""
+    from cleanlab_ray.stages.ann import ann_ivf
+    from cleanlab_ray.stages.kmeans import _assign, kmeans_fit
+
+    ds, vecs = emb_ds
+    queries = vecs[:3].astype(np.float64)
+    got = ann_ivf(ds, queries, k=5, nlist=4, nprobe=2, n_iter=2).to_pandas()
+
+    cents = kmeans_fit(ds, k=4, n_iter=2)
+    v = vecs.astype(np.float64)
+    cell = _assign(v, cents)
+    vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    for qi in range(3):
+        d2 = ((queries[qi][None, :] - cents) ** 2).sum(axis=1)
+        probe = np.argsort(d2, kind="stable")[:2]
+        cand = np.nonzero(np.isin(cell, probe))[0]
+        sims = vn[cand] @ qn[qi]
+        order = np.lexsort((cand, -sims))
+        expected = [int(cand[i]) for i in order[:5]]
+        g = got[got["query_id"] == qi].sort_values(
+            ["cos_sim", "vec_id"], ascending=[False, True]
+        )
+        assert g["vec_id"].tolist() == expected
+        assert qi in set(g["vec_id"])

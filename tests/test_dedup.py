@@ -143,3 +143,56 @@ def test_hot_key_run_does_not_straddle_blocks(ray_session):
     kept_hot = out[out["text"] == hot]
     assert len(kept_hot) == 1
     assert kept_hot.iloc[0]["conv_id"] == "h00000"
+
+
+def test_ngram_jaccard_pairs_matches_set_oracle(ray_session):
+    """Exact inverted-index Jaccard == per-pair python set Jaccard."""
+    import ray.data as rd
+
+    from cleanlab_ray.stages.dedup import ngram_jaccard_pairs
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumped over the lazy dog",   # near-dup of 0
+        "completely different content about databases",
+        "the quick brown fox jumps over the lazy dog",    # exact dup of 0
+        "completely different content about database systems",  # near 2
+        "xy",                                             # shorter than k
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ds = rd.from_items(rows)
+    got = ngram_jaccard_pairs(ds, threshold=0.3).to_pandas()
+    got = got.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+    def shingles(t, k=5):
+        t = t.lower()
+        if len(t) < k:
+            t = t + " " * (k - len(t))
+        return {t[i : i + k] for i in range(len(t) - k + 1)}
+
+    expect = []
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            inter = len(sa & sb)
+            if inter == 0:
+                continue
+            jac = inter / len(sa | sb)
+            if jac >= 0.3:
+                expect.append((a, b, int(np.floor(jac * 1e6 + 0.5))))
+    assert list(map(tuple, got.itertuples(index=False))) == sorted(expect)
+
+
+def test_ngram_jaccard_df_cap_drops_stop_shingles(ray_session):
+    """df_cap bounds the quadratic pair blowup: a shingle shared by all
+    docs stops generating pairs when the cap excludes its run."""
+    import ray.data as rd
+
+    from cleanlab_ray.stages.dedup import ngram_jaccard_pairs
+
+    # every doc shares the ' stop' shingle; distinct tails otherwise
+    rows = [{"doc_id": i, "text": f"stopw unique tail {i:04d}"} for i in range(20)]
+    ds = rd.from_items(rows)
+    exact = ngram_jaccard_pairs(ds, threshold=0.0).to_pandas()
+    capped = ngram_jaccard_pairs(ds, threshold=0.0, df_cap=5).to_pandas()
+    assert len(capped) < len(exact)
