@@ -556,7 +556,7 @@ def q_flagship_quality_filter(sf_dir: str):
     from cleanlab_ray.pipelines.quality_filter import _decision_columns, score_turns
     from cleanlab_ray.state.confident import compute_confident_stats
 
-    scored = score_turns(load_transcripts(sf_dir), concurrency=None, batch_size=4096).materialize()
+    scored = score_turns(load_transcripts(sf_dir), concurrency=None).materialize()
     stats = compute_confident_stats(scored, 3)
     bin_lo, boundary = resolve_bottom_t(scored, stats.num_issues)
     final = scored.map_batches(_decision_columns(bin_lo, boundary), batch_format="pyarrow")
@@ -617,7 +617,7 @@ def q_conv_pooling(sf_dir: str):
     from cleanlab_ray.pipelines.quality_filter import score_turns
     from cleanlab_ray.stages.pooling import pool_conversations_fast
 
-    scored = score_turns(load_transcripts(sf_dir), concurrency=None, batch_size=4096)
+    scored = score_turns(load_transcripts(sf_dir), concurrency=None)
     out = pool_conversations_fast(
         scored.select_columns(["conv_id", "score_self_confidence"])
     )
