@@ -1740,7 +1740,9 @@ _REMAP_CASE = """CASE WHEN {c} = 32 THEN 0
 def _langid_model_ctes() -> str:
     """Shared CTE block rebuilding the dense trigram language model in
     SQL (stages/_chargram.py: 32^3 remapped-byte codes, Laplace 0.5,
-    logprob = ln((cnt+0.5)/(total+0.5*32768))). Training corpora are
+    logprob = ln((cnt+0.5)/(total+0.5*32768)) snapped to the 1/2048
+    grid, matching _chargram.QUANT — integer-exact sums on both
+    sides). Training corpora are
     inlined as REMAPPED UTF-8 BYTE classes (the engine trains on bytes;
     SQL ord() sees codepoints, and the DE/FR wordlists contain
     non-ASCII letters that are 2 UTF-8 bytes each)."""
@@ -1767,7 +1769,7 @@ ccnt AS (SELECT lang, code, count(*) AS n FROM ctri GROUP BY 1, 2),
 ctot AS (SELECT lang, count(*) AS total FROM ctri GROUP BY 1),
 model AS (
   SELECT c.code, t.lang,
-         ln((coalesce(n.n, 0) + 0.5) / (t.total + 16384.0)) AS lp
+         floor(ln((coalesce(n.n, 0) + 0.5) / (t.total + 16384.0)) * 2048.0 + 0.5) / 2048.0 AS lp
   FROM generate_series(0, 32767) AS c(code)
   CROSS JOIN ctot t
   LEFT JOIN ccnt n ON n.lang = t.lang AND n.code = c.code)"""

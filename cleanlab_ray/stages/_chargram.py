@@ -92,7 +92,8 @@ def batch_trigrams_arrow(col):
 # 256-entry byte remap: space->0, a-z->1..26, digits/punct folded into
 # 27..31. Dense trigram space = 32^3 = 32768 -> direct table indexing
 # (no searchsorted); rare byte collisions just merge model bins.
-_BYTE_REMAP = np.full(256, 27, dtype=np.uint32)
+# uint16: the shifted-or code (max 32767) fits, halving temporaries.
+_BYTE_REMAP = np.full(256, 27, dtype=np.uint16)
 _BYTE_REMAP[ord(" ")] = 0
 for _c in range(ord("a"), ord("z") + 1):
     _BYTE_REMAP[_c] = _c - ord("a") + 1
@@ -105,14 +106,39 @@ for _c in range(0x80, 0x100):  # non-ASCII (utf-8 continuation/lead bytes)
 
 _DENSE_SIZE = 32 * 32 * 32
 
+#: log-probs are rounded to the 1/2048 grid at TRAIN time. Each table
+#: entry is then an exact small rational k/2048 (k an int16-range
+#: integer), so per-row sums can run in integer arithmetic: exact,
+#: order-independent, and bit-equal to the float64 sums the DuckDB
+#: oracles compute over the same grid values (every partial sum m/2048
+#: with |m| < 2^31 is exactly representable in float64).
+QUANT = 2048.0
+_BIAS = 32768  # biased-unsigned field encoding for the packed gathers
+
 
 class DenseTrigramTable:
     """Dense (32768, L) log-prob table over remapped byte trigrams —
-    lookup is a single gather, no binary search."""
+    lookup is a single gather, no binary search.
+
+    The scoring hot path does not gather the (M, L) float64 matrix:
+    the quantized integer log-probs are packed two languages per int64
+    (32-bit biased fields), so a batch needs ceil(L/2) integer gathers
+    + native int64 ``np.add.reduceat`` — half the memory traffic of
+    the float64 gather, with exact integer sums."""
 
     def __init__(self, logprobs: np.ndarray):
-        self.logprobs = logprobs  # (32768, L) float64
+        self.logprobs = logprobs  # (32768, L) float64, on the 1/QUANT grid
         self.oov = logprobs.min(axis=0)  # only used for empty rows
+        q = np.floor(logprobs * QUANT + 0.5).astype(np.int64)  # exact ints
+        L = logprobs.shape[1]
+        self.packs = []
+        for p in range((L + 1) // 2):
+            lo = q[:, 2 * p] + _BIAS
+            if 2 * p + 1 < L:
+                hi = q[:, 2 * p + 1] + _BIAS
+            else:
+                hi = np.zeros(len(q), dtype=np.int64)
+            self.packs.append(lo | (hi << 32))
 
     def lookup(self, codes: np.ndarray) -> np.ndarray:
         return self.logprobs[codes]
@@ -138,6 +164,9 @@ def train_dense_table(corpora: list[bytes], alpha: float = 0.5) -> DenseTrigramT
             counts = np.zeros(_DENSE_SIZE)
         total = counts.sum() + alpha * _DENSE_SIZE
         logprobs[:, j] = np.log((counts + alpha) / total)
+    # snap to the 1/QUANT grid (see QUANT above; the SQL oracles apply
+    # the same floor(x*QUANT + 0.5)/QUANT to their ln() expressions)
+    logprobs = np.floor(logprobs * QUANT + 0.5) / QUANT
     return DenseTrigramTable(logprobs)
 
 
@@ -220,12 +249,25 @@ def score_arrow_column(table, col) -> tuple[np.ndarray, np.ndarray]:
         out = np.zeros((n, n_cols))
         counts = np.zeros(n)
         if m:
-            lp = table.lookup(codes)  # (M, L) gather
             starts = np.searchsorted(row_ids, np.arange(n))
             seg_counts = np.diff(np.append(starts, m))
             nonempty = seg_counts > 0
-            if nonempty.any():
-                out[nonempty] = np.add.reduceat(lp, starts[nonempty], axis=0)
+            ne_starts = starts[nonempty]
+            if seg_counts.max() <= 65536 and nonempty.any():
+                # packed-integer fast path: ceil(L/2) int64 gathers +
+                # native int64 reduceat (exact sums; each 32-bit field
+                # holds <= 65536 biased 16-bit terms without carry)
+                cnt_ne = seg_counts[nonempty].astype(np.int64)
+                for p, pack in enumerate(table.packs):
+                    s = np.add.reduceat(pack[codes], ne_starts)
+                    lo = (s & 0xFFFFFFFF) - cnt_ne * _BIAS
+                    out[nonempty, 2 * p] = lo / QUANT
+                    if 2 * p + 1 < n_cols:
+                        hi = (s >> 32) - cnt_ne * _BIAS
+                        out[nonempty, 2 * p + 1] = hi / QUANT
+            elif nonempty.any():
+                lp = table.lookup(codes)  # (M, L) gather (overflow guard)
+                out[nonempty] = np.add.reduceat(lp, ne_starts, axis=0)
             counts = seg_counts.astype(np.float64)
         return out, counts
     codes, row_ids = batch_trigrams_arrow(col)
