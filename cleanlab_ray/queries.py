@@ -4459,3 +4459,90 @@ rk AS (
 
 QUERIES["ann_ivf"] = q_ann_ivf
 ORACLE_SQL["ann_ivf"] = _make_ann_ivf_sql()
+
+
+# ----------------------------------------------------------------------
+# Gopher-style document quality signals + corpus vocabulary heavy-hitters
+# (Rae et al. 2021 §A1.1 quality rules; C4/tokenizer-prep vocab counts)
+# ----------------------------------------------------------------------
+
+
+def q_doc_quality_signals(sf_dir: str):
+    """Per-document word-level quality gate inputs: word count, mean
+    word length, stop-word fraction, most-frequent-word share, and
+    duplicate-2-gram fraction — one vectorized Arrow/numpy batch kernel
+    (stages/quality_signals.py), no shuffle at all."""
+    from cleanlab_ray.stages.quality_signals import quality_signals_kernel
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        quality_signals_kernel, batch_format="pyarrow"
+    )
+
+
+SQL_DOC_QUALITY_SIGNALS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(text, '[^\s]+')) AS w,
+         unnest(generate_series(1, len(regexp_extract_all(text, '[^\s]+')))) AS i
+  FROM documents),
+base AS (
+  SELECT doc_id, count(*) AS n_words,
+         sum(length(w))::DOUBLE / count(*) AS mean_word_len,
+         sum(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END)::DOUBLE
+           / count(*) AS stopword_frac
+  FROM toks GROUP BY 1),
+wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+top AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_word_frac FROM wc GROUP BY 1),
+pairs AS (
+  SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS pair
+  FROM toks),
+pg AS (
+  SELECT doc_id,
+         (count(*) - count(DISTINCT pair))::DOUBLE / count(*) AS dup_2gram_frac
+  FROM pairs WHERE pair IS NOT NULL GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(b.n_words, 0) AS n_words,
+       coalesce(b.mean_word_len, 0.0) AS mean_word_len,
+       coalesce(b.stopword_frac, 0.0) AS stopword_frac,
+       coalesce(t.top_word_frac, 0.0) AS top_word_frac,
+       coalesce(pg.dup_2gram_frac, 0.0) AS dup_2gram_frac
+FROM documents d
+LEFT JOIN base b USING (doc_id)
+LEFT JOIN top t ON t.doc_id = d.doc_id
+LEFT JOIN pg ON pg.doc_id = d.doc_id
+"""
+
+
+def q_vocab_topk(sf_dir: str, k: int = 20):
+    """Corpus vocabulary heavy-hitters: per-batch partial word counts
+    (map-side combine — the shuffle moves one row per distinct word per
+    batch, not one per token), global sum, deterministic top-k."""
+    from cleanlab_ray.stages.quality_signals import vocab_partial_counts
+
+    ds = (
+        _read(sf_dir, "documents", ["text"])
+        .map_batches(vocab_partial_counts, batch_format="pyarrow")
+        .groupby("word")
+        .sum("cnt")
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["word", "cnt"])
+
+    return (
+        ds.map_batches(finalize, batch_format="pyarrow")
+        .sort(["cnt", "word"], descending=[True, False])
+        .limit(k)
+    )
+
+
+SQL_VOCAB_TOPK = r"""
+SELECT w AS word, count(*) AS cnt
+FROM (SELECT unnest(regexp_extract_all(text, '[^\s]+')) AS w FROM documents)
+GROUP BY 1 ORDER BY cnt DESC, word ASC LIMIT 20
+"""
+
+QUERIES["doc_quality_signals"] = q_doc_quality_signals
+ORACLE_SQL["doc_quality_signals"] = SQL_DOC_QUALITY_SIGNALS
+QUERIES["vocab_topk"] = q_vocab_topk
+ORACLE_SQL["vocab_topk"] = SQL_VOCAB_TOPK
