@@ -4546,3 +4546,91 @@ QUERIES["doc_quality_signals"] = q_doc_quality_signals
 ORACLE_SQL["doc_quality_signals"] = SQL_DOC_QUALITY_SIGNALS
 QUERIES["vocab_topk"] = q_vocab_topk
 ORACLE_SQL["vocab_topk"] = SQL_VOCAB_TOPK
+
+# ----------------------------------------------------------------------
+# Benchmark decontamination + token-budget chunking (corpus prep —
+# GPT-3 Appx C / Llama-2 A.6 n-gram decontamination; fixed-window
+# chunking before tokenization). stages/corpus_prep.py
+# ----------------------------------------------------------------------
+
+
+def q_decontaminate_docs(sf_dir: str, n: int = 5):
+    """Flag corpus docs sharing any word 5-gram with the benchmark slice
+    (doc_id % 37 == 0). Benchmark grams are driver-collected (tiny by
+    construction) and broadcast via ray.put; the corpus side is one
+    stateless actor-pool pass — no shuffle touches the big table."""
+    import ray
+
+    from cleanlab_ray.stages.corpus_prep import (
+        ContaminationScorer,
+        collect_benchmark_grams,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bench = collect_benchmark_grams(docs, n=n)
+    ref = ray.put(bench)
+    return docs.map_batches(
+        ContaminationScorer,
+        fn_constructor_args=(ref, "text", n),
+        concurrency=(1, _scorer_concurrency()),
+        batch_format="pyarrow",
+    )
+
+
+SQL_DECONTAMINATE_DOCS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[^\s]+')) AS w,
+         unnest(generate_series(1, len(regexp_extract_all(lower(text), '[^\s]+')))) AS i
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win || ' ' ||
+         lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win AS g
+  FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+g2 AS (SELECT doc_id, g FROM grams WHERE g IS NOT NULL),
+bench AS (SELECT DISTINCT g FROM g2 WHERE doc_id % 37 = 0),
+stats AS (
+  SELECT g2.doc_id, count(*) AS n_grams,
+         CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+  FROM g2 LEFT JOIN bench b USING (g)
+  WHERE g2.doc_id % 37 <> 0 GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(s.n_grams, 0) AS n_grams,
+       coalesce(s.n_matched, 0) AS n_matched,
+       coalesce(s.n_matched, 0)::DOUBLE / greatest(coalesce(s.n_grams, 0), 1) AS contam_frac,
+       CASE WHEN coalesce(s.n_matched, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM documents d LEFT JOIN stats s USING (doc_id)
+WHERE d.doc_id % 37 <> 0
+"""
+
+
+def q_chunk_documents(sf_dir: str, chunk_words: int = 50):
+    """Split every document into consecutive 50-word windows (one row
+    per chunk). Pure per-batch kernel: chunk boundaries tile the flat
+    token stream, texts come from one pc.binary_join — no shuffle."""
+    from cleanlab_ray.stages.corpus_prep import chunk_documents_kernel
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        lambda b: chunk_documents_kernel(b, chunk_words=chunk_words),
+        batch_format="pyarrow",
+    )
+
+
+SQL_CHUNK_DOCUMENTS = r"""
+WITH words AS (
+  SELECT doc_id, regexp_extract_all(text, '[^\s]+') AS w FROM documents),
+idx AS (
+  SELECT doc_id, w,
+         unnest(generate_series(0, CAST(ceil(len(w) / 50.0) AS BIGINT) - 1)) AS i
+  FROM words WHERE len(w) > 0)
+SELECT doc_id, i AS chunk_idx,
+       array_to_string(w[(i*50 + 1):((i + 1)*50)], ' ') AS chunk_text,
+       least(len(w) - i*50, 50) AS n_words
+FROM idx
+"""
+
+QUERIES["decontaminate_docs"] = q_decontaminate_docs
+ORACLE_SQL["decontaminate_docs"] = SQL_DECONTAMINATE_DOCS
+QUERIES["chunk_documents"] = q_chunk_documents
+ORACLE_SQL["chunk_documents"] = SQL_CHUNK_DOCUMENTS
