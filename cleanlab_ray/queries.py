@@ -4634,3 +4634,132 @@ QUERIES["decontaminate_docs"] = q_decontaminate_docs
 ORACLE_SQL["decontaminate_docs"] = SQL_DECONTAMINATE_DOCS
 QUERIES["chunk_documents"] = q_chunk_documents
 ORACLE_SQL["chunk_documents"] = SQL_CHUNK_DOCUMENTS
+
+
+# ----------------------------------------------------------------------
+# DSIR importance weights + sequence packing + TF-IDF top terms
+# (Xie et al. 2023 data selection; token-budget training shards;
+# corpus keyword extraction). stages/importance.py, stages/prefix.py,
+# stages/tfidf.py
+# ----------------------------------------------------------------------
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR log-likelihood-ratio importance weight per document, target
+    domain = lang 'en'. One counting pass builds both unigram models
+    (map-side combined partials -> one vocab-sized groupby), the LLR
+    table is broadcast via ray.put, one stateless scoring pass sums
+    per-doc token log-ratios -- the corpus never shuffles."""
+    from cleanlab_ray.stages.importance import dsir_weights
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return dsir_weights(docs, target_col="lang", target_value="en")
+
+
+SQL_DSIR_WEIGHTS = r"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[^\s]+')) AS w
+  FROM documents),
+vocab AS (
+  SELECT w,
+         count(*) AS raw_cnt,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_cnt
+  FROM toks GROUP BY 1),
+tot AS (
+  SELECT sum(raw_cnt)::DOUBLE AS r, sum(tgt_cnt)::DOUBLE AS t,
+         count(*)::DOUBLE AS v
+  FROM vocab),
+lr AS (
+  SELECT w,
+         ln((tgt_cnt + 1.0) / (t + v)) - ln((raw_cnt + 1.0) / (r + v)) AS logratio
+  FROM vocab CROSS JOIN tot),
+scored AS (
+  SELECT toks.doc_id, count(*) AS n_tokens, sum(lr.logratio) AS llr
+  FROM toks JOIN lr USING (w) GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(s.n_tokens, 0) AS n_tokens,
+       CAST(floor(coalesce(s.llr, 0.0) * 1000000 + 0.5) AS BIGINT) AS llr_e6
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+
+
+def q_pack_sequences(sf_dir: str, budget: int = 2048):
+    """Token-budget sequence packing: each document is assigned to the
+    2048-token training shard where its token span starts, in global
+    doc_id order -- a distributed exclusive prefix sum (two passes over
+    stable materialized blocks, O(blocks) driver state)."""
+    from cleanlab_ray.stages.prefix import pack_sequences
+    from cleanlab_ray.stages.quality_signals import _tokens
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        _codes, row_ids, _lens, _vocab, n = _tokens(batch, "text")
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pa.array(
+                    np.bincount(row_ids, minlength=n).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    counts = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        count_tokens, batch_format="pyarrow"
+    )
+    return pack_sequences(counts, key_col="doc_id", value_col="n_tokens",
+                          budget=budget)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH n AS (
+  SELECT doc_id, len(regexp_extract_all(text, '[^\s]+')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM n)
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_id
+FROM c
+"""
+
+
+def q_tfidf_terms(sf_dir: str, k: int = 3):
+    """Top-3 TF-IDF terms per document. Document frequency is one
+    map-side-combined (word, df) aggregate (exact: one doc = one row),
+    broadcast to a stateless ranking pass -- integer-exact ordering
+    (tf DESC, df ASC, term ASC), score reported as tf*ln(N/df) e6."""
+    from cleanlab_ray.stages.tfidf import tfidf_topk
+
+    return tfidf_topk(_read(sf_dir, "documents", ["doc_id", "text"]), k=k)
+
+
+SQL_TFIDF_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[^\s]+')) AS w
+  FROM documents),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY 1, 2),
+df AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+rk AS (
+  SELECT tf.doc_id, tf.w AS term, tf.tf, df.df,
+         row_number() OVER (PARTITION BY tf.doc_id
+                            ORDER BY tf.tf DESC, df.df ASC, tf.w ASC) AS rank
+  FROM tf JOIN df USING (w))
+SELECT doc_id, term, tf, df, rank,
+       CAST(floor(tf * ln((SELECT n FROM n) / df) * 1000000 + 0.5) AS BIGINT)
+         AS score_e6
+FROM rk WHERE rank <= 3
+"""
+
+QUERIES["dsir_weights"] = q_dsir_weights
+ORACLE_SQL["dsir_weights"] = SQL_DSIR_WEIGHTS
+QUERIES["pack_sequences"] = q_pack_sequences
+ORACLE_SQL["pack_sequences"] = SQL_PACK_SEQUENCES
+QUERIES["tfidf_terms"] = q_tfidf_terms
+ORACLE_SQL["tfidf_terms"] = SQL_TFIDF_TERMS
