@@ -4763,3 +4763,103 @@ QUERIES["pack_sequences"] = q_pack_sequences
 ORACLE_SQL["pack_sequences"] = SQL_PACK_SEQUENCES
 QUERIES["tfidf_terms"] = q_tfidf_terms
 ORACLE_SQL["tfidf_terms"] = SQL_TFIDF_TERMS
+
+
+# ----------------------------------------------------------------------
+# Near-dup connected components + exact distributed quantiles
+# (transitive dup-cluster closure; corpus length statistics).
+# stages/components.py, functions/quantiles.py
+# ----------------------------------------------------------------------
+
+
+def q_dup_components(sf_dir: str):
+    """Transitive closure of the exact n-gram-Jaccard pair graph:
+    component id = min reachable doc_id, via distributed min-label
+    propagation (hash join + groupby-min per round over the CANDIDATE
+    nodes only; convergence by the strictly-decreasing label sum)."""
+    from cleanlab_ray.stages.components import connected_components
+    from cleanlab_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(
+        ds, text_col="text", key_col="doc_id", shingle_k=5, threshold=0.5
+    )
+    comp = connected_components(pairs, src_col="doc_a", dst_col="doc_b")
+    return comp.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "component": b["component"]}),
+        batch_format="pyarrow",
+    )
+
+
+def _make_dup_components_sql() -> str:
+    """Recursive-CTE oracle over the same jaccard pair query: reach =
+    transitive closure of the symmetric edge list, component = min
+    reachable id (incl. self)."""
+    pairs = _make_ngram_jaccard_sql()
+    return f"""
+WITH RECURSIVE pairs AS (
+  SELECT doc_a, doc_b FROM ({pairs})
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs),
+reach(node, r) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT a, b FROM edges
+  UNION
+  SELECT rr.node, e.b FROM reach rr JOIN edges e ON e.a = rr.r)
+SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY 1
+"""
+
+
+def q_token_quantiles(sf_dir: str):
+    """Exact deciles of per-document word counts without a global sort:
+    one (min, max, n) aggregate + one histogram aggregate + a filtered
+    pull of only the bins holding the requested ranks
+    (functions/quantiles.py exact_values_at_ranks)."""
+    from cleanlab_ray.functions.quantiles import exact_values_at_ranks
+    from cleanlab_ray.stages.quality_signals import _tokens
+
+    def count_tokens(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        _codes, row_ids, _lens, _vocab, n = _tokens(batch, "text")
+        return pa.table(
+            {
+                "n_tokens": pa.array(
+                    np.bincount(row_ids, minlength=n).astype(np.int64),
+                    type=pa.int64(),
+                )
+            }
+        )
+
+    counts = _read(sf_dir, "documents", ["text"]).map_batches(
+        count_tokens, batch_format="pyarrow"
+    )
+    n = counts.count()
+    ranks = [n * i // 10 for i in range(1, 10)]
+    vals = exact_values_at_ranks(counts, "n_tokens", ranks)
+    return pa.table(
+        {
+            "rank": pa.array(ranks, type=pa.int64()),
+            "value": pa.array([int(vals[r]) for r in ranks], type=pa.int64()),
+        }
+    )
+
+
+SQL_TOKEN_QUANTILES = r"""
+WITH n AS (
+  SELECT doc_id, len(regexp_extract_all(text, '[^\s]+')) AS v FROM documents),
+s AS (SELECT v, row_number() OVER (ORDER BY v) - 1 AS rk FROM n),
+ranks AS (
+  SELECT ((SELECT count(*) FROM n) * g.i) // 10 AS rk
+  FROM generate_series(1, 9) AS g(i))
+SELECT r.rk AS rank, s.v AS value FROM ranks r JOIN s ON s.rk = r.rk
+"""
+
+QUERIES["dup_components"] = q_dup_components
+ORACLE_SQL["dup_components"] = _make_dup_components_sql()
+QUERIES["token_quantiles"] = q_token_quantiles
+ORACLE_SQL["token_quantiles"] = SQL_TOKEN_QUANTILES

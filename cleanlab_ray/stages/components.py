@@ -1,0 +1,145 @@
+"""Distributed connected components (min-label propagation).
+
+Near-duplicate clusters are the connected components of the candidate
+pair graph — MinHash/SimHash/Jaccard pair emitters give edges, and the
+transitive closure ("A~B, B~C ⟹ one cluster") needs a component
+operator. Ray Data has none; this is the classic iterated min-label
+propagation, all wide steps expressed as native ``join`` / ``groupby``
+exchanges:
+
+- labels start as ``label(v) = v`` (the smallest node id wins, so
+  component ids are stable, deterministic, and SQL-reproducible);
+- each round hash-joins the symmetric edge list with the current
+  labels on the source endpoint and takes, per destination node, the
+  min over (own label, every neighbour's label);
+- labels only ever decrease, so ``sum(label)`` is strictly decreasing
+  until the fixpoint — convergence is one cheap scalar aggregate per
+  round, no label-vs-label join;
+- rounds needed = graph diameter (dup clusters are tiny and dense:
+  single digits in practice; ``max_iters`` guards pathologies).
+
+Per-round cost: one hash join + one groupby over the LABEL table
+(candidate nodes only — a vanishing fraction of a 100-TB corpus), the
+corpus itself is never touched. Each round materializes the label
+table so the lineage doesn't re-execute the whole chain per iteration.
+
+Reference kinship: duplicate-set construction in cleanlab's Datalab
+near-duplicate manager (/root/reference/cleanlab/datalab/internal/
+issue_manager/duplicate.py:59-103) keeps per-example duplicate sets;
+components are their transitive closure at corpus scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _drop_empty_blocks(ds):
+    """Rebuild a materialized Dataset from its non-empty block refs.
+
+    Ray's hash join / hash groupby emit zero-row blocks with an EMPTY
+    schema for output partitions that received no rows; a later join
+    whose right-side partition holds only such a block fails inside
+    acero ("No match for FieldRef"). Dropping them is zero-copy — the
+    surviving block refs are reused."""
+    import ray.data as rd
+
+    refs = []
+    for bundle in ds.iter_internal_ref_bundles():
+        for bref, meta in bundle.blocks:
+            if meta.num_rows is None or meta.num_rows > 0:
+                refs.append(bref)
+    if not refs:
+        return ds
+    return rd.from_arrow_refs(refs)
+
+
+def connected_components(edges, src_col: str = "src", dst_col: str = "dst",
+                         max_iters: int = 50, num_partitions: int | None = None):
+    """Component id (min reachable node id) for every node in ``edges``.
+
+    ``edges`` is a Dataset with int64 endpoint columns. Returns a
+    Dataset (node, component). Isolated nodes never appear in an edge
+    list; union them in afterwards if the contract needs them.
+    """
+    import ray.data as rd
+
+    if num_partitions is None:
+        import ray
+
+        num_partitions = max(int(ray.cluster_resources().get("CPU", 8)) // 2, 4)
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        a = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "nbr": pa.array(np.concatenate([b, a]), type=pa.int64()),
+            }
+        )
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        n = batch["node"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(np.unique(n), type=pa.int64())})
+
+    labels = _drop_empty_blocks(
+        sym.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .count()
+        .map_batches(
+            lambda b: pa.table({"node": b["node"], "label": b["node"]}),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    prev_sum = labels.sum("label")
+
+    for _ in range(max_iters):
+        # neighbour candidates: label(u) offered to every v adjacent to u
+        offered = (
+            sym.join(labels, "inner", num_partitions=num_partitions, on=("node",))
+            .map_batches(
+                lambda b: pa.table({"node": b["nbr"], "label": b["label"]}),
+                batch_format="pyarrow",
+            )
+        )
+        labels = _drop_empty_blocks(
+            offered.union(labels)
+            .groupby("node")
+            .min("label")
+            .map_batches(
+                lambda b: pa.table({"node": b["node"], "label": b["min(label)"]}),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+        # pointer jump: label <- label(label). L(u) <= u for every u, so
+        # this only decreases labels; it turns O(diameter) convergence
+        # into O(log diameter) on path-shaped components.
+        lut = labels.map_batches(
+            lambda b: pa.table({"jkey": b["node"], "label2": b["label"]}),
+            batch_format="pyarrow",
+        )
+        jumped = labels.map_batches(
+            lambda b: pa.table({"node": b["node"], "jkey": b["label"]}),
+            batch_format="pyarrow",
+        ).join(lut, "inner", num_partitions=num_partitions, on=("jkey",))
+        labels = _drop_empty_blocks(
+            jumped.map_batches(
+                lambda b: pa.table({"node": b["node"], "label": b["label2"]}),
+                batch_format="pyarrow",
+            ).materialize()
+        )
+        cur_sum = labels.sum("label")
+        if cur_sum == prev_sum:  # labels only decrease: fixpoint reached
+            break
+        prev_sum = cur_sum
+
+    return labels.map_batches(
+        lambda b: pa.table({"node": b["node"], "component": b["label"]}),
+        batch_format="pyarrow",
+    )
