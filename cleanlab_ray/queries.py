@@ -4863,3 +4863,70 @@ QUERIES["dup_components"] = q_dup_components
 ORACLE_SQL["dup_components"] = _make_dup_components_sql()
 QUERIES["token_quantiles"] = q_token_quantiles
 ORACLE_SQL["token_quantiles"] = SQL_TOKEN_QUANTILES
+
+
+def q_stratified_split(sf_dir: str, val_pct: int = 10):
+    """Deterministic train/val split with per-language stratification
+    report: split by a multiplicative integer hash of doc_id (Knuth
+    2654435761 mod 2^32 -- exactly reproducible in SQL, no RNG state),
+    then one small groupby counts each (lang, split) cell. The split
+    column is assignable in any task with no coordination -- the
+    100-TB-safe way to hold out eval data."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        is_val = (h % np.uint64(100)) < np.uint64(val_pct)
+        return pa.table(
+            {
+                "lang": batch["lang"],
+                "split": pa.array(
+                    np.where(is_val, "val", "train"), type=pa.string()
+                ),
+            }
+        )
+
+    return (
+        _read(sf_dir, "documents", ["doc_id", "lang"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby(["lang", "split"])
+        .count()
+        .map_batches(
+            lambda b: pa.table(
+                {"lang": b["lang"], "split": b["split"], "n": b["count()"]}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+SQL_STRATIFIED_SPLIT = r"""
+SELECT lang,
+       CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 10
+            THEN 'val' ELSE 'train' END AS split,
+       count(*) AS n
+FROM documents
+GROUP BY 1, 2
+"""
+
+QUERIES["stratified_split"] = q_stratified_split
+ORACLE_SQL["stratified_split"] = SQL_STRATIFIED_SPLIT
+
+
+def q_bpe_train_encode(sf_dir: str):
+    """Train a 50-merge BPE tokenizer on the documents corpus
+    (distributed map-side-combined word counts; merge loop on the
+    O(V) frequency table) and encode the corpus with it: per-doc word
+    and BPE-token counts. No SQL oracle -- the greedy merge recursion
+    is not SQL-expressible; verified against a from-scratch Python BPE
+    in tests/test_bpe_train.py (rows-only driver check)."""
+    from cleanlab_ray.stages.bpe_train import bpe_train_encode
+
+    return bpe_train_encode(
+        _read(sf_dir, "documents", ["doc_id", "text"]), num_merges=50
+    )
+
+
+QUERIES["bpe_train_encode"] = q_bpe_train_encode
