@@ -260,12 +260,7 @@ def _fanout_boundary(scored, hist: np.ndarray, t: int,
     num_bins = num_bins or DEFAULT_BINS
     if t <= 0:
         return 0.0, set()
-    hist = np.asarray(hist, dtype=np.int64)
-    cum = np.cumsum(hist)
-    b = int(np.searchsorted(cum, t))
-    count_below = int(cum[b - 1]) if b > 0 else 0
-    bin_lo, bin_hi = b / num_bins, (b + 1) / num_bins
-    need = t - count_below
+    bin_lo, bin_hi, need = _resolve_boundary_bin(hist, t, num_bins)
     if need <= 0:
         return bin_lo, set()
     task = ray.remote(_boundary_block)
@@ -280,28 +275,215 @@ def _fanout_boundary(scored, hist: np.ndarray, t: int,
     return bin_lo, set(zip(chosen[key_cols[0]], chosen[key_cols[1]]))
 
 
+def _stats_from_pass2(acc2: np.ndarray, thresholds: np.ndarray):
+    """(ConfidentStats, decision histogram) from a fused-pass-2 partial
+    vector [cj (K,K) | n_issues | label_counts (K,) | hist]."""
+    from cleanlab_ray.state.confident import (
+        ConfidentStats,
+        calibrate_confident_joint,
+        estimate_latent,
+        finalize_confident_joint,
+    )
+
+    cj = finalize_confident_joint(acc2[: K * K].astype(np.int64).reshape(K, K))
+    num_issues = int(acc2[K * K])
+    label_counts = acc2[K * K + 1 : K * K + 1 + K].astype(np.int64)
+    hist = acc2[K * K + 1 + K :].astype(np.int64)
+    py, noise_matrix, inv_noise_matrix = estimate_latent(cj, label_counts)
+    stats = ConfidentStats(
+        num_classes=K,
+        n=int(label_counts.sum()),
+        thresholds=thresholds,
+        label_counts=label_counts,
+        confident_joint=cj,
+        calibrated_joint=calibrate_confident_joint(cj, label_counts),
+        num_issues=num_issues,
+        py=py,
+        noise_matrix=noise_matrix,
+        inv_noise_matrix=inv_noise_matrix,
+    )
+    return stats, hist
+
+
+def _run_checkpointed(ds, input_dir: str, concurrency, batch_size,
+                      checkpoint_dir: str | None):
+    """Checkpoint-mode body of run_streaming (see its docstring)."""
+    import tempfile
+
+    import numpy as np
+    import ray
+    import ray.data as rd
+
+    from cleanlab_ray.stages.decision import DEFAULT_BINS
+    from cleanlab_ray.state.confident import (
+        make_threshold_aggfn,
+        thresholds_from_partials,
+    )
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="qf_scored_", dir="/tmp")
+    side = concurrency is None
+    if side:
+        acc_actor = ray.remote(num_cpus=0)(_SideAccumulator).remote(2 * K)
+        pipe = ds.map_batches(
+            _make_scoring_with_side_pass1(
+                acc_actor, K, ("text", "role", "tool", "ts")
+            ),
+            batch_format="pyarrow",
+            batch_size=batch_size,
+        )
+    else:
+        pipe = score_turns(ds, concurrency, batch_size, keep_input_columns=False)
+    # read -> score -> write fuses into ONE task per input block: the
+    # scored corpus streams to disk, the store holds only in-flight blocks
+    pipe.write_parquet(ckpt)
+
+    n_rows = rd.read_parquet(ckpt).count()  # parquet metadata only
+    acc1 = _settle_side_acc(acc_actor, n_rows, K) if side else None
+    if acc1 is None:
+        acc1 = np.asarray(
+            rd.read_parquet(ckpt, columns=["label", "pred_probs"])
+            .aggregate(make_threshold_aggfn(K))["threshold_partials"]
+        )
+    thresholds = thresholds_from_partials(acc1[:K], acc1[K:].astype(np.int64))
+
+    slim = rd.read_parquet(
+        ckpt, columns=["label", "pred_probs", "score_self_confidence"]
+    )
+    acc2 = np.asarray(
+        slim.aggregate(
+            _make_fused_pass2_aggfn(K, thresholds, DEFAULT_BINS,
+                                    "score_self_confidence")
+        )["fused_pass2"]
+    )
+    stats, hist = _stats_from_pass2(acc2, thresholds)
+
+    bin_lo, boundary = _boundary_from_parquet(ckpt, hist, stats.num_issues)
+    contract = [
+        "conv_id", "turn_idx", "lang", "scrubbed_text",
+        "score_self_confidence", "is_label_issue", "keep",
+    ]
+    final = rd.read_parquet(
+        ckpt,
+        columns=["conv_id", "turn_idx", "lang", "scrubbed_text",
+                 "score_self_confidence"],
+    ).map_batches(
+        _decision_columns(bin_lo, boundary), batch_format="pyarrow",
+        batch_size=None, zero_copy_batch=True,
+    ).select_columns(contract)
+    return final, stats
+
+
+def _resolve_boundary_bin(hist: np.ndarray, t: int, num_bins: int):
+    """Shared histogram math: which score bin holds the T-th lowest
+    score, and how many rows of that bin are still needed."""
+    hist = np.asarray(hist, dtype=np.int64)
+    cum = np.cumsum(hist)
+    b = int(np.searchsorted(cum, t))
+    count_below = int(cum[b - 1]) if b > 0 else 0
+    return b / num_bins, (b + 1) / num_bins, t - count_below
+
+
+def _boundary_from_parquet(ckpt: str, hist: np.ndarray, t: int,
+                           score_col: str = "score_self_confidence",
+                           key_cols: tuple = ("conv_id", "turn_idx"),
+                           num_bins: int | None = None):
+    """Checkpoint-backed twin of _fanout_boundary: a column-pruned
+    parquet read + one filter pass pulls only the boundary bin's rows
+    (~N/num_bins of the keys, never the text)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from cleanlab_ray.stages.decision import DEFAULT_BINS
+
+    num_bins = num_bins or DEFAULT_BINS
+    if t <= 0:
+        return 0.0, set()
+    bin_lo, bin_hi, need = _resolve_boundary_bin(hist, t, num_bins)
+    if need <= 0:
+        return bin_lo, set()
+
+    def in_bin(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch[score_col], pa.float64())
+        return batch.filter(pc.and_(pc.greater_equal(s, bin_lo), pc.less(s, bin_hi)))
+
+    boundary = (
+        rd.read_parquet(ckpt, columns=[*key_cols, score_col])
+        .map_batches(in_bin, batch_format="pyarrow")
+        .to_pandas()
+    )
+    boundary = boundary.sort_values([score_col, *key_cols], kind="mergesort")
+    chosen = boundary.head(need)
+    return bin_lo, set(zip(chosen[key_cols[0]], chosen[key_cols[1]]))
+
+
+#: scored Arrow bytes per input parquet byte (measured on the bench
+#: corpus: 9.4 GB parquet -> 21.5 GB slim scored Arrow).
+_SCORED_BYTES_FACTOR = 2.5
+
+
+def _input_parquet_bytes(input_dir: str) -> int:
+    import os
+
+    if os.path.isfile(input_dir):
+        return os.path.getsize(input_dir)
+    total = 0
+    for f in os.listdir(input_dir):
+        if f.endswith(".parquet"):
+            total += os.path.getsize(os.path.join(input_dir, f))
+    return total
+
+
 def run_streaming(
     input_dir: str,
     concurrency: int | tuple = 4,
     batch_size: int | None = None,
     columns: list[str] | None = None,
     override_num_blocks: int | None = None,
+    checkpoint_dir: str | None = None,
 ):
-    """Returns (final Dataset with keep/drop + scrubbed_text, ConfidentStats)."""
+    """Returns (final Dataset with keep/drop + scrubbed_text, ConfidentStats).
+
+    When the scored output would crowd the object store (estimated
+    scored bytes > half the store's capacity), or when
+    ``checkpoint_dir`` is passed explicitly, the pipeline switches to
+    CHECKPOINT mode: the scoring scan streams straight to partitioned
+    parquet (read->score->write fuse into one task; the store only ever
+    holds in-flight blocks), and the decision passes run over
+    column-pruned reads of the checkpoint (pass 2 touches only
+    label/pred_probs/score — a few % of the bytes; the text is re-read
+    exactly once, by the final consumer). Measured at 100M turns
+    (9.4 GB input, 21.5 GB scored): materializing stalled the scoring
+    scan ~2x via allocation backpressure (zero spills, pure pressure);
+    checkpointing restores the linear per-row rate. This is also the
+    100-TB shape — at cluster scale the scored corpus NEVER fits the
+    aggregate store, so the materialize() fast path is strictly a
+    small-input optimization."""
     import numpy as np
     import ray.data as rd
 
-    from cleanlab_ray.stages.decision import DEFAULT_BINS, resolve_bottom_t_from_hist
+    from cleanlab_ray.stages.decision import DEFAULT_BINS
     from cleanlab_ray.state.confident import (
-        ConfidentStats,
-        calibrate_confident_joint,
-        estimate_latent,
-        finalize_confident_joint,
         make_threshold_aggfn,
         thresholds_from_partials,
     )
 
     ds = rd.read_parquet(input_dir, columns=columns, override_num_blocks=override_num_blocks)
+
+    large = checkpoint_dir is not None
+    if not large:
+        import ray
+
+        store_cap = float(ray.cluster_resources().get("object_store_memory", 0.0))
+        try:
+            in_bytes = _input_parquet_bytes(input_dir)
+        except OSError:
+            in_bytes = 0
+        large = store_cap > 0 and in_bytes * _SCORED_BYTES_FACTOR > 0.5 * store_cap
+    if large:
+        return _run_checkpointed(
+            ds, input_dir, concurrency, batch_size, checkpoint_dir
+        )
+
     # Drop raw pass-through columns before materializing: the flagship
     # output contract is (keys, scrubbed_text, scores, keep) — halving
     # the materialized bytes keeps two consecutive runs out of
@@ -339,23 +521,7 @@ def run_streaming(
     # fixed startup (~0.4 s measured; 3 post passes paid it 3x). Blocks
     # never leave the object store; only (K*K + bins) floats return.
     acc2 = _fanout_pass2(scored, K, thresholds, DEFAULT_BINS, "score_self_confidence")
-    cj = finalize_confident_joint(acc2[: K * K].astype(np.int64).reshape(K, K))
-    num_issues = int(acc2[K * K])
-    label_counts = acc2[K * K + 1 : K * K + 1 + K].astype(np.int64)
-    hist = acc2[K * K + 1 + K :].astype(np.int64)
-    py, noise_matrix, inv_noise_matrix = estimate_latent(cj, label_counts)
-    stats = ConfidentStats(
-        num_classes=K,
-        n=int(label_counts.sum()),
-        thresholds=thresholds,
-        label_counts=label_counts,
-        confident_joint=cj,
-        calibrated_joint=calibrate_confident_joint(cj, label_counts),
-        num_issues=num_issues,
-        py=py,
-        noise_matrix=noise_matrix,
-        inv_noise_matrix=inv_noise_matrix,
-    )
+    stats, hist = _stats_from_pass2(acc2, thresholds)
 
     # boundary-bin pull (tiny filter fan-out over the materialized block
     # refs) + final mask pass, projected to the flagship output contract

@@ -4930,3 +4930,28 @@ def q_bpe_train_encode(sf_dir: str):
 
 
 QUERIES["bpe_train_encode"] = q_bpe_train_encode
+
+
+def q_heavy_hitters(sf_dir: str, k: int = 20):
+    """Top-k corpus words via a Misra-Gries mergeable summary -- every
+    block folds its tokens into an O(capacity) sketch and the driver
+    receives ONE O(capacity) accumulator (no vocabulary-sized shuffle
+    at all, unlike q:vocab_topk's exact groupby). Capacity 4096 >> this
+    corpus's distinct-word count, so the sketch is provably exact here
+    and the SQL oracle is the plain count; the lossy regime's error
+    bound is pytest-checked (tests/test_heavy_hitters.py)."""
+    from cleanlab_ray.stages.heavy_hitters import heavy_hitters
+
+    return heavy_hitters(
+        _read(sf_dir, "documents", ["text"]), k=k, capacity=4096
+    )
+
+
+SQL_HEAVY_HITTERS = r"""
+SELECT w AS word, count(*) AS weight
+FROM (SELECT unnest(regexp_extract_all(text, '[^\s]+')) AS w FROM documents)
+GROUP BY 1 ORDER BY weight DESC, word ASC LIMIT 20
+"""
+
+QUERIES["heavy_hitters"] = q_heavy_hitters
+ORACLE_SQL["heavy_hitters"] = SQL_HEAVY_HITTERS
