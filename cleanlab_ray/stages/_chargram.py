@@ -48,9 +48,9 @@ def batch_trigrams(texts: list[bytes]):
     return codes, row_ids
 
 
-def _arrow_bytes(col):
-    """(data bytes, per-byte row ids, n_rows) zero-copy from an Arrow
-    string column."""
+def _arrow_offsets(col):
+    """(data bytes, row offsets, n_rows) zero-copy from an Arrow string
+    column — no per-byte arrays are materialized."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -65,10 +65,14 @@ def _arrow_bytes(col):
         col.offset : col.offset + len(col) + 1
     ]
     data = np.frombuffer(buffers[2], dtype=np.uint8)[offsets[0] : offsets[-1]]
-    offsets = offsets - offsets[0]
-    lens = np.diff(offsets)
-    n = len(col)
-    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    return data, offsets - offsets[0], len(col)
+
+
+def _arrow_bytes(col):
+    """(data bytes, per-byte row ids, n_rows) zero-copy from an Arrow
+    string column."""
+    data, offsets, n = _arrow_offsets(col)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
     return data, row_of, n
 
 
@@ -240,17 +244,33 @@ def score_arrow_column(table, col) -> tuple[np.ndarray, np.ndarray]:
     segment-sum via np.add.reduceat (row_ids are nondecreasing by
     construction)."""
     if isinstance(table, DenseTrigramTable):
-        data, row_of, n = _arrow_bytes(col)
+        # Offsets-only path: trigram validity and per-row segment starts
+        # both fall out of the Arrow offsets (a trigram at byte p of row
+        # [s, e) is valid iff p <= e-3, so each row kills exactly its
+        # last two positions; valid count per row = max(len-2, 0)).
+        # The per-byte int64 row_of array the generic path builds is
+        # never materialized — at 32-way parallelism its ~24 B/byte of
+        # bus traffic was a measurable share of the kernel's DRAM load.
+        data, offsets, n = _arrow_offsets(col)
         n_cols = table.logprobs.shape[1]
         if data.size < 3:
             return np.zeros((n, n_cols)), np.zeros(n)
-        codes, row_ids = dense_codes(data, row_of)
+        mm = _BYTE_REMAP[data]
+        valid = np.ones(data.size - 2, dtype=bool)
+        ends = offsets[1:]
+        kill = np.concatenate([ends - 1, ends - 2])
+        row_lo = np.concatenate([offsets[:-1], offsets[:-1]])
+        inb = (kill >= row_lo) & (kill < valid.size)
+        valid[kill[inb]] = False
+        codes = (mm[:-2] * 1024 + mm[1:-1] * 32 + mm[2:])[valid]
         m = len(codes)
+        seg_counts = np.maximum(np.diff(offsets) - 2, 0)
         out = np.zeros((n, n_cols))
         counts = np.zeros(n)
         if m:
-            starts = np.searchsorted(row_ids, np.arange(n))
-            seg_counts = np.diff(np.append(starts, m))
+            starts = np.empty(n, dtype=np.int64)
+            starts[0] = 0
+            np.cumsum(seg_counts[:-1], out=starts[1:])
             nonempty = seg_counts > 0
             ne_starts = starts[nonempty]
             if seg_counts.max() <= 65536 and nonempty.any():
