@@ -4955,3 +4955,28 @@ GROUP BY 1 ORDER BY weight DESC, word ASC LIMIT 20
 
 QUERIES["heavy_hitters"] = q_heavy_hitters
 ORACLE_SQL["heavy_hitters"] = SQL_HEAVY_HITTERS
+
+
+def q_approx_distinct_words(sf_dir: str, k: int = 16384):
+    """Per-language distinct-word counts via the mergeable KMV sketch
+    (stages/sketches.py): every block folds to one O(k) summary per
+    language, only summaries shuffle, the driver sees |langs| rows.
+    k=16384 >> the corpus vocabulary, so the sketch is provably exact
+    here and the SQL oracle is a plain count(DISTINCT); the lossy
+    regime's error bound is pytest-checked (tests/test_sketches.py)."""
+    from cleanlab_ray.stages.sketches import distinct_tokens_by
+
+    return distinct_tokens_by(
+        _read(sf_dir, "documents", ["lang", "text"]), "lang", k=k
+    )
+
+
+SQL_APPROX_DISTINCT_WORDS = r"""
+SELECT lang, count(DISTINCT w) AS distinct_tokens
+FROM (SELECT lang, unnest(regexp_extract_all(text, '[^\s]+')) AS w
+      FROM documents)
+GROUP BY 1 ORDER BY lang
+"""
+
+QUERIES["approx_distinct_words"] = q_approx_distinct_words
+ORACLE_SQL["approx_distinct_words"] = SQL_APPROX_DISTINCT_WORDS

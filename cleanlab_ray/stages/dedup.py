@@ -753,9 +753,9 @@ _FP_P = np.uint64(1099511628211)
 _FP_INV = np.uint64(pow(int(_FP_P), -1, 1 << 64))
 
 
-def add_fingerprint(batch: pa.Table, text_col: str = "text",
-                    out_col: str = "fingerprint") -> pa.Table:
-    """64-bit polynomial rolling hash of the whole text.
+def polynomial_string_hashes(col) -> np.ndarray:
+    """64-bit polynomial rolling hash of every string in an Arrow
+    column, returned as uint64 (N,).
 
     Definition (documented so an external oracle can reproduce it):
     ``h = fold(h*P + byte, init=0) mod 2^64`` with P=1099511628211 over
@@ -764,7 +764,6 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text",
     column's concatenated byte buffer: weight(byte at p) = P^(distance
     from its row's end), per-row totals via np.add.reduceat — O(total
     bytes) numpy, no per-row or per-byte Python."""
-    col = batch[text_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     col = pc.fill_null(col, "").cast(pa.large_string())
@@ -786,6 +785,14 @@ def add_fingerprint(batch: pa.Table, text_col: str = "text",
         terms = data.astype(np.uint64) * pow_table[dist]
         nonempty = lens > 0
         out[nonempty] = np.add.reduceat(terms, offsets[:-1][nonempty])
+    return out
+
+
+def add_fingerprint(batch: pa.Table, text_col: str = "text",
+                    out_col: str = "fingerprint") -> pa.Table:
+    """64-bit polynomial rolling hash of the whole text (see
+    :func:`polynomial_string_hashes` for the documented fold)."""
+    out = polynomial_string_hashes(batch[text_col])
     return batch.append_column(out_col, pa.array(out.astype(np.int64), type=pa.int64()))
 
 
