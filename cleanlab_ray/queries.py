@@ -4980,3 +4980,54 @@ GROUP BY 1 ORDER BY lang
 
 QUERIES["approx_distinct_words"] = q_approx_distinct_words
 ORACLE_SQL["approx_distinct_words"] = SQL_APPROX_DISTINCT_WORDS
+
+
+def q_dup_spans(sf_dir: str, span_k: int = 20):
+    """Cross-document duplicate-substring coverage per doc
+    (stages/dedup.py dup_span_counts — the Lee et al. 2022 substring
+    dedup signal with char 20-grams): distinct-per-doc window-hash
+    postings -> one sort exchange -> runs with >= 2 docs are duplicated
+    positions -> per-doc sums left-attached to map-only window totals.
+    SQL-checked: the oracle replicates the FNV window fold and the
+    >= 2-distinct-docs rule."""
+    from cleanlab_ray.stages.dedup import dup_span_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_span_counts(ds, text_col="text", key_col="doc_id", span_k=span_k)
+
+
+def _make_dup_spans_sql(span_k: int = 20) -> str:
+    """dup_spans oracle: same lowercased space-padded k-byte FNV window
+    hashes as the Ray kernel (HUGEINT fold mod 2^64); a window position
+    is duplicated iff its hash occurs in >= 2 distinct docs."""
+    P = 1099511628211
+    M64 = 1 << 64
+    expr = "0::HUGEINT"
+    for i in range(span_k):
+        expr = f"((({expr}) * {P} + ord(substr(tx, g.p + {i}, 1))) % {M64})"
+    return f"""
+WITH pad AS (
+  SELECT doc_id,
+         CASE WHEN length(t) < {span_k}
+              THEN t || repeat(' ', {span_k} - length(t)) ELSE t END AS tx
+  FROM (SELECT doc_id, lower(text) AS t FROM documents)),
+sh AS (
+  SELECT doc_id, {expr} AS h
+  FROM pad CROSS JOIN generate_series(1, 4096) AS g(p)
+  WHERE g.p <= length(tx) - {span_k - 1}),
+cnt AS (SELECT doc_id, h, count(*) AS c FROM sh GROUP BY 1, 2),
+nd AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM sh GROUP BY 1),
+dup AS (
+  SELECT c.doc_id, sum(c.c) AS n_dup
+  FROM cnt c JOIN nd ON c.h = nd.h WHERE nd.ndocs >= 2 GROUP BY 1),
+tot AS (SELECT doc_id, greatest(length(tx) - {span_k - 1}, 1) AS n_spans FROM pad)
+SELECT t.doc_id, t.n_spans,
+       CAST(coalesce(d.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       CAST(floor(coalesce(d.n_dup, 0)::DOUBLE / t.n_spans * 1000000 + 0.5)
+            AS BIGINT) AS dup_frac_e6
+FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
+"""
+
+
+QUERIES["dup_spans"] = q_dup_spans
+ORACLE_SQL["dup_spans"] = _make_dup_spans_sql()

@@ -916,3 +916,112 @@ def ngram_jaccard_pairs(
         Count(), Max("na"), Max("nb")
     )
     return counted.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate-substring spans (Lee et al. 2022 signal)
+# ---------------------------------------------------------------------------
+
+def dup_span_counts(ds, text_col: str = "text", key_col: str = "doc_id",
+                    span_k: int = 20):
+    """Per-document duplicated-substring coverage: how many of a doc's
+    k-byte window positions hold a substring that also occurs in ANOTHER
+    document (the substring-level dedup signal of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", with
+    fixed-length char k-grams standing in for the suffix-array step —
+    the practical web-pipeline variant).
+
+    Ray shape (text never shuffles):
+      1. one vectorized map per block emits (window_hash, doc,
+         positions_in_doc) postings — DISTINCT per (doc, hash), with
+         within-doc multiplicity carried as a count (each doc is one
+         row, so (doc, hash) postings are globally unique by
+         construction);
+      2. one sort exchange on the hash; because postings are distinct
+         per doc, an equal-hash run of size >= 2 means >= 2 distinct
+         docs share the substring — the whole run's (doc, count) rows
+         are duplicated positions;
+      3. ``groupby(doc).sum`` -> sparse per-doc dup-position counts,
+         left-attached (broadcastless hash join, functions/joins.py)
+         onto the per-doc window totals computed map-only.
+
+    Windows use the same lowercased, space-padded byte preprocessing as
+    every other shingle kernel here (``shingle_hashes_column``), so a
+    doc shorter than ``span_k`` contributes exactly one padded window.
+
+    Returns Dataset[(key, n_spans, n_dup_spans, dup_frac_e6)] with
+    dup_frac_e6 = floor(n_dup/n_spans * 1e6 + 0.5).
+    """
+    from cleanlab_ray.functions.joins import attach_flags_by_key
+
+    def postings(batch: pa.Table) -> pa.Table:
+        hashes, seg_starts, widths = shingle_hashes_column(batch[text_col], span_k)
+        n = len(seg_starts)
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), widths)
+        order = np.lexsort((hashes, row_ids))
+        hs, rs = hashes[order], row_ids[order]
+        first = np.ones(len(hs), dtype=bool)
+        if len(hs) > 1:
+            first[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+        idx = np.flatnonzero(first)
+        counts = np.diff(np.append(idx, len(hs)))
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return pa.table({
+            "h": pa.array(hs[first].astype(np.int64), type=pa.int64()),
+            "doc": keys.take(pa.array(rs[first])),
+            "c": pa.array(counts.astype(np.int64), type=pa.int64()),
+        })
+
+    def emit_dups(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        if len(h) == 0:
+            return batch
+        run_change = np.ones(len(h), dtype=bool)
+        run_change[1:] = h[1:] != h[:-1]
+        run_id = np.cumsum(run_change) - 1
+        run_sizes = np.bincount(run_id)
+        keep = run_sizes[run_id] >= 2
+        return batch.filter(pa.array(keep))
+
+    dups = (
+        _sorted_block_map(ds.map_batches(postings, batch_format="pyarrow"), "h", emit_dups)
+        .groupby("doc")
+        .sum("c")
+    )
+
+    def rename_dups(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: batch["doc"],
+            "n_dup_spans": pc.cast(batch["sum(c)"], pa.int64()),
+        })
+
+    dups = dups.map_batches(rename_dups, batch_format="pyarrow")
+
+    def totals(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.utf8_length(pc.fill_null(col, "")).to_numpy(zero_copy_only=False)
+        n_spans = np.maximum(lens - span_k + 1, 1).astype(np.int64)
+        return pa.table({key_col: batch[key_col], "n_spans": pa.array(n_spans)})
+
+    out = attach_flags_by_key(
+        ds.map_batches(totals, batch_format="pyarrow"),
+        dups,
+        (key_col,),
+        {"n_dup_spans": np.int64(0)},
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        nd = batch["n_dup_spans"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ns = batch["n_spans"].to_numpy(zero_copy_only=False).astype(np.float64)
+        frac = np.floor(nd / ns * 1e6 + 0.5).astype(np.int64)
+        i = batch.column_names.index("n_dup_spans")
+        batch = batch.set_column(
+            i, "n_dup_spans", pa.array(nd.astype(np.int64), type=pa.int64())
+        )
+        return batch.append_column("dup_frac_e6", pa.array(frac))
+
+    return out.map_batches(finalize, batch_format="pyarrow")

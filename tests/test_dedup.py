@@ -196,3 +196,49 @@ def test_ngram_jaccard_df_cap_drops_stop_shingles(ray_session):
     exact = ngram_jaccard_pairs(ds, threshold=0.0).to_pandas()
     capped = ngram_jaccard_pairs(ds, threshold=0.0, df_cap=5).to_pandas()
     assert len(capped) < len(exact)
+
+
+def test_dup_span_counts(ray_session):
+    """Cross-doc duplicate windows: shared spans counted per position,
+    within-doc repeats don't count without a second doc, short docs get
+    the single padded window."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.stages.dedup import dup_span_counts
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    docs = [
+        (0, shared + " alpha unique tail zero zero zero"),
+        (1, shared + " beta different ending entirely here"),
+        (2, "completely unrelated text with no overlap at all okay"),
+        (3, "tiny"),  # shorter than span_k -> one padded window
+        (4, "tiny"),  # identical short doc -> that window is duplicated
+    ]
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+                  "text": pa.array([t for _, t in docs])})
+    ).repartition(3)
+    out = dup_span_counts(ds, span_k=20).to_pandas().set_index("doc_id").sort_index()
+
+    k = 20
+    # brute-force oracle
+    def windows(t):
+        t = t.lower()
+        if len(t) < k:
+            t = t + " " * (k - len(t))
+        return [t[i:i + k] for i in range(len(t) - k + 1)]
+
+    wins = {d: windows(t) for d, t in docs}
+    from collections import Counter
+    owner = {}
+    for d, ws in wins.items():
+        for w in set(ws):
+            owner.setdefault(w, set()).add(d)
+    for d, ws in wins.items():
+        ndup = sum(1 for w in ws if len(owner[w]) >= 2)
+        assert out.loc[d, "n_spans"] == len(ws)
+        assert out.loc[d, "n_dup_spans"] == ndup, (d, out.loc[d], ndup)
+    assert out.loc[2, "n_dup_spans"] == 0
+    assert out.loc[3, "n_spans"] == 1 and out.loc[3, "n_dup_spans"] == 1
