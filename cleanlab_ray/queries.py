@@ -5031,3 +5031,30 @@ FROM tot t LEFT JOIN dup d ON t.doc_id = d.doc_id
 
 QUERIES["dup_spans"] = q_dup_spans
 ORACLE_SQL["dup_spans"] = _make_dup_spans_sql()
+
+
+def q_inverted_index(sf_dir: str):
+    """Inverted index over documents (stages/index.py): distinct
+    (term, doc) postings map -> one sort exchange on the term ->
+    whole-block df + posting emission, returned flat as
+    (word, df, doc_id) for mid-frequency terms (df in [5, 40]). Text
+    never shuffles. SQL-checked against the DISTINCT-unnest formulation."""
+    from cleanlab_ray.stages.index import inverted_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return inverted_index(ds, df_range=(5, 40))
+
+
+SQL_INVERTED_INDEX = r"""
+WITH wd AS (
+  SELECT DISTINCT w AS word, doc_id
+  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '[^\s]+')) AS w
+        FROM documents)),
+df AS (SELECT word, count(*) AS df FROM wd GROUP BY 1)
+SELECT w.word, d.df, w.doc_id
+FROM wd w JOIN df d USING (word)
+WHERE d.df BETWEEN 5 AND 40
+"""
+
+QUERIES["inverted_index"] = q_inverted_index
+ORACLE_SQL["inverted_index"] = SQL_INVERTED_INDEX
