@@ -5058,3 +5058,61 @@ WHERE d.df BETWEEN 5 AND 40
 
 QUERIES["inverted_index"] = q_inverted_index
 ORACLE_SQL["inverted_index"] = SQL_INVERTED_INDEX
+
+
+def q_embedding_covariance(sf_dir: str):
+    """Population covariance of the 64-d embedding column via ONE
+    streaming moment aggregate (stages/pca.py: per-block x.T@x GEMM,
+    additive merge, O(D^2) to the driver) — the distributed-PCA wide
+    step. Emitted as (i, j, cov_e6) upper-triangle rows; SQL-checked
+    against DuckDB covar_pop over unnested coordinates."""
+    from cleanlab_ray.stages.pca import embedding_covariance
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    cov, _mean, _n = embedding_covariance(ds, "embedding", dim=64)
+    ii, jj = np.triu_indices(64)
+    return pa.table({
+        "i": pa.array((ii + 1).astype(np.int64)),
+        "j": pa.array((jj + 1).astype(np.int64)),
+        "cov_e6": pa.array(np.floor(cov[ii, jj] * 1e6 + 0.5).astype(np.int64)),
+    })
+
+
+SQL_EMBEDDING_COVARIANCE = r"""
+WITH u AS (
+  SELECT vec_id, g.i AS i, embedding[g.i]::DOUBLE AS x
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i))
+SELECT a.i, b.i AS j,
+       CAST(floor(covar_pop(a.x, b.x) * 1000000 + 0.5) AS BIGINT) AS cov_e6
+FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.i <= b.i
+GROUP BY 1, 2
+"""
+
+QUERIES["embedding_covariance"] = q_embedding_covariance
+ORACLE_SQL["embedding_covariance"] = SQL_EMBEDDING_COVARIANCE
+
+
+def q_embedding_pca(sf_dir: str, k: int = 8):
+    """Distributed PCA spectrum (stages/pca.py pca_fit): covariance from
+    the one-pass moment aggregate, driver-side eigh on (64, 64),
+    deterministic component signs. Returns the top-k explained-variance
+    spectrum; the eigen step is not SQL-expressible (rows-only driver
+    check) — the covariance input IS SQL-checked (embedding_covariance)
+    and the eigendecomposition is NumPy-oracle-tested (tests/test_pca.py)."""
+    from cleanlab_ray.stages.pca import pca_fit
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    model = pca_fit(ds, "embedding", n_components=k, dim=64)
+    total = float(np.sum(model.explained_variance))
+    return pa.table({
+        "component": pa.array(np.arange(1, k + 1, dtype=np.int64)),
+        "explained_variance_e9": pa.array(
+            np.floor(model.explained_variance * 1e9 + 0.5).astype(np.int64)
+        ),
+        "explained_ratio_e6": pa.array(
+            np.floor(model.explained_variance / total * 1e6 + 0.5).astype(np.int64)
+        ),
+    })
+
+
+QUERIES["embedding_pca"] = q_embedding_pca
