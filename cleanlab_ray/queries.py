@@ -5116,3 +5116,65 @@ def q_embedding_pca(sf_dir: str, k: int = 8):
 
 
 QUERIES["embedding_pca"] = q_embedding_pca
+
+
+def q_grouped_topk(sf_dir: str, k: int = 5):
+    """Top-k longest documents per source (stages/topk.py
+    grouped_top_k): map-side per-block prune to k rows per group, one
+    sort exchange over the survivors, re-rank in the sorted block — at
+    most k x blocks rows per group ever shuffle. SQL-checked against a
+    row_number() window oracle."""
+    from cleanlab_ray.stages.topk import grouped_top_k
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return grouped_top_k(ds, "source", "n_chars", k=k, tie_cols=("doc_id",))
+
+
+SQL_GROUPED_TOPK = r"""
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents) WHERE rn <= 5
+"""
+
+QUERIES["grouped_topk"] = q_grouped_topk
+ORACLE_SQL["grouped_topk"] = SQL_GROUPED_TOPK
+
+
+def q_bloom_semijoin(sf_dir: str):
+    """Orders of BUILDING-segment customers via the bloom-prefiltered
+    exact semijoin (stages/bloom.py): the right side folds to one m-bit
+    bitmap aggregate, a broadcast stateless map prunes the left scan,
+    and the surviving candidates are verified exactly by hash join — so
+    the output equals the plain semijoin the SQL oracle computes, while
+    only |members| + FP-rate x |left| rows enter the exchange."""
+    from cleanlab_ray.stages.bloom import bloom_semijoin
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    bldg = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
+        lambda r: r["c_mktsegment"] == "BUILDING"
+    )
+    out = bloom_semijoin(orders, bldg, "o_custkey", "c_custkey")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        tp = batch["o_totalprice"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "totalprice_e2": pa.array(np.floor(tp * 100 + 0.5).astype(np.int64)),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_BLOOM_SEMIJOIN = r"""
+SELECT o_orderkey, o_custkey,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_e2
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+"""
+
+QUERIES["bloom_semijoin"] = q_bloom_semijoin
+ORACLE_SQL["bloom_semijoin"] = SQL_BLOOM_SEMIJOIN

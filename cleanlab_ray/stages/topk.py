@@ -1,0 +1,76 @@
+"""Per-group top-k selection with map-side pruning.
+
+"Keep the k best examples per source/domain/shard" is a standard
+training-data curation step that Ray Data has no primitive for (a
+global ``sort`` + driver cut does not bound per-group output, and
+``map_groups`` shuffles every row). This operator shuffles at most
+k rows per (group, input block):
+
+1. map-side prune: each block lexsorts once on (group, -score, key) and
+   keeps only each group's first k rows — sound because a row outside a
+   block's local top-k cannot be in the global top-k (scores only get
+   more competition when blocks merge);
+2. one sort exchange on the group key co-locates the survivors
+   (<= k x blocks rows per group);
+3. the sorted block kernel re-ranks each run and keeps rank < k.
+
+Deterministic total order: (score DESC, tie_cols ASC) — ties broken by
+the caller-supplied unique key so output is reproducible and
+SQL-checkable with a row_number() window oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _rank_in_runs(run_id: np.ndarray) -> np.ndarray:
+    """0-based rank of each element within its (contiguous) run."""
+    n = len(run_id)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    starts = np.flatnonzero(np.concatenate([[True], run_id[1:] != run_id[:-1]]))
+    return np.arange(n, dtype=np.int64) - np.repeat(
+        starts, np.diff(np.append(starts, n))
+    )
+
+
+def _topk_block(batch: pa.Table, group_col: str, score_col: str,
+                tie_cols: tuple[str, ...], k: int) -> pa.Table:
+    if batch.num_rows == 0:
+        return batch
+    g = batch[group_col]
+    if isinstance(g, pa.ChunkedArray):
+        g = g.combine_chunks()
+    enc = g.dictionary_encode()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    score = batch[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+    ties = [
+        np.asarray(batch[c].to_pandas()) for c in reversed(tie_cols)
+    ]
+    order = np.lexsort((*ties, -score, codes))
+    rank = _rank_in_runs(codes[order])
+    keep_sorted = order[rank < k]
+    return batch.take(pa.array(np.sort(keep_sorted)))
+
+
+def grouped_top_k(
+    ds,
+    group_col: str,
+    score_col: str,
+    k: int,
+    tie_cols: tuple[str, ...] = (),
+):
+    """Top-k rows per group by (score DESC, tie_cols ASC). Returns the
+    selected rows with their original columns."""
+    from cleanlab_ray.stages.dedup import _sorted_block_map
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return _topk_block(batch, group_col, score_col, tie_cols, k)
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow")
+    return _sorted_block_map(
+        pruned, group_col,
+        lambda b: _topk_block(b, group_col, score_col, tie_cols, k),
+    )

@@ -1,0 +1,103 @@
+"""grouped_top_k + bloom_semijoin: brute-force parity and edge regimes."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_grouped_top_k_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from cleanlab_ray.stages.topk import grouped_top_k
+
+    rng = np.random.default_rng(23)
+    n = 500
+    tbl = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "grp": pa.array(rng.integers(0, 7, size=n).astype(np.int64)),
+        # heavy score ties to exercise the deterministic tie-break
+        "score": pa.array(rng.integers(0, 10, size=n).astype(np.float64)),
+    })
+    ds = rd.from_arrow(tbl).repartition(8)
+    out = grouped_top_k(ds, "grp", "score", k=4, tie_cols=("id",)).to_pandas()
+    import pandas as pd
+
+    df = tbl.to_pandas()
+    exp = (
+        df.sort_values(["grp", "score", "id"], ascending=[True, False, True])
+        .groupby("grp")
+        .head(4)
+    )
+    got = out.sort_values(["grp", "score", "id"], ascending=[True, False, True])
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True)[["id", "grp", "score"]],
+        exp.reset_index(drop=True)[["id", "grp", "score"]],
+    )
+
+
+def test_grouped_top_k_small_groups(ray_session):
+    """Groups smaller than k are returned whole."""
+    import ray.data as rd
+
+    from cleanlab_ray.stages.topk import grouped_top_k
+
+    tbl = pa.table({
+        "id": pa.array([0, 1, 2], type=pa.int64()),
+        "grp": pa.array(["a", "a", "b"]),
+        "score": pa.array([1.0, 2.0, 3.0]),
+    })
+    out = grouped_top_k(rd.from_arrow(tbl).repartition(2), "grp", "score",
+                        k=10, tie_cols=("id",)).to_pandas()
+    assert len(out) == 3
+
+
+def test_bloom_semijoin_exact_even_with_tiny_bitmap(ray_session):
+    """A deliberately saturated bloom (huge FP rate) must still produce
+    the exact semijoin — verification removes every false positive."""
+    import ray.data as rd
+
+    from cleanlab_ray.stages.bloom import (
+        bloom_maybe_contains,
+        bloom_semijoin,
+        make_bloom_aggfn,
+        _key_hashes,
+    )
+
+    rng = np.random.default_rng(3)
+    left_keys = np.arange(2000, dtype=np.int64)
+    members = rng.choice(left_keys, size=60, replace=False)
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(left_keys),
+        "payload": pa.array(left_keys * 7),
+    })).repartition(5)
+    right = rd.from_arrow(pa.table({"k": pa.array(np.sort(members))}))
+
+    m_bits = 256  # saturated: 60 keys x 3 hashes in 256 bits
+    out = bloom_semijoin(left, right, "k", m_bits=m_bits, n_hashes=3).to_pandas()
+    assert sorted(out["k"]) == sorted(members)
+    assert (out.set_index("k")["payload"] == out.set_index("k").index * 7).all()
+
+    # and the bloom really does false-positive in this regime
+    bitmap = np.asarray(
+        right.aggregate(make_bloom_aggfn("k", m_bits, 3))["bloom"]
+    )
+    h = _key_hashes(pa.array(left_keys))
+    cand = bloom_maybe_contains(bitmap, h, m_bits, 3)
+    assert cand.sum() > len(members)  # FPs present
+    # no false negatives ever
+    member_mask = np.isin(left_keys, members)
+    assert cand[member_mask].all()
+
+
+def test_bloom_string_keys(ray_session):
+    import ray.data as rd
+
+    from cleanlab_ray.stages.bloom import bloom_semijoin
+
+    left = rd.from_arrow(pa.table({
+        "name": pa.array([f"user{i}" for i in range(300)]),
+        "v": pa.array(np.arange(300, dtype=np.int64)),
+    })).repartition(3)
+    right = rd.from_arrow(pa.table({"name": pa.array(["user5", "user99", "user250"])}))
+    out = bloom_semijoin(left, right, "name").to_pandas()
+    assert sorted(out["name"]) == ["user250", "user5", "user99"]
