@@ -5178,3 +5178,47 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer
 
 QUERIES["bloom_semijoin"] = q_bloom_semijoin
 ORACLE_SQL["bloom_semijoin"] = SQL_BLOOM_SEMIJOIN
+
+
+def q_quantize_embeddings(sf_dir: str):
+    """int8 embedding quantization (stages/pca.py quantize_embeddings):
+    one streaming per-dim min/max aggregate fixes the affine scale, a
+    broadcast map quantizes each vector — the 4x-smaller ANN/storage
+    path. Emitted flat as (vec_id, i, q) rows; SQL-checked against the
+    same floor((x-min)/(max-min)*255+0.5) rule with window min/max."""
+    from cleanlab_ray.stages.pca import quantize_embeddings
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out, _mins, _scale = quantize_embeddings(ds, dim=64)
+
+    def flatten(batch: pa.Table) -> pa.Table:
+        q = batch["q"]
+        if isinstance(q, pa.ChunkedArray):
+            q = q.combine_chunks()
+        vals = np.asarray(q.values, dtype=np.int64) + 128
+        n = len(q)
+        vid = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vid, 64)),
+            "i": pa.array(np.tile(np.arange(1, 65, dtype=np.int64), n)),
+            "q": pa.array(vals),
+        })
+
+    return out.map_batches(flatten, batch_format="pyarrow")
+
+
+SQL_QUANTIZE_EMBEDDINGS = r"""
+WITH u AS (
+  SELECT vec_id, g.i AS i, embedding[g.i]::DOUBLE AS x
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)),
+mm AS (SELECT i, min(x) AS lo, max(x) AS hi FROM u GROUP BY 1)
+SELECT u.vec_id, u.i,
+       CASE WHEN mm.hi > mm.lo
+            THEN LEAST(CAST(floor((u.x - mm.lo) / ((mm.hi - mm.lo) / 255)
+                                  + 0.5) AS BIGINT), 255)
+            ELSE 0 END AS q
+FROM u JOIN mm USING (i)
+"""
+
+QUERIES["quantize_embeddings"] = q_quantize_embeddings
+ORACLE_SQL["quantize_embeddings"] = SQL_QUANTIZE_EMBEDDINGS

@@ -73,3 +73,31 @@ def test_transform_projects(emb_ds):
         z.astype(np.float64).var(axis=0), model.explained_variance,
         rtol=1e-3,
     )
+
+
+def test_quantize_embeddings_roundtrip(emb_ds, ray_session):
+    """Dequantized vectors are within half a quantization step per dim;
+    constant dims quantize to the zero level."""
+    import ray.data as rd
+
+    from cleanlab_ray.stages.pca import quantize_embeddings
+
+    ds, x, d = emb_ds
+    # add a constant dimension
+    xc = np.hstack([x.astype(np.float32), np.full((len(x), 1), 3.25, np.float32)])
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(len(x), dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(xc.reshape(-1)), d + 1
+        ),
+    })
+    qds, mins, scale = quantize_embeddings(
+        rd.from_arrow(tbl).repartition(4), dim=d + 1
+    )
+    out = qds.to_pandas().sort_values("vec_id")
+    q = np.stack(out["q"].to_numpy()).astype(np.int64) + 128
+    deq = q * scale + mins
+    xf = xc.astype(np.float64)
+    assert np.abs(deq - xf).max() <= (scale / 2 + 1e-9).max()
+    assert (q[:, -1] == 0).all()  # constant dim
+    assert q.min() >= 0 and q.max() <= 255
