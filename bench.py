@@ -144,6 +144,14 @@ def run_bench() -> dict:
         "kmeans_clusters",
         "asof_join",
         "range_join",
+        "dup_spans",
+        "inverted_index",
+        "bloom_semijoin",
+        "grouped_topk",
+        "heavy_hitters",
+        "approx_distinct_words",
+        "embedding_covariance",
+        "quantize_embeddings",
     ]
     # best-of-2 per query: the first run pays one-time per-worker kernel
     # warmups (numpy, regex, model tables) that aren't steady-state

@@ -5222,3 +5222,43 @@ FROM u JOIN mm USING (i)
 
 QUERIES["quantize_embeddings"] = q_quantize_embeddings
 ORACLE_SQL["quantize_embeddings"] = SQL_QUANTIZE_EMBEDDINGS
+
+
+def q_std_distance_scores(sf_dir: str):
+    """Standardized-euclidean OOD distance per embedding
+    (stages/pca.py standardized_distance_scores): per-dim mean/var from
+    the one-pass moment aggregate, broadcast stateless scoring map.
+    SQL-checked against var_pop/avg over unnested coordinates; the full
+    Mahalanobis (non-diagonal Sigma^-1) is NumPy-oracle-tested
+    (tests/test_pca.py)."""
+    from cleanlab_ray.stages.pca import standardized_distance_scores
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = standardized_distance_scores(ds, dim=64)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        d = batch["std_distance"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "dist_e6": pa.array(np.floor(d * 1e6 + 0.5).astype(np.int64)),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_STD_DISTANCE = r"""
+WITH u AS (
+  SELECT vec_id, g.i AS i, embedding[g.i]::DOUBLE AS x
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)),
+mm AS (SELECT i, avg(x) AS mu, var_pop(x) AS v FROM u GROUP BY 1)
+SELECT u.vec_id,
+       CAST(floor(sqrt(sum(CASE WHEN mm.v > 0
+                                THEN (u.x - mm.mu) * (u.x - mm.mu) / mm.v
+                                ELSE 0 END)) * 1000000 + 0.5) AS BIGINT)
+         AS dist_e6
+FROM u JOIN mm USING (i)
+GROUP BY 1
+"""
+
+QUERIES["std_distance_scores"] = q_std_distance_scores
+ORACLE_SQL["std_distance_scores"] = SQL_STD_DISTANCE

@@ -174,3 +174,48 @@ def quantize_embeddings(ds, col: str = "embedding", dim: int | None = None,
         )
 
     return ds.map_batches(quant, batch_format="pyarrow"), mins, scale
+
+
+# ---------------------------------------------------------------------------
+# Covariance-based OOD distances (moments pass -> broadcast map)
+# ---------------------------------------------------------------------------
+
+def mahalanobis_scores(ds, col: str = "embedding", dim: int | None = None,
+                       out_col: str = "mahalanobis", reg: float = 1e-6):
+    """Per-row Mahalanobis distance to the corpus distribution:
+    sqrt((x-mu)^T Sigma^-1 (x-mu)), with Sigma from the SAME one-pass
+    moment aggregate as PCA and a driver-side regularized eigh inverse
+    (O(D^3) once, D ~ embedding width). The map broadcasts only the
+    (D, D) whitening matrix. NumPy-oracle-tested; for the
+    SQL-checkable diagonal restriction see
+    :func:`standardized_distance_scores`."""
+    cov, mean, _n = embedding_covariance(ds, col, dim)
+    vals, vecs = np.linalg.eigh(cov)
+    inv_half = vecs * (1.0 / np.sqrt(np.maximum(vals, reg)))  # (D, D)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        x = _block_matrix(batch, col)
+        z = (x - mean) @ inv_half
+        d = np.sqrt(np.einsum("ij,ij->i", z, z))
+        return batch.append_column(out_col, pa.array(d))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def standardized_distance_scores(ds, col: str = "embedding",
+                                 dim: int | None = None,
+                                 out_col: str = "std_distance"):
+    """Diagonal-covariance Mahalanobis (standardized euclidean):
+    sqrt(sum_i (x_i - mean_i)^2 / var_i) — the SQL-replicable OOD
+    distance (per-dim mean/var come from the one-pass moment
+    aggregate; constant dims contribute 0)."""
+    cov, mean, _n = embedding_covariance(ds, col, dim)
+    var = np.diag(cov).copy()
+    inv = np.where(var > 0, 1.0 / var, 0.0)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        x = _block_matrix(batch, col)
+        d = np.sqrt(((x - mean) ** 2 * inv).sum(axis=1))
+        return batch.append_column(out_col, pa.array(d))
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

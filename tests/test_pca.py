@@ -101,3 +101,27 @@ def test_quantize_embeddings_roundtrip(emb_ds, ray_session):
     assert np.abs(deq - xf).max() <= (scale / 2 + 1e-9).max()
     assert (q[:, -1] == 0).all()  # constant dim
     assert q.min() >= 0 and q.max() <= 255
+
+
+def test_mahalanobis_matches_numpy(emb_ds):
+    from cleanlab_ray.stages.pca import mahalanobis_scores
+
+    ds, x, d = emb_ds
+    out = mahalanobis_scores(ds, dim=d).to_pandas().sort_values("vec_id")
+    cov = np.cov(x.T, bias=True)
+    mu = x.mean(axis=0)
+    # reference with the same eigen regularization
+    vals, vecs = np.linalg.eigh(cov)
+    inv = vecs @ np.diag(1.0 / np.maximum(vals, 1e-6)) @ vecs.T
+    exp = np.sqrt(np.einsum("ij,jk,ik->i", x - mu, inv, x - mu))
+    np.testing.assert_allclose(out["mahalanobis"].to_numpy(), exp, rtol=1e-8)
+
+
+def test_std_distance_matches_numpy(emb_ds):
+    from cleanlab_ray.stages.pca import standardized_distance_scores
+
+    ds, x, d = emb_ds
+    out = standardized_distance_scores(ds, dim=d).to_pandas().sort_values("vec_id")
+    mu, var = x.mean(axis=0), x.var(axis=0)
+    exp = np.sqrt((((x - mu) ** 2) / var).sum(axis=1))
+    np.testing.assert_allclose(out["std_distance"].to_numpy(), exp, rtol=1e-9)
