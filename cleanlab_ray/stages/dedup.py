@@ -941,9 +941,12 @@ def dup_span_counts(ds, text_col: str = "text", key_col: str = "doc_id",
          per doc, an equal-hash run of size >= 2 means >= 2 distinct
          docs share the substring — the whole run's (doc, count) rows
          are duplicated positions;
-      3. ``groupby(doc).sum`` -> sparse per-doc dup-position counts,
-         left-attached (broadcastless hash join, functions/joins.py)
-         onto the per-doc window totals computed map-only.
+      3. the sparse dup rows are UNIONED with zero-filled map-only
+         per-doc totals rows, and ONE ``groupby(key).sum`` produces
+         both columns — the totals rows guarantee every doc appears, so
+         no join operator is needed at all (a previous hash-join
+         formulation spent 6.4 s of a 10 s sf0.1 run in Ray's
+         JoinOperator fixed costs; the fused aggregate removed it).
 
     Windows use the same lowercased, space-padded byte preprocessing as
     every other shingle kernel here (``shingle_hashes_column``), so a
@@ -952,7 +955,6 @@ def dup_span_counts(ds, text_col: str = "text", key_col: str = "doc_id",
     Returns Dataset[(key, n_spans, n_dup_spans, dup_frac_e6)] with
     dup_frac_e6 = floor(n_dup/n_spans * 1e6 + 0.5).
     """
-    from cleanlab_ray.functions.joins import attach_flags_by_key
 
     def postings(batch: pa.Table) -> pa.Table:
         hashes, seg_starts, widths = shingle_hashes_column(batch[text_col], span_k)
@@ -985,19 +987,16 @@ def dup_span_counts(ds, text_col: str = "text", key_col: str = "doc_id",
         keep = run_sizes[run_id] >= 2
         return batch.filter(pa.array(keep))
 
-    dups = (
-        _sorted_block_map(ds.map_batches(postings, batch_format="pyarrow"), "h", emit_dups)
-        .groupby("doc")
-        .sum("c")
-    )
-
-    def rename_dups(batch: pa.Table) -> pa.Table:
+    def dup_rows(batch: pa.Table) -> pa.Table:
         return pa.table({
             key_col: batch["doc"],
-            "n_dup_spans": pc.cast(batch["sum(c)"], pa.int64()),
+            "_dup": batch["c"],
+            "_tot": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
         })
 
-    dups = dups.map_batches(rename_dups, batch_format="pyarrow")
+    dups = _sorted_block_map(
+        ds.map_batches(postings, batch_format="pyarrow"), "h", emit_dups
+    ).map_batches(dup_rows, batch_format="pyarrow")
 
     def totals(batch: pa.Table) -> pa.Table:
         col = batch[text_col]
@@ -1005,23 +1004,24 @@ def dup_span_counts(ds, text_col: str = "text", key_col: str = "doc_id",
             col = col.combine_chunks()
         lens = pc.utf8_length(pc.fill_null(col, "")).to_numpy(zero_copy_only=False)
         n_spans = np.maximum(lens - span_k + 1, 1).astype(np.int64)
-        return pa.table({key_col: batch[key_col], "n_spans": pa.array(n_spans)})
+        return pa.table({
+            key_col: batch[key_col],
+            "_dup": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+            "_tot": pa.array(n_spans),
+        })
 
-    out = attach_flags_by_key(
-        ds.map_batches(totals, batch_format="pyarrow"),
-        dups,
-        (key_col,),
-        {"n_dup_spans": np.int64(0)},
-    )
+    unioned = ds.map_batches(totals, batch_format="pyarrow").union(dups)
+    summed = unioned.groupby(key_col).sum(["_dup", "_tot"])
 
     def finalize(batch: pa.Table) -> pa.Table:
-        nd = batch["n_dup_spans"].to_numpy(zero_copy_only=False).astype(np.float64)
-        ns = batch["n_spans"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nd = batch["sum(_dup)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        ns = batch["sum(_tot)"].to_numpy(zero_copy_only=False).astype(np.float64)
         frac = np.floor(nd / ns * 1e6 + 0.5).astype(np.int64)
-        i = batch.column_names.index("n_dup_spans")
-        batch = batch.set_column(
-            i, "n_dup_spans", pa.array(nd.astype(np.int64), type=pa.int64())
-        )
-        return batch.append_column("dup_frac_e6", pa.array(frac))
+        return pa.table({
+            key_col: batch[key_col],
+            "n_spans": pa.array(ns.astype(np.int64)),
+            "n_dup_spans": pa.array(nd.astype(np.int64)),
+            "dup_frac_e6": pa.array(frac),
+        })
 
-    return out.map_batches(finalize, batch_format="pyarrow")
+    return summed.map_batches(finalize, batch_format="pyarrow")
