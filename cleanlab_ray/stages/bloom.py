@@ -93,10 +93,17 @@ def bloom_semijoin(
     right_key: str | None = None,
     m_bits: int = 1 << 20,
     n_hashes: int = 5,
+    broadcast_limit: int = 2_000_000,
 ):
     """Rows of ``left`` whose ``left_key`` appears in ``right``'s key
     column — exact output, bloom-pruned join input. ``right`` should be
-    the (much) smaller side."""
+    the (much) smaller side.
+
+    When the right side holds at most ``broadcast_limit`` keys the
+    exact verification is a broadcast sorted-array membership test
+    fused into the prefilter map (no join operator at all — the usual
+    bloom+broadcast pairing); above the limit it falls back to the
+    distributed hash join, which spills instead of OOMing."""
     import ray
     import pyarrow.compute as pc
 
@@ -107,6 +114,30 @@ def bloom_semijoin(
         right.aggregate(make_bloom_aggfn(right_key, m_bits, n_hashes))["bloom"]
     )
     bitmap_ref = ray.put(bitmap)
+
+    n_right = right.count()
+    if n_right <= broadcast_limit:
+        # exact keys fit one broadcast object: verify by hash membership
+        # (the same collision-free-by-construction _key_hashes space the
+        # bloom uses would NOT be exact for strings — broadcast the raw
+        # keys and compare values)
+        keys_tbl = pa.concat_tables(
+            ray.get(right.select_columns([right_key]).to_arrow_refs())
+        )
+        kc = keys_tbl[right_key]
+        kc = kc.combine_chunks() if isinstance(kc, pa.ChunkedArray) else kc
+        keys_ref = ray.put(kc)
+
+        def semi(batch: pa.Table) -> pa.Table:
+            bm = ray.get(bitmap_ref)
+            cand = bloom_maybe_contains(
+                bm, _key_hashes(batch[left_key]), m_bits, n_hashes
+            )
+            batch = batch.filter(pa.array(cand))
+            member = pc.is_in(batch[left_key], value_set=ray.get(keys_ref))
+            return batch.filter(member)
+
+        return left.map_batches(semi, batch_format="pyarrow")
 
     def prefilter(batch: pa.Table) -> pa.Table:
         bm = ray.get(bitmap_ref)

@@ -101,3 +101,33 @@ def test_bloom_string_keys(ray_session):
     right = rd.from_arrow(pa.table({"name": pa.array(["user5", "user99", "user250"])}))
     out = bloom_semijoin(left, right, "name").to_pandas()
     assert sorted(out["name"]) == ["user250", "user5", "user99"]
+
+
+def test_bloom_semijoin_join_fallback_matches_broadcast(ray_session):
+    """broadcast_limit=0 forces the hash-join verify path; output must
+    equal the broadcast path exactly."""
+    import ray.data as rd
+
+    from cleanlab_ray.stages.bloom import bloom_semijoin
+
+    rng = np.random.default_rng(9)
+    left_keys = np.arange(1500, dtype=np.int64)
+    members = np.sort(rng.choice(left_keys, size=40, replace=False))
+
+    def build():
+        left = rd.from_arrow(pa.table({
+            "k": pa.array(left_keys), "payload": pa.array(left_keys + 1),
+        })).repartition(4)
+        right = rd.from_arrow(pa.table({"k": pa.array(members)}))
+        return left, right
+
+    l1, r1 = build()
+    bc = bloom_semijoin(l1, r1, "k").to_pandas().sort_values("k").reset_index(drop=True)
+    l2, r2 = build()
+    jn = bloom_semijoin(l2, r2, "k", broadcast_limit=0).to_pandas().sort_values(
+        "k"
+    ).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(bc[["k", "payload"]], jn[["k", "payload"]])
+    assert list(bc["k"]) == list(members)
