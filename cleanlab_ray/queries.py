@@ -5262,3 +5262,75 @@ GROUP BY 1
 
 QUERIES["std_distance_scores"] = q_std_distance_scores
 ORACLE_SQL["std_distance_scores"] = SQL_STD_DISTANCE
+
+
+def q_ann_quantized(sf_dir: str):
+    """Cosine top-k over int8-QUANTIZED vectors (stages/pca.py
+    quantize_embeddings -> dequantize in the search kernel): the 4x-
+    compressed ANN path, searched brute-force exactly like ann_topk.
+    Both sides (corpus and the vec_id=0 query) go through the same
+    quantize->dequantize round trip, so the oracle replicates the full
+    affine rule in SQL and ranks identically."""
+    import ray
+
+    from cleanlab_ray.stages.pca import quantize_embeddings
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qds, mins, scale = quantize_embeddings(emb, dim=64)
+    qds = qds.select_columns(["vec_id", "q"])
+
+    # dequantized query = row vec_id 0
+    qrow = qds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["q"]
+    qv = (np.asarray(qrow, dtype=np.float64) + 128) * scale + mins
+    qn = qv / np.linalg.norm(qv)
+    qref = ray.put(qn)
+
+    def cos_kernel(batch: pa.Table) -> pa.Table:
+        qq = ray.get(qref)
+        col = batch["q"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        mat = (np.asarray(col.values, dtype=np.float64).reshape(len(col), -1)
+               + 128) * scale + mins
+        norms = np.linalg.norm(mat, axis=1)
+        cs = (mat @ qq) / np.maximum(norms, 1e-300)
+        return pa.table({
+            "vec_id": batch["vec_id"],
+            "cos_sim_e6": pa.array(
+                np.round(cs * 1_000_000).astype(np.int64), type=pa.int64()
+            ),
+        })
+
+    return (
+        qds.map_batches(cos_kernel, batch_format="pyarrow")
+        .sort(["cos_sim_e6", "vec_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
+SQL_ANN_QUANTIZED = r"""
+WITH u AS (
+  SELECT vec_id, g.i AS i, embedding[g.i]::DOUBLE AS x
+  FROM embeddings CROSS JOIN generate_series(1, 64) AS g(i)),
+mm AS (SELECT i, min(x) AS lo, max(x) AS hi FROM u GROUP BY 1),
+dq AS (
+  SELECT u.vec_id, u.i,
+         CASE WHEN mm.hi > mm.lo
+              THEN LEAST(CAST(floor((u.x - mm.lo) / ((mm.hi - mm.lo) / 255)
+                                    + 0.5) AS BIGINT), 255)::DOUBLE
+                   * ((mm.hi - mm.lo) / 255) + mm.lo
+              ELSE mm.lo END AS x
+  FROM u JOIN mm USING (i)),
+qv AS (SELECT i, x FROM dq WHERE vec_id = 0),
+dots AS (
+  SELECT d.vec_id, sum(d.x * q.x) AS dot, sum(d.x * d.x) AS nn
+  FROM dq d JOIN qv q USING (i) GROUP BY 1),
+qn AS (SELECT sum(x * x) AS s FROM qv)
+SELECT vec_id,
+       CAST(round(dot / (sqrt(nn) * sqrt((SELECT s FROM qn))) * 1000000)
+            AS BIGINT) AS cos_sim_e6
+FROM dots ORDER BY cos_sim_e6 DESC, vec_id LIMIT 10
+"""
+
+QUERIES["ann_quantized"] = q_ann_quantized
+ORACLE_SQL["ann_quantized"] = SQL_ANN_QUANTIZED
