@@ -5334,3 +5334,104 @@ FROM dots ORDER BY cos_sim_e6 DESC, vec_id LIMIT 10
 
 QUERIES["ann_quantized"] = q_ann_quantized
 ORACLE_SQL["ann_quantized"] = SQL_ANN_QUANTIZED
+
+
+def q_curate_documents(sf_dir: str):
+    """End-to-end corpus curation (pipelines/corpus_curation.py): one
+    keep/drop per document from language-ID + word-quality (map-only),
+    exact-dup canonicalization (content-hash exchange) and substring-
+    duplication coverage (window-hash exchange), merged join-free by a
+    single groupby(doc).max over zero-filled flag rows. SQL-checked:
+    the oracle composes the proven langid-model, quality-signal and
+    dup-span CTE chains with a min-over-text-partition window."""
+    from cleanlab_ray.pipelines.corpus_curation import curate_documents
+
+    return curate_documents(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _make_curate_sql(min_words: int = 5, top_word_frac_max: float = 0.25,
+                     span_k: int = 20, dup_frac_max_e6: int = 300_000) -> str:
+    P = 1099511628211
+    M64 = 1 << 64
+    expr = "0::HUGEINT"
+    for i in range(span_k):
+        expr = f"((({expr}) * {P} + ord(substr(px, g.p + {i}, 1))) % {M64})"
+    d0 = _REMAP_CASE.format(c="ord(substr(tx, g.p, 1))")
+    d1 = _REMAP_CASE.format(c="ord(substr(tx, g.p + 1, 1))")
+    d2 = _REMAP_CASE.format(c="ord(substr(tx, g.p + 2, 1))")
+    return f"""
+WITH {_langid_model_ctes()},
+docs AS (SELECT doc_id, lower(text) AS tx FROM documents),
+dtri AS (
+  SELECT doc_id, ({d0}) * 1024 + ({d1}) * 32 + ({d2}) AS code
+  FROM docs CROSS JOIN generate_series(1, 4096) AS g(p)
+  WHERE g.p <= length(tx) - 2),
+dsc AS (
+  SELECT d.doc_id, m.lang, sum(m.lp) AS ll, count(*) AS cnt
+  FROM dtri d JOIN model m ON m.code = d.code
+  GROUP BY 1, 2),
+wide AS (
+  SELECT doc_id,
+         max(CASE lang WHEN 'en' THEN ll END) / greatest(max(cnt), 1) AS z_en,
+         max(CASE lang WHEN 'de' THEN ll END) / greatest(max(cnt), 1) AS z_de,
+         max(CASE lang WHEN 'fr' THEN ll END) / greatest(max(cnt), 1) AS z_fr,
+         max(CASE lang WHEN 'und' THEN ll END) / greatest(max(cnt), 1) AS z_und
+  FROM dsc GROUP BY doc_id),
+langed AS (
+  SELECT doc_id,
+         CASE WHEN z_en >= z_de AND z_en >= z_fr AND z_en >= z_und THEN 'en'
+              WHEN z_de >= z_fr AND z_de >= z_und THEN 'de'
+              WHEN z_fr >= z_und THEN 'fr' ELSE 'und' END AS lang
+  FROM wide),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[^\\s]+')) AS w
+  FROM documents),
+qbase AS (
+  SELECT doc_id, count(*) AS n_words FROM toks GROUP BY 1),
+wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2),
+qtop AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_word_frac FROM wc GROUP BY 1),
+canon AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY text)
+              THEN 1 ELSE 0 END AS canonical
+  FROM documents),
+pad AS (
+  SELECT doc_id,
+         CASE WHEN length(tx) < {span_k}
+              THEN tx || repeat(' ', {span_k} - length(tx)) ELSE tx END AS px
+  FROM docs),
+sh AS (
+  SELECT doc_id, {expr} AS h
+  FROM pad CROSS JOIN generate_series(1, 4096) AS g(p)
+  WHERE g.p <= length(px) - {span_k - 1}),
+scnt AS (SELECT doc_id, h, count(*) AS c FROM sh GROUP BY 1, 2),
+snd AS (SELECT h, count(DISTINCT doc_id) AS ndocs FROM sh GROUP BY 1),
+sdup AS (
+  SELECT c.doc_id, sum(c.c) AS n_dup
+  FROM scnt c JOIN snd ON c.h = snd.h WHERE snd.ndocs >= 2 GROUP BY 1),
+stot AS (SELECT doc_id, greatest(length(px) - {span_k - 1}, 1) AS n_spans FROM pad),
+flags AS (
+  SELECT d.doc_id,
+         CASE WHEN coalesce(l.lang, 'en') = 'en' THEN 1 ELSE 0 END AS lang_ok,
+         CASE WHEN coalesce(q.n_words, 0) >= {min_words}
+               AND coalesce(t.top_word_frac, 0) <= {top_word_frac_max!r}
+              THEN 1 ELSE 0 END AS quality_ok,
+         c.canonical,
+         CASE WHEN floor(coalesce(s.n_dup, 0)::DOUBLE / st.n_spans
+                          * 1000000 + 0.5) <= {dup_frac_max_e6}
+              THEN 1 ELSE 0 END AS dup_ok
+  FROM docs d
+  LEFT JOIN langed l ON l.doc_id = d.doc_id
+  LEFT JOIN qbase q ON q.doc_id = d.doc_id
+  LEFT JOIN qtop t ON t.doc_id = d.doc_id
+  JOIN canon c ON c.doc_id = d.doc_id
+  LEFT JOIN sdup s ON s.doc_id = d.doc_id
+  JOIN stot st ON st.doc_id = d.doc_id)
+SELECT doc_id, lang_ok, quality_ok, canonical, dup_ok,
+       lang_ok * quality_ok * canonical * dup_ok AS keep
+FROM flags
+"""
+
+
+QUERIES["curate_documents"] = q_curate_documents
+ORACLE_SQL["curate_documents"] = _make_curate_sql()
