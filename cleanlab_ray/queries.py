@@ -5152,8 +5152,9 @@ def q_bloom_semijoin(sf_dir: str):
     from cleanlab_ray.stages.bloom import bloom_semijoin
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    bldg = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).filter(
-        lambda r: r["c_mktsegment"] == "BUILDING"
+    bldg = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).map_batches(
+        lambda b: b.filter(pc.equal(b["c_mktsegment"], "BUILDING")),
+        batch_format="pyarrow",
     )
     out = bloom_semijoin(orders, bldg, "o_custkey", "c_custkey")
 
@@ -5279,8 +5280,10 @@ def q_ann_quantized(sf_dir: str):
     qds, mins, scale = quantize_embeddings(emb, dim=64)
     qds = qds.select_columns(["vec_id", "q"])
 
-    # dequantized query = row vec_id 0
-    qrow = qds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["q"]
+    # dequantized query = row vec_id 0 (batch filter, no per-row Python)
+    qrow = qds.map_batches(
+        lambda b: b.filter(pc.equal(b["vec_id"], 0)), batch_format="pyarrow"
+    ).take(1)[0]["q"]
     qv = (np.asarray(qrow, dtype=np.float64) + 128) * scale + mins
     qn = qv / np.linalg.norm(qv)
     qref = ray.put(qn)

@@ -117,17 +117,23 @@ def distinct_tokens_by(ds, group_col: str, k: int = 16384,
     import pandas as pd
 
     def partials(block: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         groups = block[group_col]
         enc = (groups.combine_chunks() if isinstance(groups, pa.ChunkedArray)
                else groups).dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False)
+        # one stable sort groups the block's rows; each group is then a
+        # contiguous slice (no O(N) filter pass per group)
+        order = np.argsort(codes, kind="stable")
+        sorted_block = block.take(pa.array(order))
+        cs = codes[order]
+        starts = np.flatnonzero(np.concatenate([[True], cs[1:] != cs[:-1]]))
+        ends = np.append(starts[1:], len(cs))
         out_g, out_s = [], []
-        for gi in range(len(enc.dictionary)):
-            sub = block.filter(pa.array(codes == gi))
-            out_g.append(enc.dictionary[gi].as_py())
-            out_s.append(_kmv_from_tokens(sub, text_col, k).tobytes())
+        for s, e in zip(starts, ends):
+            out_g.append(enc.dictionary[cs[s]].as_py())
+            out_s.append(
+                _kmv_from_tokens(sorted_block.slice(s, e - s), text_col, k).tobytes()
+            )
         return pa.table({group_col: pa.array(out_g),
                          "kmv_summary": pa.array(out_s, type=pa.large_binary())})
 
