@@ -74,3 +74,34 @@ def grouped_top_k(
         pruned, group_col,
         lambda b: _topk_block(b, group_col, score_col, tie_cols, k),
     )
+
+
+def mixture_sample(ds, group_col: str, rates: dict, key_col: str,
+                   default_rate: float = 0.0):
+    """Deterministic per-group Bernoulli sampling — the data-mixture
+    composition step (sample each source at its target rate, e.g. to
+    rebalance domains before training). Coordination-free and
+    restart-stable: row r of group g survives iff
+    ``(key_hash(r) % 1e6) < rate[g] * 1e6`` with the same Knuth
+    multiplicative hash the stratified splitter uses, so membership is
+    a pure function of the row — no RNG state, no global pass, exactly
+    reproducible (and SQL-replicable) at any scale or partitioning."""
+    rates_e6 = {g: int(round(r * 1_000_000)) for g, r in rates.items()}
+    default_e6 = int(round(default_rate * 1_000_000))
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        u = (h % np.uint64(1_000_000)).astype(np.int64)
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        thr_by_code = np.array(
+            [rates_e6.get(v.as_py(), default_e6) for v in enc.dictionary],
+            dtype=np.int64,
+        )
+        return batch.filter(pa.array(u < thr_by_code[codes]))
+
+    return ds.map_batches(sample, batch_format="pyarrow")

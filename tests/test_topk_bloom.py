@@ -131,3 +131,35 @@ def test_bloom_semijoin_join_fallback_matches_broadcast(ray_session):
 
     pd.testing.assert_frame_equal(bc[["k", "payload"]], jn[["k", "payload"]])
     assert list(bc["k"]) == list(members)
+
+
+def test_mixture_sample_rates_and_determinism(ray_session):
+    import ray.data as rd
+
+    from cleanlab_ray.stages.topk import mixture_sample
+
+    n = 20_000
+    tbl = pa.table({
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "src": pa.array(np.where(np.arange(n) % 2 == 0, "a", "b")),
+    })
+    rates = {"a": 0.3, "b": 0.0}
+
+    def run():
+        return mixture_sample(
+            rd.from_arrow(tbl).repartition(6), "src", rates, "id",
+            default_rate=0.0,
+        ).to_pandas().sort_values("id").reset_index(drop=True)
+
+    s1, s2 = run(), run()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(s1, s2)  # deterministic
+    assert (s1["src"] == "a").all()        # rate-0 group fully dropped
+    frac = len(s1) / (n / 2)
+    assert abs(frac - 0.3) < 0.02          # hits the target rate
+    # partitioning-independent: same rows regardless of block layout
+    s3 = mixture_sample(
+        rd.from_arrow(tbl).repartition(1), "src", rates, "id"
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(s1, s3)
