@@ -988,10 +988,20 @@ def dup_span_counts(ds, text_col: str = "text", key_col: str = "doc_id",
         return batch.filter(pa.array(keep))
 
     def dup_rows(batch: pa.Table) -> pa.Table:
+        # map-side combine: one (doc, sum) row per doc per block — the
+        # downstream groupby sees O(blocks x docs) rows, not one row per
+        # duplicated (doc, hash) posting
+        doc = batch["doc"]
+        if isinstance(doc, pa.ChunkedArray):
+            doc = doc.combine_chunks()
+        enc = doc.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        sums = np.bincount(codes, weights=c, minlength=len(enc.dictionary))
         return pa.table({
-            key_col: batch["doc"],
-            "_dup": batch["c"],
-            "_tot": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+            key_col: enc.dictionary,
+            "_dup": pa.array(sums.astype(np.int64)),
+            "_tot": pa.array(np.zeros(len(enc.dictionary), dtype=np.int64)),
         })
 
     dups = _sorted_block_map(
