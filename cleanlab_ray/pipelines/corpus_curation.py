@@ -91,23 +91,20 @@ def curate_documents(
 
     flow_a = base.map_batches(map_flags, batch_format="pyarrow")
 
-    # flow 3: exact-dup canonical (content-hash exchange)
+    # flow 3: exact-dup canonical (content-hash exchange); text is
+    # only compared inside multi-row hash runs (dedup.first_per_distinct_text)
     def canon_block(batch: pa.Table) -> pa.Table:
+        from cleanlab_ray.stages.dedup import first_per_distinct_text
+
         h = batch["content_hash"].to_numpy(zero_copy_only=False)
         keys = batch[key_col]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
         if len(h) == 0:
             return _flag_table(key_col, keys)
-        txt = np.asarray(batch[text_col].to_pandas(), dtype=object)
-        kv = keys.to_numpy(zero_copy_only=False)
-        order = np.lexsort((kv, txt, h))
-        hs, ts, ks = h[order], txt[order], kv[order]
-        first = np.ones(len(hs), dtype=bool)
-        if len(hs) > 1:
-            first[1:] = (hs[1:] != hs[:-1]) | (ts[1:] != ts[:-1])
-        canonical = np.zeros(len(hs), dtype=np.int64)
-        canonical[order[first]] = 1
+        firsts = first_per_distinct_text(h, batch, text_col, key_col)
+        canonical = np.zeros(len(h), dtype=np.int64)
+        canonical[firsts] = 1
         return _flag_table(key_col, keys, canonical=canonical)
 
     flow_b = _sorted_block_map(
@@ -128,7 +125,12 @@ def curate_documents(
 
     flow_c = spans.map_batches(span_flags, batch_format="pyarrow")
 
-    merged = flow_a.union(flow_b).union(flow_c).groupby(key_col).max(list(FLAGS))
+    from cleanlab_ray.stages.topk import sorted_group_agg
+
+    merged = sorted_group_agg(
+        flow_a.union(flow_b).union(flow_c), key_col,
+        {f: "max" for f in FLAGS},
+    )
 
     def finalize(batch: pa.Table) -> pa.Table:
         cols = {key_col: batch[key_col]}

@@ -176,17 +176,52 @@ def exact_dedup(
         h = batch[hash_col].to_numpy(zero_copy_only=False)
         if len(h) == 0:
             return batch.drop_columns([hash_col, "_ekey"])
-        txt = np.asarray(batch[text_col].to_pandas(), dtype=object)
-        ekey = np.asarray(batch["_ekey"].to_pandas(), dtype=object)
-        order = np.lexsort((ekey, txt, h))
-        hs, ts = h[order], txt[order]
-        first = np.ones(len(hs), dtype=bool)
-        first[1:] = (hs[1:] != hs[:-1]) | (ts[1:] != ts[:-1])
-        keep = np.sort(order[first])
+        keep = np.sort(first_per_distinct_text(h, batch, text_col, "_ekey"))
         return batch.take(pa.array(keep)).drop_columns([hash_col, "_ekey"])
 
     with_hash = ds.map_batches(add_keys, batch_format="pyarrow")
     return _sorted_block_map(with_hash, hash_col, keep_first_block)
+
+
+def first_per_distinct_text(h: np.ndarray, batch: pa.Table, text_col: str,
+                            tie_col: str) -> np.ndarray:
+    """Block indices of the minimal-``tie_col`` row of each distinct
+    (hash, text) group.
+
+    The previous formulation lexsorted OBJECT arrays (text + tie key):
+    O(N log N) Python string comparisons per block, superlinear in
+    practice (it dominated a 500k-doc run). Hash runs of length 1 — the
+    overwhelming majority — need no text at all: the row is its own
+    group. Only multi-row runs (true duplicates + rare collisions)
+    materialize their strings, and those are grouped with one pandas
+    sort over just that subset."""
+    order = np.argsort(h, kind="stable")
+    hs = h[order]
+    n = len(hs)
+    change = np.ones(n, dtype=bool)
+    change[1:] = hs[1:] != hs[:-1]
+    run_id = np.cumsum(change) - 1
+    run_len = np.bincount(run_id)
+    single = run_len[run_id] == 1
+    keep = [order[single]]
+    multi_pos = np.flatnonzero(~single)
+    if len(multi_pos):
+        import pandas as pd
+
+        idx = order[multi_pos]
+        sub = pd.DataFrame({
+            "run": run_id[multi_pos],
+            "text": batch[text_col].take(pa.array(idx)).to_pandas(),
+            "tie": batch[tie_col].take(pa.array(idx)).to_pandas(),
+            "idx": idx,
+        })
+        firsts = (
+            sub.sort_values(["run", "text", "tie"], kind="mergesort")
+            .drop_duplicates(["run", "text"])["idx"]
+            .to_numpy()
+        )
+        keep.append(firsts)
+    return np.concatenate(keep)
 
 
 # ---------------------------------------------------------------------------
@@ -956,7 +991,7 @@ def dup_span_counts(ds, text_col: str = "text", key_col: str = "doc_id",
     dup_frac_e6 = floor(n_dup/n_spans * 1e6 + 0.5).
     """
 
-    def postings(batch: pa.Table) -> pa.Table:
+    def postings(batch: pa.Table):
         hashes, seg_starts, widths = shingle_hashes_column(batch[text_col], span_k)
         n = len(seg_starts)
         row_ids = np.repeat(np.arange(n, dtype=np.int64), widths)
@@ -970,11 +1005,17 @@ def dup_span_counts(ds, text_col: str = "text", key_col: str = "doc_id",
         keys = batch[key_col]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
-        return pa.table({
+        out = pa.table({
             "h": pa.array(hs[first].astype(np.int64), type=pa.int64()),
             "doc": keys.take(pa.array(rs[first])),
             "c": pa.array(counts.astype(np.int64), type=pa.int64()),
         })
+        # postings inflate the input ~40x; yield bounded chunks so the
+        # downstream sort's parallelism tracks the POSTINGS size, not
+        # the (much smaller) input block count
+        chunk = 1 << 20
+        for off in range(0, out.num_rows, chunk):
+            yield out.slice(off, chunk)
 
     def emit_dups(batch: pa.Table) -> pa.Table:
         h = batch["h"].to_numpy(zero_copy_only=False)
@@ -1020,8 +1061,13 @@ def dup_span_counts(ds, text_col: str = "text", key_col: str = "doc_id",
             "_tot": pa.array(n_spans),
         })
 
+    from cleanlab_ray.stages.topk import sorted_group_agg
+
     unioned = ds.map_batches(totals, batch_format="pyarrow").union(dups)
-    summed = unioned.groupby(key_col).sum(["_dup", "_tot"])
+    # sort + run kernel, NOT native groupby: the native aggregate pays
+    # ~0.3 ms per group (17 s at 50k docs); this is O(rows) after the
+    # same exchange
+    summed = sorted_group_agg(unioned, key_col, {"_dup": "sum", "_tot": "sum"})
 
     def finalize(batch: pa.Table) -> pa.Table:
         nd = batch["sum(_dup)"].to_numpy(zero_copy_only=False).astype(np.float64)
