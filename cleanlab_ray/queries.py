@@ -2048,29 +2048,9 @@ def q_sessionization(sf_dir: str):
     per-user sessions split at >30min gaps; groupby(user).map_groups
     does the in-group ts sort + gap scan. SQL oracle uses LAG + a
     cumulative session counter."""
-    import pandas as pd
+    from cleanlab_ray.stages.window import sessionize
 
-    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
-
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        ts = g["ts"].astype("int64").to_numpy() // 1000  # ms
-        gap = np.diff(ts, prepend=ts[0])
-        new_session = gap > 30 * 60 * 1000
-        session_id = np.cumsum(new_session)
-        out = (
-            pd.DataFrame(
-                {"session_id": session_id, "value": g["value"].to_numpy()}
-            )
-            .groupby("session_id")
-            .agg(n_events=("value", "size"), sum_value=("value", "sum"))
-            .reset_index()
-        )
-        out["user_id"] = g["user_id"].iloc[0]
-        out["sum_value_c"] = np.round(out["sum_value"] * 100).astype(np.int64)
-        return out[["user_id", "session_id", "n_events", "sum_value_c"]]
-
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return sessionize(_read(sf_dir, "events", ["user_id", "ts", "value"]))
 
 
 SQL_SESSIONIZATION = """
@@ -4518,12 +4498,16 @@ def q_vocab_topk(sf_dir: str, k: int = 20):
     (map-side combine — the shuffle moves one row per distinct word per
     batch, not one per token), global sum, deterministic top-k."""
     from cleanlab_ray.stages.quality_signals import vocab_partial_counts
+    from cleanlab_ray.stages.topk import sorted_group_agg
 
-    ds = (
-        _read(sf_dir, "documents", ["text"])
-        .map_batches(vocab_partial_counts, batch_format="pyarrow")
-        .groupby("word")
-        .sum("cnt")
+    # sorted_group_agg, not native groupby: the vocabulary is a
+    # many-group aggregate (~0.3 ms/group in Ray's native path)
+    ds = sorted_group_agg(
+        _read(sf_dir, "documents", ["text"]).map_batches(
+            vocab_partial_counts, batch_format="pyarrow"
+        ),
+        "word",
+        {"cnt": "sum"},
     )
 
     def finalize(batch: pa.Table) -> pa.Table:

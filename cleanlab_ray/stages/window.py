@@ -80,3 +80,66 @@ def sliding_window_agg(
         )
 
     return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def sessionize(ds, user_col: str = "user_id", ts_col: str = "ts",
+               value_col: str = "value", gap_ms: int = 30 * 60 * 1000):
+    """Gap-based sessionization: ONE exchange on the user key + a fully
+    vectorized whole-block kernel (sessions are contiguous runs after an
+    in-block (user, ts) lexsort, so counts/sums are reduceat-style run
+    math — no per-user pandas group loop; the previous map_groups
+    formulation paid the per-group roundtrip for every user).
+
+    Returns Dataset[(user, session_id, n_events, sum_value_c)] with
+    session_id counting from 0 per user and sum_value_c = round(sum*100).
+    """
+    import pyarrow.compute as pc
+
+    from cleanlab_ray.stages.dedup import _sorted_block_map
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({
+                user_col: batch[user_col],
+                "session_id": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "sum_value_c": pa.array([], type=pa.int64()),
+            })
+        u = batch[user_col].to_numpy(zero_copy_only=False)
+        ts_ms = (
+            pc.cast(batch[ts_col].combine_chunks() if isinstance(
+                batch[ts_col], pa.ChunkedArray) else batch[ts_col], pa.int64())
+            .to_numpy(zero_copy_only=False) // 1000
+        )
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((ts_ms, u))
+        us, tss, vs = u[order], ts_ms[order], v[order]
+        user_change = np.ones(n, dtype=bool)
+        user_change[1:] = us[1:] != us[:-1]
+        gap = np.empty(n, dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = tss[1:] - tss[:-1]
+        new_session = user_change | (gap > gap_ms)
+        gsid = np.cumsum(new_session) - 1
+        starts = np.flatnonzero(new_session)
+        ends = np.append(starts[1:], n)
+        n_events = ends - starts
+        cs = np.concatenate([[0.0], np.cumsum(vs)])
+        sums = cs[ends] - cs[starts]
+        # session_id restarts at 0 per user
+        user_run = np.cumsum(user_change) - 1
+        first_gsid = gsid[np.flatnonzero(user_change)]
+        sid = gsid[starts] - first_gsid[user_run[starts]]
+        ukeys = batch[user_col]
+        if isinstance(ukeys, pa.ChunkedArray):
+            ukeys = ukeys.combine_chunks()
+        return pa.table({
+            user_col: ukeys.take(pa.array(order[starts])),
+            "session_id": pa.array(sid.astype(np.int64)),
+            "n_events": pa.array(n_events.astype(np.int64)),
+            "sum_value_c": pa.array(np.round(sums * 100).astype(np.int64)),
+        })
+
+    return _sorted_block_map(ds.select_columns([user_col, ts_col, value_col]),
+                             user_col, kernel)
