@@ -163,3 +163,41 @@ def test_mixture_sample_rates_and_determinism(ray_session):
         rd.from_arrow(tbl).repartition(1), "src", rates, "id"
     ).to_pandas().sort_values("id").reset_index(drop=True)
     pd.testing.assert_frame_equal(s1, s3)
+
+
+def test_sorted_group_agg_matches_native(ray_session):
+    """sum/max/min/count parity with Ray's native groupby on random
+    int and string keys, including single-row groups and empty blocks."""
+    import ray.data as rd
+
+    from cleanlab_ray.stages.topk import sorted_group_agg
+
+    rng = np.random.default_rng(31)
+    n = 30_000
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 5_000, size=n).astype(np.int64)),
+        "ks": pa.array([f"g{i}" for i in rng.integers(0, 777, size=n)]),
+        "v": pa.array(rng.integers(-50, 50, size=n).astype(np.int64)),
+    })
+    ds = rd.from_arrow(tbl).repartition(7)
+    got = (
+        sorted_group_agg(ds, "k", {"v": "sum"})
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    exp = (
+        rd.from_arrow(tbl).groupby("k").sum("v")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp[got.columns])
+
+    got2 = (
+        sorted_group_agg(rd.from_arrow(tbl).repartition(5), "ks",
+                         {"v": "max", "k": "min"})
+        .to_pandas().sort_values("ks").reset_index(drop=True)
+    )
+    df = tbl.to_pandas()
+    exp2 = df.groupby("ks").agg(**{"max(v)": ("v", "max"),
+                                   "min(k)": ("k", "min")}).reset_index()
+    pd.testing.assert_frame_equal(got2, exp2[got2.columns])
