@@ -206,23 +206,52 @@ GROUP BY c.c_mktsegment
 
 
 def q_events_hourly(sf_dir: str):
-    """Tumbling-window (hourly) grouped aggregate over the event stream."""
-    from ray.data.aggregate import Count, Sum
-
+    """Tumbling-window (hourly) grouped aggregate over the event stream,
+    map-side combined: each block folds into <= |windows x types| partial
+    rows, so only partials cross the exchange."""
     ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
 
-    def add_hour(batch: pa.Table) -> pa.Table:
-        hour = pc.floor_temporal(batch["ts"], unit="hour").cast(pa.timestamp("us"))
-        return batch.append_column("hour", hour)
+    def partials(batch: pa.Table) -> pa.Table:
+        hour_us = pc.cast(
+            pc.floor_temporal(batch["ts"], unit="hour").cast(pa.timestamp("us")),
+            pa.int64(),
+        )
+        key = pc.binary_join_element_wise(
+            batch["event_type"], pc.cast(hour_us, pa.string()), "|")
+        enc = (key.combine_chunks() if isinstance(key, pa.ChunkedArray)
+               else key).dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        g = len(enc.dictionary)
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "key": enc.dictionary,
+            "n": pa.array(np.bincount(codes, minlength=g).astype(np.int64)),
+            "sum_value": pa.array(np.bincount(codes, weights=v, minlength=g)),
+        })
 
-    out = (
-        ds.map_batches(add_hour, batch_format="pyarrow")
-        .groupby(["event_type", "hour"])
-        .aggregate(Count(alias_name="n"), Sum("value", alias_name="sum_value"))
+    merged = (
+        ds.map_batches(partials, batch_format="pyarrow")
+        .groupby("key")
+        .sum(["n", "sum_value"])
     )
-    return out.map_batches(
-        lambda b: _scaled_int_col(b, "sum_value", "sum_value_c", 100), batch_format="pyarrow"
-    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        key = b["key"]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        parts = pc.split_pattern(key, "|")
+        sv = b["sum(sum_value)"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_type": pc.list_element(parts, 0),
+            "hour": pc.cast(
+                pc.cast(pc.list_element(parts, 1), pa.int64()),
+                pa.timestamp("us"),
+            ),
+            "n": pc.cast(b["sum(n)"], pa.int64()),
+            "sum_value_c": pa.array(np.round(sv * 100).astype(np.int64)),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
 
 
 SQL_EVENTS_HOURLY = """
