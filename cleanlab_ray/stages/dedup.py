@@ -933,7 +933,7 @@ def ngram_jaccard_pairs(
         })
 
     def finalize(batch: pa.Table) -> pa.Table:
-        inter = batch["count()"].to_numpy(zero_copy_only=False).astype(np.float64)
+        inter = batch["count(doc_a)"].to_numpy(zero_copy_only=False).astype(np.float64)
         na = batch["max(na)"].to_numpy(zero_copy_only=False).astype(np.float64)
         nb = batch["max(nb)"].to_numpy(zero_copy_only=False).astype(np.float64)
         jac = inter / np.maximum(na + nb - inter, 1.0)
@@ -945,10 +945,14 @@ def ngram_jaccard_pairs(
             "jaccard_e6": pa.array(jac_e6, type=pa.int64()),
         })
 
+    from cleanlab_ray.stages.topk import sorted_group_agg
+
     posts = ds.map_batches(postings, batch_format="pyarrow")
     pairs = _sorted_block_map(posts, "h", emit_pairs)
-    counted = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(), Max("na"), Max("nb")
+    # pairs are the quadratic hazard — aggregate them with the sorted
+    # run kernel, not the per-group-cost native aggregate
+    counted = sorted_group_agg(
+        pairs, ["doc_a", "doc_b"], {"na": "max", "nb": "max", "doc_a": "count"}
     )
     return counted.map_batches(finalize, batch_format="pyarrow")
 

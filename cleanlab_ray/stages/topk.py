@@ -107,41 +107,50 @@ def mixture_sample(ds, group_col: str, rates: dict, key_col: str,
     return ds.map_batches(sample, batch_format="pyarrow")
 
 
-def sorted_group_agg(ds, key_col: str, ops: dict):
-    """Single-key grouped aggregate as ONE sort exchange + a vectorized
-    run kernel — a drop-in for ``groupby(key).sum/max/min`` when the
-    group count is large. Ray's native aggregate pays a per-group cost
+def sorted_group_agg(ds, key_col, ops: dict):
+    """Grouped aggregate as ONE sort exchange + a vectorized run
+    kernel — a drop-in for ``groupby(keys).sum/max/min`` when the group
+    count is large. Ray's native aggregate pays a per-group cost
     (~0.3 ms/group measured: 50k groups took 17 s where this kernel
     takes 1.3 s); this path is O(rows) numpy per block after the same
     sort exchange the native path already performs.
 
+    ``key_col``: one key column name or a list of them.
     ``ops``: {column: "sum" | "max" | "min" | "count"}. Output columns
-    are named ``{op}({col})`` like the native aggregate."""
+    are named ``{op}({col})`` like the native aggregate ("count" counts
+    run rows; its column operand is only used for the output name)."""
     from cleanlab_ray.stages.dedup import _sorted_block_map
 
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+
     def kernel(batch: pa.Table) -> pa.Table:
-        kcol = batch[key_col]
-        if isinstance(kcol, pa.ChunkedArray):
-            kcol = kcol.combine_chunks()
-        n = len(kcol)
+        kcols = {}
+        for kc in key_cols:
+            col = batch[kc]
+            kcols[kc] = col.combine_chunks() if isinstance(
+                col, pa.ChunkedArray) else col
+        n = batch.num_rows
         if n == 0:
-            out = {key_col: kcol}
+            out = dict(kcols)
             for c, op in ops.items():
                 out[f"{op}({c})"] = pa.array([], type=pa.int64())
             return pa.table(out)
-        try:
-            kv = kcol.to_numpy(zero_copy_only=False)
-            change = np.ones(n, dtype=bool)
-            change[1:] = kv[1:] != kv[:-1]
-        except (TypeError, ValueError):
-            import pyarrow.compute as pc
+        import pyarrow.compute as pc
 
-            neq = pc.invert(pc.equal(kcol.slice(1), kcol.slice(0, n - 1)))
-            change = np.ones(n, dtype=bool)
-            change[1:] = neq.to_numpy(zero_copy_only=False)
+        # row 0 always starts a run; later rows start one iff ANY key
+        # differs from the previous row
+        change = np.zeros(n, dtype=bool)
+        change[0] = True
+        for kcol in kcols.values():
+            try:
+                kv = kcol.to_numpy(zero_copy_only=False)
+                change[1:] |= kv[1:] != kv[:-1]
+            except (TypeError, ValueError):
+                neq = pc.invert(pc.equal(kcol.slice(1), kcol.slice(0, n - 1)))
+                change[1:] |= neq.to_numpy(zero_copy_only=False)
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], n)
-        out = {key_col: kcol.take(pa.array(starts))}
+        out = {kc: kcol.take(pa.array(starts)) for kc, kcol in kcols.items()}
         for c, op in ops.items():
             v = batch[c].to_numpy(zero_copy_only=False)
             if op == "sum":

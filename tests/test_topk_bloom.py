@@ -201,3 +201,28 @@ def test_sorted_group_agg_matches_native(ray_session):
     exp2 = df.groupby("ks").agg(**{"max(v)": ("v", "max"),
                                    "min(k)": ("k", "min")}).reset_index()
     pd.testing.assert_frame_equal(got2, exp2[got2.columns])
+
+
+def test_sorted_group_agg_multikey(ray_session):
+    import ray.data as rd
+
+    from cleanlab_ray.stages.topk import sorted_group_agg
+
+    rng = np.random.default_rng(77)
+    n = 10_000
+    tbl = pa.table({
+        "a": pa.array(rng.integers(0, 200, size=n).astype(np.int64)),
+        "b": pa.array([f"s{i}" for i in rng.integers(0, 50, size=n)]),
+        "v": pa.array(rng.integers(0, 9, size=n).astype(np.int64)),
+    })
+    got = (
+        sorted_group_agg(rd.from_arrow(tbl).repartition(5), ["a", "b"],
+                         {"v": "sum", "a": "count"})
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    )
+    df = tbl.to_pandas()
+    exp = df.groupby(["a", "b"]).agg(**{"sum(v)": ("v", "sum"),
+                                        "count(a)": ("a", "size")}).reset_index()
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, exp[got.columns])
