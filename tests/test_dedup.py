@@ -242,3 +242,37 @@ def test_dup_span_counts(ray_session):
         assert out.loc[d, "n_dup_spans"] == ndup, (d, out.loc[d], ndup)
     assert out.loc[2, "n_dup_spans"] == 0
     assert out.loc[3, "n_spans"] == 1 and out.loc[3, "n_dup_spans"] == 1
+
+
+def test_dup_span_counts_boilerplate_hot_key(ray_session):
+    """A substring shared by EVERY doc (boilerplate header) creates one
+    giant equal-hash run in the exchange; counts must stay exact and
+    the stage must not silently drop or split the run."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.stages.dedup import dup_span_counts
+
+    rng = np.random.default_rng(8)
+    header = "standard legal disclaimer text"   # > span_k chars, shared
+    docs = [
+        (i, header + " " + " ".join(
+            f"u{i:04d}w{j}" for j in range(rng.integers(8, 16))))
+        for i in range(2000)
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+        "text": pa.array([t for _, t in docs]),
+    })).repartition(8)
+    k = 20
+    out = dup_span_counts(ds, span_k=k).to_pandas().set_index("doc_id")
+    assert len(out) == 2000
+    # every doc's header windows (positions fully inside the shared
+    # prefix+space) are duplicated; per-doc tails are unique-ish but the
+    # suffix "uNNNNw0" windows may overlap header boundary — just check
+    # the guaranteed lower bound: the len(header)+1-k+1 header windows
+    lower = len(header) + 1 - k + 1
+    assert (out["n_dup_spans"] >= lower).all()
+    # and a doc's dup spans never exceed its total spans
+    assert (out["n_dup_spans"] <= out["n_spans"]).all()
