@@ -218,6 +218,18 @@ def _pass2_block(thresholds: np.ndarray, k: int, num_bins: int, score_col: str,
     return acc
 
 
+def _subhist_block(b: int, num_bins: int, score_col: str, *blocks) -> np.ndarray:
+    """Per-block sub-histogram partial of coarse bin ``b`` (decision
+    refinement pass — see stages/decision.py subhist_block_counts)."""
+    from cleanlab_ray.stages.decision import subhist_block_counts
+
+    acc = np.zeros(num_bins, dtype=np.int64)
+    for block in blocks:
+        s = block[score_col].to_numpy(zero_copy_only=False)
+        acc += subhist_block_counts(s, b, num_bins)
+    return acc
+
+
 def _boundary_block(bin_lo: float, bin_hi: float, score_col: str,
                     key_cols: tuple, *blocks) -> "pa.Table":
     import pyarrow.compute as pc
@@ -255,7 +267,11 @@ def _fanout_boundary(scored, hist: np.ndarray, t: int,
     task fan-out over the materialized block refs (same result set)."""
     import ray
 
-    from cleanlab_ray.stages.decision import DEFAULT_BINS
+    from cleanlab_ray.stages.decision import (
+        DEFAULT_BINS,
+        REFINE_PULL_THRESHOLD,
+        refine_boundary,
+    )
 
     num_bins = num_bins or DEFAULT_BINS
     if t <= 0:
@@ -263,8 +279,20 @@ def _fanout_boundary(scored, hist: np.ndarray, t: int,
     bin_lo, bin_hi, need = _resolve_boundary_bin(hist, t, num_bins)
     if need <= 0:
         return bin_lo, set()
-    task = ray.remote(_boundary_block)
     refs = scored.to_arrow_refs()
+    b = int(round(bin_lo * num_bins))
+    if b < num_bins and hist[b] > REFINE_PULL_THRESHOLD:
+        # recursive histogram level: one more cheap fan-out over the
+        # score column shrinks the key pull to O(N/num_bins^2)
+        sub_task = ray.remote(_subhist_block)
+        sub = np.sum(ray.get([
+            sub_task.remote(b, num_bins, score_col, *refs[i : i + refs_per_task])
+            for i in range(0, len(refs), refs_per_task)
+        ]), axis=0)
+        bin_lo, bin_hi, need = refine_boundary(sub, b, need, num_bins)
+        if need <= 0:
+            return bin_lo, set()
+    task = ray.remote(_boundary_block)
     tables = ray.get([
         task.remote(bin_lo, bin_hi, score_col, key_cols, *refs[i : i + refs_per_task])
         for i in range(0, len(refs), refs_per_task)
@@ -321,6 +349,19 @@ def _run_checkpointed(ds, input_dir: str, concurrency, batch_size,
     )
 
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="qf_scored_", dir="/tmp")
+    if checkpoint_dir is None:
+        # the scored corpus (~2.5x the input parquet bytes) lives here
+        # until the caller is done with the returned lazy Dataset —
+        # record + log the path and leave deletion to
+        # cleanup_checkpoint() (auto-deleting would break the result)
+        global LAST_CHECKPOINT_DIR
+        LAST_CHECKPOINT_DIR = ckpt
+        import logging
+
+        logging.getLogger(__name__).info(
+            "quality_filter checkpoint mode: scored corpus at %s "
+            "(call cleanup_checkpoint() after consuming the result)", ckpt
+        )
     side = concurrency is None
     if side:
         acc_actor = ray.remote(num_cpus=0)(_SideAccumulator).remote(2 * K)
@@ -393,7 +434,11 @@ def _boundary_from_parquet(ckpt: str, hist: np.ndarray, t: int,
     import pyarrow.compute as pc
     import ray.data as rd
 
-    from cleanlab_ray.stages.decision import DEFAULT_BINS
+    from cleanlab_ray.stages.decision import (
+        DEFAULT_BINS,
+        REFINE_PULL_THRESHOLD,
+        refine_boundary,
+    )
 
     num_bins = num_bins or DEFAULT_BINS
     if t <= 0:
@@ -401,6 +446,21 @@ def _boundary_from_parquet(ckpt: str, hist: np.ndarray, t: int,
     bin_lo, bin_hi, need = _resolve_boundary_bin(hist, t, num_bins)
     if need <= 0:
         return bin_lo, set()
+
+    b = int(round(bin_lo * num_bins))
+    if b < num_bins and hist[b] > REFINE_PULL_THRESHOLD:
+        # recursive histogram level over a score-only column-pruned
+        # read: key pull drops to O(N/num_bins^2)
+        from cleanlab_ray.stages.decision import make_subhist_aggfn
+
+        sub = np.asarray(
+            rd.read_parquet(ckpt, columns=[score_col])
+            .aggregate(make_subhist_aggfn(score_col, b, num_bins))["score_subhist"],
+            dtype=np.int64,
+        )
+        bin_lo, bin_hi, need = refine_boundary(sub, b, need, num_bins)
+        if need <= 0:
+            return bin_lo, set()
 
     def in_bin(batch: pa.Table) -> pa.Table:
         s = pc.cast(batch[score_col], pa.float64())
@@ -427,10 +487,35 @@ def _input_parquet_bytes(input_dir: str) -> int:
     if os.path.isfile(input_dir):
         return os.path.getsize(input_dir)
     total = 0
-    for f in os.listdir(input_dir):
-        if f.endswith(".parquet"):
-            total += os.path.getsize(os.path.join(input_dir, f))
+    # recursive: partitioned datasets nest parquet under key directories —
+    # a top-level-only scan would undercount and silently skip checkpoint
+    # mode on exactly the inputs that need it most
+    for root, _dirs, files in os.walk(input_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
     return total
+
+
+#: path of the most recent auto-created checkpoint directory (None when
+#: the caller passed checkpoint_dir explicitly). The returned Dataset
+#: reads the checkpoint lazily, so it CANNOT be deleted until the caller
+#: has consumed the result — call cleanup_checkpoint() afterwards.
+LAST_CHECKPOINT_DIR: str | None = None
+
+
+def cleanup_checkpoint(path: str | None = None) -> None:
+    """Delete an auto-created scored-corpus checkpoint directory (the
+    one logged by run_streaming / recorded in LAST_CHECKPOINT_DIR).
+    Only valid AFTER the returned Dataset has been fully consumed."""
+    import shutil
+
+    global LAST_CHECKPOINT_DIR
+    target = path or LAST_CHECKPOINT_DIR
+    if target and os.path.isdir(target):
+        shutil.rmtree(target, ignore_errors=True)
+    if target == LAST_CHECKPOINT_DIR:
+        LAST_CHECKPOINT_DIR = None
 
 
 def run_streaming(

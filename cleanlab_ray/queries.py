@@ -5483,10 +5483,11 @@ _MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.0}
 
 def q_mixture_sample(sf_dir: str):
     """Data-mixture composition (stages/topk.py mixture_sample):
-    deterministic per-source Bernoulli sampling by the Knuth
+    deterministic per-source Bernoulli sampling by a SALTED Knuth
     multiplicative hash — membership is a pure function of the row, so
     the sample is coordination-free, restart-stable and identical under
-    any partitioning. SQL-checked with the same hash inlined."""
+    any partitioning, and the per-operator salt decorrelates it from
+    stratified_split/kfold. SQL-checked with the same hash inlined."""
     from cleanlab_ray.stages.topk import mixture_sample
 
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
@@ -5498,7 +5499,7 @@ SQL_MIXTURE_SAMPLE = r"""
 SELECT doc_id, source
 FROM (
   SELECT doc_id, source,
-         (doc_id * 2654435761) % 4294967296 % 1000000 AS u,
+         (xor(doc_id, 805306457) * 2654435761) % 4294967296 % 1000000 AS u,
          CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
                      WHEN 'src2' THEN 250000 WHEN 'src3' THEN 0
                      ELSE 100000 END AS thr

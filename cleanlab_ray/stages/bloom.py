@@ -152,13 +152,28 @@ def bloom_semijoin(
         keys = batch[right_key]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
+        keys = keys.unique()  # map-side dedup before the key exchange
         return pa.table({
             left_key: keys,
             "_member": pa.array(np.ones(len(keys), dtype=np.int64)),
         })
 
-    flags = right.select_columns([right_key]).map_batches(
-        right_flags, batch_format="pyarrow"
+    from cleanlab_ray.stages.topk import sorted_group_agg
+
+    # Global dedup of right keys: without it, duplicate right keys would
+    # duplicate matching left rows through the left-outer join, breaking
+    # the semijoin contract (the broadcast path's pc.is_in is naturally
+    # duplicate-safe). One sorted-run pass keeps this O(rows), not
+    # O(groups).
+    flags = sorted_group_agg(
+        right.select_columns([right_key]).map_batches(
+            right_flags, batch_format="pyarrow"
+        ),
+        left_key,
+        {"_member": "max"},
+    ).map_batches(
+        lambda b: b.rename_columns([left_key, "_member"]),
+        batch_format="pyarrow",
     )
     joined = attach_flags_by_key(
         candidates, flags, (left_key,), {"_member": np.int64(0)}

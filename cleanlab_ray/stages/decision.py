@@ -25,6 +25,58 @@ import pyarrow as pa
 
 DEFAULT_BINS = 8192
 
+#: boundary bins holding more rows than this get ONE recursive
+#: histogram level (num_bins sub-bins inside the bin -> effective
+#: resolution num_bins^2) before the key pull, so the driver-side
+#: boundary set is O(N/num_bins^2) keys instead of O(N/num_bins).
+#: At 10^12 turns / 8192 bins that is ~15k keys instead of ~10^8.
+REFINE_PULL_THRESHOLD = 1 << 16
+
+
+def subhist_block_counts(scores: np.ndarray, b: int, num_bins: int) -> np.ndarray:
+    """(num_bins,) counts of one block's scores over the sub-bins of
+    coarse bin ``b``: sub-index = floor(s * num_bins^2) - b*num_bins.
+    num_bins is a power of two, so s*num_bins and s*num_bins^2 are exact
+    fp scalings — sub-bin membership agrees bit-exactly with the coarse
+    histogram's bin assignment."""
+    s = np.asarray(scores, dtype=np.float64)
+    idx = (s * (num_bins * num_bins)).astype(np.int64) - b * num_bins
+    sel = (idx >= 0) & (idx < num_bins)
+    return np.bincount(idx[sel], minlength=num_bins).astype(np.int64)
+
+
+def refine_boundary(sub_hist: np.ndarray, b: int, need: int, num_bins: int):
+    """Given the boundary bin's sub-histogram, return the refined
+    (pull_lo, pull_hi, need2): all rows with score < pull_lo are issues
+    outright; ``need2`` more must be pulled from [pull_lo, pull_hi).
+    The refined pull_lo is a num_bins^2-grid boundary inside coarse bin
+    ``b``, so the (bin_lo, boundary_keys) contract of resolve_bottom_t
+    is unchanged — the mask kernel's candidate window
+    [bin_lo, bin_lo + 1/num_bins) still contains every boundary key."""
+    cum = np.cumsum(np.asarray(sub_hist, dtype=np.int64))
+    j = int(np.searchsorted(cum, need))
+    below = int(cum[j - 1]) if j > 0 else 0
+    n2 = num_bins * num_bins
+    rb = b * num_bins + j
+    return rb / n2, (rb + 1) / n2, need - below
+
+
+def make_subhist_aggfn(score_col: str, b: int, num_bins: int = DEFAULT_BINS):
+    """AggregateFn: sub-histogram of coarse bin ``b`` (see
+    subhist_block_counts)."""
+    from ray.data.aggregate import AggregateFn
+
+    def accumulate_block(acc, block: pa.Table):
+        s = block[score_col].to_numpy(zero_copy_only=False)
+        return np.asarray(acc, dtype=np.int64) + subhist_block_counts(s, b, num_bins)
+
+    return AggregateFn(
+        init=lambda _: np.zeros(num_bins, dtype=np.int64),
+        accumulate_block=accumulate_block,
+        merge=lambda a, b_: np.asarray(a, dtype=np.int64) + np.asarray(b_, dtype=np.int64),
+        name="score_subhist",
+    )
+
 
 def make_histogram_aggfn(score_col: str, num_bins: int = DEFAULT_BINS):
     """AggregateFn: fixed-bin histogram of a [0,1] score column
@@ -87,6 +139,17 @@ def resolve_bottom_t_from_hist(
     need = t - count_below
     if need <= 0:
         return bin_lo, set()
+
+    if b < num_bins and hist[b] > REFINE_PULL_THRESHOLD:
+        # one recursive histogram level inside the boundary bin drops
+        # the pulled key count from O(N/num_bins) to O(N/num_bins^2)
+        sub = np.asarray(
+            ds.aggregate(make_subhist_aggfn(score_col, b, num_bins))["score_subhist"],
+            dtype=np.int64,
+        )
+        bin_lo, bin_hi, need = refine_boundary(sub, b, need, num_bins)
+        if need <= 0:
+            return bin_lo, set()
 
     # Pull only the boundary bin (expected N/num_bins rows).
     import pyarrow.compute as pc

@@ -1054,10 +1054,12 @@ def dup_span_counts(ds, text_col: str = "text", key_col: str = "doc_id",
     ).map_batches(dup_rows, batch_format="pyarrow")
 
     def totals(batch: pa.Table) -> pa.Table:
-        col = batch[text_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        lens = pc.utf8_length(pc.fill_null(col, "")).to_numpy(zero_copy_only=False)
+        # n_spans MUST come from the same lowercased space-padded BYTE
+        # buffer the numerator's windows slide over (utf8_length counts
+        # characters — for non-ASCII text that undercounts windows and
+        # n_dup_spans could exceed n_spans)
+        _, offsets = _lower_padded_bytes(batch[text_col], span_k)
+        lens = np.diff(offsets)
         n_spans = np.maximum(lens - span_k + 1, 1).astype(np.int64)
         return pa.table({
             key_col: batch[key_col],

@@ -33,54 +33,99 @@ def majority_vote_consensus(ds, num_classes: int):
     consensus: conv_id, turn_idx, consensus_label, num_annotations,
                annotator_agreement (frac agreeing with consensus).
     annotator stats: annotator_id, num_labeled, agreement_with_consensus.
-    """
-    from ray.data.aggregate import Count, Sum
 
-    # pass 0: global class frequencies (tiny) for tie-break 1
+    Shape: ONE sort exchange on the example key + a whole-block
+    vectorized run kernel (bincount over (run, class) cells) — NOT
+    groupby().map_groups, whose one-pandas-frame-per-example cost is
+    per-row Python at scale. The same kernel pre-aggregates the
+    per-annotator (agree, total) contributions map-side, so the
+    annotator-stats groupby sees O(annotators x blocks) rows."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from cleanlab_ray.stages.dedup import _run_starts, _sorted_block_map
+
+    k = num_classes
+    # pass 0: global class frequencies (K groups — tiny) for tie-break 1
     freq_df = ds.groupby("label").count().to_pandas()
-    class_freq = np.zeros(num_classes, dtype=np.int64)
+    class_freq = np.zeros(k, dtype=np.int64)
     for _, row in freq_df.iterrows():
         class_freq[int(row["label"])] = int(row["count()"])
+    # lexicographic (global freq ASC, class index ASC) tie-break key
+    tie_key = class_freq * np.int64(k) + np.arange(k, dtype=np.int64)
 
-    def per_example(g: pd.DataFrame) -> pd.DataFrame:
-        labels = g["label"].dropna().astype(int).to_numpy()
-        counts = np.bincount(labels, minlength=num_classes)
-        top = counts.max()
-        modes = np.nonzero(counts == top)[0]
-        if len(modes) > 1:  # tie-break 1: minority class by global frequency
-            min_freq = class_freq[modes].min()
-            modes = modes[class_freq[modes] == min_freq]
-        consensus = int(modes[0])  # tie-break 2: lowest class index
-        agreement = counts[consensus] / max(len(labels), 1)
-        out = pd.DataFrame(
-            {
-                "conv_id": [g["conv_id"].iloc[0]],
-                "turn_idx": [g["turn_idx"].iloc[0]],
-                "annotator_id": ["__consensus__"],
-                "consensus_label": [consensus],
-                "num_annotations": [len(labels)],
-                "annotator_agreement": [agreement],
-                "agree": [0],
-                "total": [0],
-            }
-        )
-        # per-annotator contribution rows (same group, no join)
-        ann = g.dropna(subset=["label"])
-        contrib = pd.DataFrame(
-            {
-                "conv_id": ann["conv_id"],
-                "turn_idx": ann["turn_idx"],
-                "annotator_id": ann["annotator_id"],
-                "consensus_label": -1,
-                "num_annotations": 0,
-                "annotator_agreement": 0.0,
-                "agree": (ann["label"].astype(int) == consensus).astype(int),
-                "total": 1,
-            }
-        )
-        return pd.concat([out, contrib], ignore_index=True)
+    def block_kernel(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        turn_t = batch["turn_idx"].type
+        empty = pa.table({
+            "conv_id": pa.array([], type=pa.string()),
+            "turn_idx": pa.array([], type=turn_t),
+            "annotator_id": pa.array([], type=pa.string()),
+            "consensus_label": pa.array([], type=pa.int64()),
+            "num_annotations": pa.array([], type=pa.int64()),
+            "annotator_agreement": pa.array([], type=pa.float64()),
+            "agree": pa.array([], type=pa.int64()),
+            "total": pa.array([], type=pa.int64()),
+        })
+        if n == 0:
+            return empty
+        conv = np.asarray(batch["conv_id"].to_pandas(), dtype=object)
+        turn = batch["turn_idx"].to_numpy(zero_copy_only=False)
+        lab = pc.fill_null(
+            pc.cast(batch["label"], pa.int64()), -1
+        ).to_numpy(zero_copy_only=False)
+        starts = _run_starts(conv, turn)
+        n_runs = len(starts)
+        sizes = np.diff(np.append(starts, n))
+        run_of_row = np.repeat(np.arange(n_runs, dtype=np.int64), sizes)
+        valid = lab >= 0
+        C = np.bincount(
+            run_of_row[valid] * k + lab[valid], minlength=n_runs * k
+        ).reshape(n_runs, k)
+        top = C.max(axis=1)
+        # among modal classes, minimize (global freq, class index)
+        key = np.where(C == top[:, None], tie_key[None, :], np.iinfo(np.int64).max)
+        consensus = key.argmin(axis=1).astype(np.int64)
+        n_ann = C.sum(axis=1).astype(np.int64)
+        agreement = C[np.arange(n_runs), consensus] / np.maximum(n_ann, 1)
 
-    combined = ds.groupby(EX_KEYS).map_groups(per_example, batch_format="pandas").materialize()
+        starts_arr = pa.array(starts)
+        cons_tbl = pa.table({
+            "conv_id": pc.cast(batch["conv_id"].take(starts_arr), pa.string()),
+            "turn_idx": batch["turn_idx"].take(starts_arr),
+            "annotator_id": pa.array(["__consensus__"] * n_runs, type=pa.string()),
+            "consensus_label": pa.array(consensus),
+            "num_annotations": pa.array(n_ann),
+            "annotator_agreement": pa.array(agreement),
+            "agree": pa.array(np.zeros(n_runs, dtype=np.int64)),
+            "total": pa.array(np.zeros(n_runs, dtype=np.int64)),
+        })
+
+        # map-side-combined per-annotator contributions (one row per
+        # annotator per block)
+        rows = np.flatnonzero(valid)
+        if len(rows):
+            ann_ids = np.asarray(batch["annotator_id"].to_pandas(), dtype=object)[rows]
+            agree_vec = (lab[rows] == consensus[run_of_row[rows]]).astype(np.int64)
+            codes, uniq = pd.factorize(ann_ids)
+            m = len(uniq)
+            ann_tbl = pa.table({
+                "conv_id": pa.array([""] * m, type=pa.string()),
+                "turn_idx": pa.array(np.zeros(m, dtype=np.int64)).cast(turn_t),
+                "annotator_id": pa.array(uniq.astype(object), type=pa.string()),
+                "consensus_label": pa.array(np.full(m, -1, dtype=np.int64)),
+                "num_annotations": pa.array(np.zeros(m, dtype=np.int64)),
+                "annotator_agreement": pa.array(np.zeros(m, dtype=np.float64)),
+                "agree": pa.array(
+                    np.bincount(codes, weights=agree_vec, minlength=m).astype(np.int64)
+                ),
+                "total": pa.array(np.bincount(codes, minlength=m).astype(np.int64)),
+            })
+            return pa.concat_tables([cons_tbl, ann_tbl])
+        return cons_tbl
+
+    combined = _sorted_block_map(ds, EX_KEYS, block_kernel).materialize()
 
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -96,8 +141,9 @@ def majority_vote_consensus(ds, num_classes: int):
     ).select_columns([*EX_KEYS, "consensus_label", "num_annotations", "annotator_agreement"])
     annotator_stats = (
         combined.map_batches(keep_annotators, batch_format="pyarrow")
-        .groupby("annotator_id")
-        .aggregate(Sum("agree", alias_name="n_agree"), Count(alias_name="num_labeled"))
+        .groupby("annotator_id")  # M annotators — tiny group count
+        .aggregate(Sum("agree", alias_name="n_agree"),
+                   Sum("total", alias_name="num_labeled"))
         .map_batches(_add_agreement, batch_format="pandas")
     )
     return consensus, annotator_stats
@@ -210,26 +256,55 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
     modal = int(class_counts.argmax())
     mlc_error = max(float(1.0 - class_counts[modal] / n_multi), 1e-6)
 
-    # --- per-annotator agreement-with-other-annotators (one groupby each way)
-    def per_example_agreement(g: pd.DataFrame) -> pd.DataFrame:
-        n = len(g)
-        if n <= 1:
-            return pd.DataFrame(columns=["annotator_id", "w_sum", "w_total"])
-        counts = g["label"].value_counts()
-        matches = g["label"].map(counts).to_numpy() - 1  # matches with others
-        return pd.DataFrame(
-            {
-                "annotator_id": g["annotator_id"],
-                "w_sum": matches.astype(float),
-                "w_total": float(n - 1),
-            }
-        )
+    # --- per-annotator agreement-with-other-annotators: one sort
+    # exchange + vectorized run kernel with map-side per-annotator
+    # combine (emits O(annotators) rows per block, not one pandas frame
+    # per example)
+    from cleanlab_ray.stages.dedup import _run_starts
+    from cleanlab_ray.stages.dedup import _sorted_block_map as _sbm
+
+    def agreement_kernel(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "annotator_id": pa.array([], type=pa.string()),
+            "w_sum": pa.array([], type=pa.float64()),
+            "w_total": pa.array([], type=pa.float64()),
+        })
+        n = batch.num_rows
+        if n == 0:
+            return empty
+        conv = np.asarray(batch[EX_KEYS[0]].to_pandas(), dtype=object)
+        turn = batch[EX_KEYS[1]].to_numpy(zero_copy_only=False)
+        lab = pc.fill_null(
+            pc.cast(batch["label"], pa.int64()), -1
+        ).to_numpy(zero_copy_only=False)
+        starts = _run_starts(conv, turn)
+        n_runs = len(starts)
+        sizes = np.diff(np.append(starts, n))
+        run_of_row = np.repeat(np.arange(n_runs, dtype=np.int64), sizes)
+        valid = lab >= 0
+        C = np.bincount(
+            run_of_row[valid] * num_classes + lab[valid],
+            minlength=n_runs * num_classes,
+        ).reshape(n_runs, num_classes)
+        # rows in multi-annotator examples: matches-with-others and the
+        # (n-1) denominator, per labeling row
+        rows = np.flatnonzero(valid & (sizes[run_of_row] > 1))
+        if not len(rows):
+            return empty
+        matches = (C[run_of_row[rows], lab[rows]] - 1).astype(np.float64)
+        denom = (sizes[run_of_row[rows]] - 1).astype(np.float64)
+        ann_ids = np.asarray(batch["annotator_id"].to_pandas(), dtype=object)[rows]
+        codes, uniq = pd.factorize(ann_ids)
+        m = len(uniq)
+        return pa.table({
+            "annotator_id": pa.array(uniq.astype(object), type=pa.string()),
+            "w_sum": pa.array(np.bincount(codes, weights=matches, minlength=m)),
+            "w_total": pa.array(np.bincount(codes, weights=denom, minlength=m)),
+        })
 
     from ray.data.aggregate import Sum
 
-    contrib = annotations_ds.groupby(EX_KEYS).map_groups(
-        per_example_agreement, batch_format="pandas"
-    )
+    contrib = _sbm(annotations_ds, EX_KEYS, agreement_kernel)
     agg = (
         contrib.groupby("annotator_id")
         .aggregate(Sum("w_sum", alias_name="s"), Sum("w_total", alias_name="t"))

@@ -118,9 +118,12 @@ def pool_conversations_fast(
     finalize map. Same results as ``pool_conversations`` (the partials
     are the same commutative decomposition); ~no map_groups overhead,
     and the shuffle moves one row per (conv, batch) instead of every
-    turn — the 'pre-aggregate before groupby' pattern."""
+    turn — the 'pre-aggregate before groupby' pattern. The partial merge
+    uses sorted_group_agg (one sort exchange + O(rows) run kernel), NOT
+    the native groupby().aggregate — the native path pays ~0.3 ms per
+    group and there is one group per conversation here, which at 10^8+
+    conversations is exactly the per-group wall BASELINE.md measured."""
     import pyarrow as pa
-    from ray.data.aggregate import Min, Sum
 
     def batch_partials(batch: pa.Table) -> pa.Table:
         conv = batch[conv_col].to_pandas()
@@ -146,31 +149,28 @@ def pool_conversations_fast(
             }
         )
 
-    merged = (
-        ds.map_batches(batch_partials, batch_format="pyarrow")
-        .groupby(conv_col)
-        .aggregate(
-            Min("_min", alias_name="_min"),
-            Sum("_sum", alias_name="_sum"),
-            Sum("_n", alias_name="_n"),
-            Sum("_a", alias_name="_a"),
-            Sum("_b", alias_name="_b"),
-        )
+    from cleanlab_ray.stages.topk import sorted_group_agg
+
+    merged = sorted_group_agg(
+        ds.map_batches(batch_partials, batch_format="pyarrow"),
+        conv_col,
+        {"_min": "min", "_sum": "sum", "_n": "sum", "_a": "sum", "_b": "sum"},
     )
 
     def finalize(batch: pa.Table) -> pa.Table:
-        n = batch["_n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = batch["sum(_n)"].to_numpy(zero_copy_only=False).astype(np.float64)
         out = pa.table(
             {
                 conv_col: batch[conv_col],
                 "n_turns": pa.array(n.astype(np.int64)),
-                "min_score": batch["_min"],
+                "min_score": batch["min(_min)"],
                 "mean_score": pa.array(
-                    batch["_sum"].to_numpy(zero_copy_only=False) / np.maximum(n, 1.0)
+                    batch["sum(_sum)"].to_numpy(zero_copy_only=False)
+                    / np.maximum(n, 1.0)
                 ),
                 "softmin_score": pa.array(
-                    batch["_a"].to_numpy(zero_copy_only=False)
-                    / np.maximum(batch["_b"].to_numpy(zero_copy_only=False), 1e-300)
+                    batch["sum(_a)"].to_numpy(zero_copy_only=False)
+                    / np.maximum(batch["sum(_b)"].to_numpy(zero_copy_only=False), 1e-300)
                 ),
             }
         )

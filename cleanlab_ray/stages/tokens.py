@@ -40,15 +40,41 @@ def flatten_token_scores(
 def unflatten_token_scores(
     ds, keys: tuple[str, ...] = ("conv_id", "turn_idx"), out_col: str = "token_scores"
 ):
-    """groupby(keys) re-nest: token rows -> per-sentence sorted list."""
+    """Re-nest flat token rows into per-sentence sorted lists: ONE sort
+    exchange on the sentence keys + a vectorized
+    ``pa.ListArray.from_arrays`` run kernel (token_pos ordered by an
+    in-block lexsort) — NOT map_groups, whose
+    one-pandas-frame-per-sentence cost is per-row Python at scale."""
+    from cleanlab_ray.stages.dedup import _run_starts, _sorted_block_map
 
-    def nest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("token_pos")
-        out = g.iloc[[0]][list(keys)].copy()
-        out[out_col] = [g["token_score"].tolist()]
-        return out
+    def nest_block(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        score = batch["token_score"]
+        if isinstance(score, pa.ChunkedArray):
+            score = score.combine_chunks()
+        if n == 0:
+            cols = {k: batch[k] for k in keys}
+            cols[out_col] = pa.array([], type=pa.list_(score.type))
+            return pa.table(cols)
+        key_np = [
+            np.asarray(batch[k].to_pandas(), dtype=object)
+            if pa.types.is_string(batch[k].type)
+            else batch[k].to_numpy(zero_copy_only=False)
+            for k in keys
+        ]
+        starts = _run_starts(*key_np)
+        sizes = np.diff(np.append(starts, n))
+        run_of_row = np.repeat(np.arange(len(starts), dtype=np.int64), sizes)
+        pos = batch["token_pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, run_of_row))
+        score = score.take(pa.array(order))
+        offsets = np.append(starts, n).astype(np.int32)
+        starts_arr = pa.array(starts)
+        cols = {k: batch[k].take(starts_arr) for k in keys}
+        cols[out_col] = pa.ListArray.from_arrays(pa.array(offsets), score)
+        return pa.table(cols)
 
-    return ds.groupby(list(keys)).map_groups(nest, batch_format="pandas")
+    return _sorted_block_map(ds, list(keys), nest_block)
 
 
 def downsample_prob_tensor(

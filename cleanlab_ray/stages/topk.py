@@ -76,22 +76,31 @@ def grouped_top_k(
     )
 
 
+# per-operator hash salt (< 2^30 so the SQL-oracle int64 product never
+# overflows): decorrelates sampling from the unsalted split/fold hash
+MIXTURE_SALT = np.uint64(805306457)
+
+
 def mixture_sample(ds, group_col: str, rates: dict, key_col: str,
                    default_rate: float = 0.0):
     """Deterministic per-group Bernoulli sampling — the data-mixture
     composition step (sample each source at its target rate, e.g. to
     rebalance domains before training). Coordination-free and
     restart-stable: row r of group g survives iff
-    ``(key_hash(r) % 1e6) < rate[g] * 1e6`` with the same Knuth
-    multiplicative hash the stratified splitter uses, so membership is
-    a pure function of the row — no RNG state, no global pass, exactly
-    reproducible (and SQL-replicable) at any scale or partitioning."""
+    ``(key_hash(r) % 1e6) < rate[g] * 1e6`` with a SALTED Knuth
+    multiplicative hash (``(id XOR 805306457) * 2654435761 mod 2^32``),
+    so membership is a pure function of the row — no RNG state, no
+    global pass, exactly reproducible (and SQL-replicable: DuckDB
+    ``xor()``) at any scale or partitioning. The salt makes the sample
+    decision independent of stratified_split / kfold (which use the
+    UNSALTED hash): composing mixture_sample with a split no longer
+    selects exactly the split's rows."""
     rates_e6 = {g: int(round(r * 1_000_000)) for g, r in rates.items()}
     default_e6 = int(round(default_rate * 1_000_000))
 
     def sample(batch: pa.Table) -> pa.Table:
         ids = batch[key_col].to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        h = ((ids ^ MIXTURE_SALT) * np.uint64(2654435761)) % np.uint64(1 << 32)
         u = (h % np.uint64(1_000_000)).astype(np.int64)
         g = batch[group_col]
         if isinstance(g, pa.ChunkedArray):
@@ -133,7 +142,17 @@ def sorted_group_agg(ds, key_col, ops: dict):
         if n == 0:
             out = dict(kcols)
             for c, op in ops.items():
-                out[f"{op}({c})"] = pa.array([], type=pa.int64())
+                t = batch[c].type
+                if op == "count":
+                    ot = pa.int64()
+                elif op == "sum":
+                    # numpy cumsum widens sub-word ints to int64; floats
+                    # keep their type — mirror that so empty and
+                    # non-empty blocks agree on schema
+                    ot = pa.int64() if pa.types.is_integer(t) else t
+                else:
+                    ot = t
+                out[f"{op}({c})"] = pa.array([], type=ot)
             return pa.table(out)
         import pyarrow.compute as pc
 
@@ -154,8 +173,14 @@ def sorted_group_agg(ds, key_col, ops: dict):
         for c, op in ops.items():
             v = batch[c].to_numpy(zero_copy_only=False)
             if op == "sum":
-                cs = np.concatenate([[0], np.cumsum(v)])
-                agg = cs[ends] - cs[starts]
+                if v.dtype.kind in "iub":
+                    v = v.astype(np.int64)
+                # reduceat, NOT cumsum-differencing: cumsum's rounding
+                # error scales with the PREFIX magnitude, so a small
+                # group late in a block inherits the whole block's
+                # accumulated error (measured 5e-7 relative on softmin
+                # partials); reduceat's error scales with the group
+                agg = np.add.reduceat(v, starts)
             elif op == "max":
                 agg = np.maximum.reduceat(v, starts)
             elif op == "min":
