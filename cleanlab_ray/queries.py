@@ -5509,3 +5509,358 @@ WHERE u < thr
 
 QUERIES["mixture_sample"] = q_mixture_sample
 ORACLE_SQL["mixture_sample"] = SQL_MIXTURE_SAMPLE
+
+
+# ---------------------------------------------------------------------------
+# ObjectLab label-quality scores (overlooked / badloc / swap), SQL-checked
+# ---------------------------------------------------------------------------
+
+def q_od_label_quality(sf_dir: str):
+    """ObjectLab per-image label-quality scores
+    (stages/object_detection.py od_label_quality_scores — reference
+    rank.py:50-124 subtype scores + softmin pooling + geometric
+    aggregation). Fixture: one 20x20 label box per image and two
+    predicted boxes offset diagonally by integer-valued amounts derived
+    from vec_id (exact in both engines); P1 shares the label's class,
+    P2 is the other class, so all three subtype branches are exercised.
+    SQL-checked with the closed-form IoU/similarity of the diagonal
+    offset inlined."""
+    from cleanlab_ray.stages.object_detection import od_label_quality_scores
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        v = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = (batch["label"].to_numpy(zero_copy_only=False).astype(np.int64) % 2)
+        n = len(v)
+        o1 = ((v * 104729) % 45 - 22).astype(np.float64)
+        p1 = ((v * 7919) % 1000) / 1000.0
+        o2 = ((v * 31) % 30 + 11).astype(np.float64)
+        p2 = ((v * 6151) % 1000) / 1000.0
+        a = np.tile(np.array([50.0, 50.0, 70.0, 70.0]), (n, 1))
+        b1 = a + o1[:, None]
+        b2 = a + o2[:, None]
+
+        def one_box(arr):
+            inner = pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * 4),
+                pa.array(arr.reshape(-1)),
+            )
+            return pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32)), inner)
+
+        def two_boxes(arr_a, arr_b):
+            inter = np.stack([arr_a, arr_b], axis=1)  # (n, 2, 4)
+            inner = pa.ListArray.from_arrays(
+                pa.array(np.arange(2 * n + 1, dtype=np.int32) * 4),
+                pa.array(inter.reshape(-1)),
+            )
+            return pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * 2), inner)
+
+        def two_vals(x, y, typ):
+            return pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32) * 2),
+                pa.array(np.stack([x, y], axis=1).reshape(-1), type=typ),
+            )
+
+        return pa.table({
+            "img_id": pa.array(v),
+            "gt_boxes": one_box(a),
+            "gt_labels": pa.ListArray.from_arrays(
+                pa.array(np.arange(n + 1, dtype=np.int32)),
+                pa.array(cl, type=pa.int64())),
+            "pred_boxes": two_boxes(b1, b2),
+            "pred_labels": two_vals(cl, 1 - cl, pa.int64()),
+            "pred_scores": two_vals(p1, p2, pa.float64()),
+        })
+
+    images = ds.map_batches(derive, batch_format="pyarrow")
+    out = od_label_quality_scores(images, id_col="img_id")
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        def e6(name):
+            x = batch[name].to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.array(np.floor(x * 1e6 + 0.5).astype(np.int64))
+
+        return pa.table({
+            "vec_id": batch["img_id"],
+            "overlooked_e6": e6("score_overlooked"),
+            "badloc_e6": e6("score_badloc"),
+            "swap_e6": e6("score_swap"),
+            "quality_e6": e6("label_quality_score"),
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+# Closed form for the diagonal-offset fixture: IoU(o) =
+# max(20-|o|,0)^2 / (800 - inter); center distance sqrt(o^2+o^2);
+# sim = 0.9*iou + 0.1*exp(-0.1*d). L=1/M=2 makes every subtype a CASE.
+SQL_OD_LABEL_QUALITY = """
+WITH base AS (
+  SELECT vec_id, label % 2 AS cl,
+         CAST((vec_id * 104729) % 45 - 22 AS DOUBLE) AS o1,
+         ((vec_id * 7919) % 1000) / 1000.0 AS p1,
+         CAST((vec_id * 31) % 30 + 11 AS DOUBLE) AS o2,
+         ((vec_id * 6151) % 1000) / 1000.0 AS p2
+  FROM embeddings),
+geom AS (
+  SELECT *,
+         greatest(20 - abs(o1), 0) * greatest(20 - abs(o1), 0) AS int1,
+         greatest(20 - abs(o2), 0) * greatest(20 - abs(o2), 0) AS int2
+  FROM base),
+sims AS (
+  SELECT vec_id, cl, p1, p2,
+         int1 / (800 - int1) AS iou1, int2 / (800 - int2) AS iou2,
+         0.9 * (int1 / (800 - int1))
+           + 0.1 * exp(-0.1 * sqrt(o1 * o1 + o1 * o1)) AS s1,
+         0.9 * (int2 / (800 - int2))
+           + 0.1 * exp(-0.1 * sqrt(o2 * o2 + o2 * o2)) AS s2
+  FROM geom),
+ms AS (SELECT min(least(s1, s2)) AS min_sim FROM sims),
+scored AS (
+  SELECT vec_id,
+         CASE WHEN p1 >= 0.95 AND iou1 <= 0 THEN s1 END AS ov1,
+         CASE WHEN p2 >= 0.95 AND iou2 <= 0
+              THEN min_sim * (1 - p2) END AS ov2,
+         CASE WHEN p1 <= 0.5 THEN 1.0
+              WHEN iou1 > 0 THEN s1 ELSE 1.0 END AS bl,
+         CASE WHEN p2 <= 0.95 THEN 1.0
+              ELSE greatest(min_sim, 1 - s2) END AS sw
+  FROM sims CROSS JOIN ms),
+pooled AS (
+  SELECT vec_id, bl, sw,
+         CASE WHEN ov1 IS NOT NULL AND ov2 IS NOT NULL THEN
+                (ov1 * exp(-(ov1 - least(ov1, ov2)) / 0.1)
+                 + ov2 * exp(-(ov2 - least(ov1, ov2)) / 0.1))
+                / (exp(-(ov1 - least(ov1, ov2)) / 0.1)
+                   + exp(-(ov2 - least(ov1, ov2)) / 0.1))
+              WHEN ov1 IS NOT NULL THEN ov1
+              WHEN ov2 IS NOT NULL THEN ov2
+              ELSE 1.0 END AS ov
+  FROM scored)
+SELECT vec_id,
+       CAST(floor(ov * 1000000 + 0.5) AS BIGINT) AS overlooked_e6,
+       CAST(floor(bl * 1000000 + 0.5) AS BIGINT) AS badloc_e6,
+       CAST(floor(sw * 1000000 + 0.5) AS BIGINT) AS swap_e6,
+       CAST(floor(exp((ln(1e-100 + ov) + ln(1e-100 + bl)
+                       + ln(1e-100 + sw)) / 3) * 1000000 + 0.5)
+            AS BIGINT) AS quality_e6
+FROM pooled
+"""
+
+QUERIES["od_label_quality"] = q_od_label_quality
+ORACLE_SQL["od_label_quality"] = SQL_OD_LABEL_QUALITY
+
+
+# ---------------------------------------------------------------------------
+# CROWDLAB ensemble (multi-model priors), SQL-checked
+# ---------------------------------------------------------------------------
+
+def q_crowdlab_ensemble(sf_dir: str):
+    """Ensemble CROWDLAB consensus
+    (stages/multiannotator.py crowdlab_ensemble_consensus — reference
+    multiannotator.py:351-560 via :1527-1643): two model priors derived
+    from embedding dims 1-3 and 4-6, each with its own
+    agreement-derived weight; posterior numerator sums
+    mw_0·prior_0 + mw_1·prior_1. SQL-checked end-to-end with the
+    closed-form posterior inlined."""
+    from cleanlab_ray.stages.multiannotator import crowdlab_ensemble_consensus
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def derive_ann(batch: pa.Table) -> pa.Table:
+        vec_id = batch["vec_id"].to_numpy(zero_copy_only=False)
+        label = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64) % 3
+        return pa.table(
+            {
+                "conv_id": pa.array((vec_id // 4).astype(str), type=pa.string()),
+                "turn_idx": pa.array(np.zeros(len(vec_id), dtype=np.int32)),
+                "annotator_id": pa.array((vec_id % 4).astype(str), type=pa.string()),
+                "label": pa.array(label, type=pa.int32()),
+            }
+        )
+
+    def derive_examples(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        flat = np.asarray(col.values, dtype=np.float64)
+        mat = flat.reshape(len(col), -1)
+        e0 = np.exp(mat[:, :3])
+        m0 = e0 / e0.sum(axis=1, keepdims=True)
+        e1 = np.exp(mat[:, 3:6])
+        m1 = e1 / e1.sum(axis=1, keepdims=True)
+        vec_id = batch["vec_id"].to_numpy(zero_copy_only=False)
+        keep = vec_id % 4 == 0
+        probs = np.concatenate([m0, m1], axis=1)[keep]
+        ex = (vec_id[keep] // 4).astype(str)
+        return pa.table(
+            {
+                "conv_id": pa.array(ex, type=pa.string()),
+                "turn_idx": pa.array(np.zeros(int(keep.sum()), dtype=np.int32)),
+                "pred_probs": pa.FixedSizeListArray.from_arrays(
+                    pa.array(probs.reshape(-1).astype(np.float32)), 6
+                ),
+            }
+        )
+
+    ann = ds.map_batches(derive_ann, batch_format="pyarrow")
+    examples = ds.map_batches(derive_examples, batch_format="pyarrow")
+    out, _info = crowdlab_ensemble_consensus(ann, examples, num_classes=3,
+                                             num_models=2)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        q = batch["consensus_quality"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "example_id": pc.cast(batch["conv_id"], pa.int64()),
+                "crowdlab_label": pc.cast(batch["crowdlab_label"], pa.int64()),
+                "quality_e6": pa.array(np.round(q * 1e6).astype(np.int64)),
+            }
+        )
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+def _softmax3_sql(a: int, b: int, c: int, out: int) -> str:
+    """float32-rounded softmax of embedding dims (a,b,c), component `out`
+    (1-indexed), as the engine's derive_examples computes it."""
+    num = [a, b, c][out - 1]
+    den = " + ".join(f"exp(embedding[{i}]::DOUBLE)" for i in (a, b, c))
+    return (f"CAST(CAST(exp(embedding[{num}]::DOUBLE) / ({den}) AS REAL)"
+            f" AS DOUBLE)")
+
+
+_SQL_CROWDLAB_BASE = _SQL_CROWDLAB_CTES.split("prior AS (")[0].rstrip().rstrip(",")
+
+SQL_CROWDLAB_ENSEMBLE = f"""
+WITH {_SQL_CROWDLAB_BASE},
+prior AS (
+  SELECT vec_id // 4 AS example_id,
+         {_softmax3_sql(1, 2, 3, 1)} AS p0,
+         {_softmax3_sql(1, 2, 3, 2)} AS p1,
+         {_softmax3_sql(1, 2, 3, 3)} AS p2,
+         {_softmax3_sql(4, 5, 6, 1)} AS r0,
+         {_softmax3_sql(4, 5, 6, 2)} AS r1,
+         {_softmax3_sql(4, 5, 6, 3)} AS r2
+  FROM embeddings WHERE vec_id % 4 = 0),
+model AS (
+  SELECT greatest(1.0 - (
+           avg(CASE WHEN (CASE WHEN p.p0 >= p.p1 AND p.p0 >= p.p2 THEN 0
+                               WHEN p.p1 >= p.p2 THEN 1 ELSE 2 END) != c.consensus_label
+                    THEN 1.0 ELSE 0.0 END)
+           FILTER (WHERE c.num_annotations != 1)) / m.mlc_err, 0.000001)
+         * sqrt(avg(c.num_annotations::DOUBLE)) AS mw0,
+         greatest(1.0 - (
+           avg(CASE WHEN (CASE WHEN p.r0 >= p.r1 AND p.r0 >= p.r2 THEN 0
+                               WHEN p.r1 >= p.r2 THEN 1 ELSE 2 END) != c.consensus_label
+                    THEN 1.0 ELSE 0.0 END)
+           FILTER (WHERE c.num_annotations != 1)) / m.mlc_err, 0.000001)
+         * sqrt(avg(c.num_annotations::DOUBLE)) AS mw1
+  FROM prior p JOIN cons c USING (example_id) CROSS JOIN mlc m
+  GROUP BY m.mlc_err),
+wsums AS (
+  SELECT a.example_id,
+         sum(w.w) AS W,
+         sum(CASE WHEN a.label = 0 THEN w.w ELSE 0 END) AS W0,
+         sum(CASE WHEN a.label = 1 THEN w.w ELSE 0 END) AS W1,
+         sum(CASE WHEN a.label = 2 THEN w.w ELSE 0 END) AS W2
+  FROM ann a JOIN aw w USING (annotator_id) GROUP BY 1),
+post AS (
+  SELECT p.example_id,
+         (p.p0 * d.mw0 + p.r0 * d.mw1 + m.ncl * s.W + (m.cl - m.ncl) * s.W0)
+           / (d.mw0 + d.mw1 + s.W) AS q0,
+         (p.p1 * d.mw0 + p.r1 * d.mw1 + m.ncl * s.W + (m.cl - m.ncl) * s.W1)
+           / (d.mw0 + d.mw1 + s.W) AS q1,
+         (p.p2 * d.mw0 + p.r2 * d.mw1 + m.ncl * s.W + (m.cl - m.ncl) * s.W2)
+           / (d.mw0 + d.mw1 + s.W) AS q2
+  FROM prior p
+  JOIN wsums s USING (example_id)
+  CROSS JOIN mlc m CROSS JOIN model d),
+post_lab AS (
+  SELECT *,
+         CASE WHEN q0 >= q1 AND q0 >= q2 THEN 0
+              WHEN q1 >= q2 THEN 1 ELSE 2 END AS crowdlab_label
+  FROM post)
+SELECT example_id, crowdlab_label,
+       CAST(round((CASE crowdlab_label WHEN 0 THEN q0 WHEN 1 THEN q1 ELSE q2 END)
+                  * 1000000) AS BIGINT) AS quality_e6
+FROM post_lab
+"""
+
+QUERIES["crowdlab_ensemble"] = q_crowdlab_ensemble
+ORACLE_SQL["crowdlab_ensemble"] = SQL_CROWDLAB_ENSEMBLE
+
+
+# ---------------------------------------------------------------------------
+# Span classification (K=2 token classification), SQL-checked
+# ---------------------------------------------------------------------------
+
+def q_span_issues(sf_dir: str):
+    """Span-classification label quality
+    (pipelines/span_classification.py — reference
+    experimental/span_classification.py): per-token span probabilities
+    expand to (1-p, p) two-class rows, then token scoring + sentence
+    min-pooling + threshold issues. Sentences have 2-5 tokens with
+    probs sigmoid(embedding[j]) and labels (vec_id + j) % 2.
+    SQL-checked end-to-end (float32 rounding of the flattened probs
+    replicated with CAST .. AS REAL)."""
+    from cleanlab_ray.pipelines.span_classification import span_label_quality_scores
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        col = batch["embedding"].combine_chunks()
+        mat = np.asarray(col.values, dtype=np.float64).reshape(len(col), -1)
+        vec_id = batch["vec_id"].to_numpy(zero_copy_only=False)
+        T = (2 + vec_id % 4).astype(np.int64)  # 2..5 tokens
+        n = len(vec_id)
+        tok_sent = np.repeat(np.arange(n), T)
+        tok_pos = np.concatenate([np.arange(t) for t in T]) if n else np.empty(0, np.int64)
+        probs = 1.0 / (1.0 + np.exp(-mat[tok_sent, tok_pos]))
+        labels = ((vec_id[tok_sent] + tok_pos) % 2).astype(np.int64)
+        offsets = pa.array(np.concatenate([[0], np.cumsum(T)]).astype(np.int32))
+        return pa.table({
+            "sentence_id": batch["vec_id"],
+            "token_labels": pa.ListArray.from_arrays(offsets, pa.array(labels)),
+            "span_probs": pa.ListArray.from_arrays(offsets, pa.array(probs)),
+        })
+
+    out = span_label_quality_scores(ds.map_batches(derive, batch_format="pyarrow"))
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ts = batch["token_score"].to_numpy(zero_copy_only=False)
+        ss = batch["sentence_score"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "sentence_id": pc.cast(batch["sentence_id"], pa.int64()),
+            "token_pos": batch["token_pos"],
+            "token_score_e6": pa.array(np.round(ts * 1e6).astype(np.int64)),
+            "sentence_score_e6": pa.array(np.round(ss * 1e6).astype(np.int64)),
+            "is_token_issue": batch["is_token_issue"],
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_SPAN_ISSUES = """
+WITH tok AS (
+  SELECT e.vec_id, s.j,
+         (e.vec_id + s.j) % 2 AS label,
+         1.0 / (1.0 + exp(-(e.embedding[s.j + 1]::DOUBLE))) AS p64
+  FROM embeddings e CROSS JOIN generate_series(0, 4) AS s(j)
+  WHERE s.j <= 1 + e.vec_id % 4),
+scored AS (
+  SELECT vec_id, j,
+         CASE label WHEN 1 THEN CAST(CAST(p64 AS REAL) AS DOUBLE)
+              ELSE CAST(CAST(1.0 - p64 AS REAL) AS DOUBLE) END AS sc
+  FROM tok)
+SELECT vec_id AS sentence_id, j AS token_pos,
+       CAST(round(sc * 1000000) AS BIGINT) AS token_score_e6,
+       CAST(round(min(sc) OVER (PARTITION BY vec_id) * 1000000) AS BIGINT)
+           AS sentence_score_e6,
+       sc < 0.1 AS is_token_issue
+FROM scored
+"""
+
+QUERIES["span_issues"] = q_span_issues
+ORACLE_SQL["span_issues"] = SQL_SPAN_ISSUES

@@ -193,8 +193,17 @@ def generate_annotations(transcripts_table, num_annotators: int = 5, seed: int =
 # ---------------------------------------------------------------------------
 
 def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
-                       num_join_partitions: int = 8):
+                       num_join_partitions: int = 8, num_models: int = 1):
     """CROWDLAB posterior label probabilities + weights, long-format.
+
+    ``num_models`` > 1 selects the ENSEMBLE variant (reference
+    multiannotator.py:351-560 get_label_quality_multiannotator_ensemble
+    via :1527-1643 _get_post_pred_probs_and_weights_ensemble):
+    ``examples_ds.pred_probs`` is a fixed_size_list[P*K] holding P
+    model priors back to back; each model gets its own weight
+    mw_p = clip(1 - err_p/mlc_err) * sqrt(mean annotations) and the
+    posterior numerator sums Σ_p mw_p · prior_p — the single-model math
+    is the P=1 special case, bit-identical to before.
 
     Reference semantics: /root/reference/cleanlab/multiannotator.py
     :1394-1526 (_get_post_pred_probs_and_weights, quality_method
@@ -326,13 +335,15 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
         i = batch.column_names.index("turn_idx")
         return batch.set_column(i, "turn_idx", pc.cast(batch["turn_idx"], pa.int64()))
 
-    prob_cols = [f"_p{i}" for i in range(k)]
+    P = int(num_models)
+    pk = P * k
+    prob_cols = [f"_p{i}" for i in range(pk)]
 
     def explode_probs(batch: pa.Table) -> pa.Table:
         batch = normalize_keys(batch)
         probs = pred_probs_to_numpy(batch["pred_probs"]).astype(np.float64)
         batch = batch.drop_columns(["pred_probs"])
-        for i in range(k):
+        for i in range(pk):
             batch = batch.append_column(prob_cols[i], pa.array(probs[:, i]))
         return batch
 
@@ -343,7 +354,7 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
         batch = batch.drop_columns(prob_cols)
         return batch.append_column(
             "pred_probs",
-            pa.FixedSizeListArray.from_arrays(pa.array(probs.reshape(-1)), k),
+            pa.FixedSizeListArray.from_arrays(pa.array(probs.reshape(-1)), pk),
         )
 
     examples_norm = examples_ds.map_batches(explode_probs, batch_format="pyarrow")
@@ -358,38 +369,46 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
         .materialize()
     )
 
+    err_cols = [f"err_{p}" for p in range(P)]
+
     def model_err_partial(batch: pa.Table) -> pa.Table:
         probs = pred_probs_to_numpy(batch["pred_probs"]).astype(np.float64)
         cons = batch["consensus_label"].to_numpy(zero_copy_only=False)
         n_ann = batch["num_annotations"].to_numpy(zero_copy_only=False)
         m = n_ann != 1
-        return pa.table(
-            {
-                "err": pa.array([float((probs.argmax(1)[m] != cons[m]).sum())]),
-                "cnt": pa.array([float(m.sum())]),
-                "n_sum": pa.array([float(n_ann.sum())]),
-                "n_cnt": pa.array([float(len(n_ann))]),
-            }
-        )
+        out = {}
+        for p in range(P):
+            sub = probs[:, p * k : (p + 1) * k]
+            out[err_cols[p]] = pa.array([float((sub.argmax(1)[m] != cons[m]).sum())])
+        out["cnt"] = pa.array([float(m.sum())])
+        out["n_sum"] = pa.array([float(n_ann.sum())])
+        out["n_cnt"] = pa.array([float(len(n_ann))])
+        return pa.table(out)
 
     from ray.data.aggregate import Sum as _Sum
 
     part = joined.map_batches(model_err_partial, batch_format="pyarrow").aggregate(
-        _Sum("err", alias_name="err"), _Sum("cnt", alias_name="cnt"),
+        *[_Sum(c, alias_name=c) for c in err_cols],
+        _Sum("cnt", alias_name="cnt"),
         _Sum("n_sum", alias_name="n_sum"), _Sum("n_cnt", alias_name="n_cnt"),
     )
-    model_error = part["err"] / max(part["cnt"], 1.0)
     mean_annotations = part["n_sum"] / max(part["n_cnt"], 1.0)
-    model_weight = max(1.0 - model_error / mlc_error, 1e-6) * float(np.sqrt(mean_annotations))
+    mw_vec = np.array([
+        max(1.0 - (part[c] / max(part["cnt"], 1.0)) / mlc_error, 1e-6)
+        * float(np.sqrt(mean_annotations))
+        for c in err_cols
+    ], dtype=np.float64)
+    model_weight = float(mw_vec[0]) if P == 1 else mw_vec
 
     # --- posterior per example: tagged union + ONE sort on the example
     # key, then a whole-block vectorized kernel (no per-group Python).
-    # post[k] = (prior[k]*mw + ncl*W + (cl-ncl)*W_k) / (mw + W), where
-    # W = sum of labeling annotators' weights and W_k the per-class part
-    # — the closed form of the reference's per-vote accumulation.
+    # post[k] = (Σ_p prior_p[k]*mw_p + ncl*W + (cl-ncl)*W_k)
+    #           / (Σ_p mw_p + W), where W = sum of labeling annotators'
+    # weights and W_k the per-class part — the closed form of the
+    # reference's per-vote accumulation (single- and ensemble-model).
     from cleanlab_ray.stages.dedup import _run_starts, _sorted_block_map
 
-    prob_f64 = [f"_q{i}" for i in range(k)]
+    prob_f64 = [f"_q{i}" for i in range(pk)]
     union_cols = [
         *EX_KEYS, "annotator_id", "label", "consensus_label",
         "num_annotations", "annotator_agreement", *prob_f64, "is_example_row",
@@ -431,7 +450,8 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
 
     aw_keys = np.array(sorted(annotator_weight), dtype=object)
     aw_vals = np.array([annotator_weight[a] for a in aw_keys], dtype=np.float64)
-    cl, ncl, mw = consensus_likelihood, non_consensus_likelihood, model_weight
+    cl, ncl = consensus_likelihood, non_consensus_likelihood
+    mw_sum = float(mw_vec.sum())
 
     def posterior_block(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -475,7 +495,10 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
         ex_of_run[run_of_row[ex_rows]] = ex_rows
         prior = np.stack(
             [batch[c].to_numpy(zero_copy_only=False) for c in prob_f64], axis=1
-        ).astype(np.float64)[ex_of_run]
+        ).astype(np.float64)[ex_of_run].reshape(len(ex_of_run), P, k)
+        # Σ_p mw_p · prior_p — for P=1 a single multiply, identical to
+        # the pre-ensemble prior*mw
+        prior_term = np.einsum("rpk,p->rk", prior, mw_vec)
         ann_rows = np.flatnonzero(~is_ex & has_ex[run_of_row])
         ann_run = run_of_row[ann_rows]
         ann_ids = np.asarray(batch["annotator_id"].to_pandas(), dtype=object)[ann_rows]
@@ -489,8 +512,8 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
         Wk = np.bincount(ann_run * k + ann_label, weights=w, minlength=n_runs * k).reshape(
             n_runs, k
         )
-        post = prior * mw + ncl * W[:, None] + (cl - ncl) * Wk
-        post /= (mw + W)[:, None]
+        post = prior_term + ncl * W[:, None] + (cl - ncl) * Wk
+        post /= (mw_sum + W)[:, None]
         crowd_lab = post.argmax(axis=1)
         cons_lab = batch["consensus_label"].to_numpy(zero_copy_only=False)[
             ex_of_run
@@ -551,7 +574,7 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
         ann_tagged.union(ex_tagged), EX_KEYS, posterior_block
     )
     info = {
-        "model_weight": float(model_weight),
+        "model_weight": model_weight,  # scalar for P=1, (P,) ndarray else
         "annotator_weight": annotator_weight,
         "consensus_likelihood": consensus_likelihood,
         "most_likely_class_error": mlc_error,
@@ -714,6 +737,103 @@ def active_learning_scores(annotations_ds, examples_ds, num_classes: int,
         probs = pred_probs_to_numpy(batch["pred_probs"]).astype(np.float64)
         q = probs.max(axis=1)
         score = (q * mw + (1.0 / k) * avg_aw) / (mw + avg_aw)
+        out = {c: batch[c] for c in batch.column_names if c != "pred_probs"}
+        out["active_learning_score"] = pa.array(score)
+        return pa.table(out)
+
+    unlabeled = unlabeled_examples_ds.map_batches(unlabeled_kernel, batch_format="pyarrow")
+    return labeled, unlabeled
+
+
+# ---------------------------------------------------------------------------
+# Ensemble variants (reference multiannotator.py:351-560, :729-895)
+# ---------------------------------------------------------------------------
+
+def crowdlab_ensemble_consensus(annotations_ds, examples_ds, num_classes: int,
+                                num_models: int, num_join_partitions: int = 8):
+    """get_label_quality_multiannotator_ensemble analogue (reference
+    multiannotator.py:351-560): CROWDLAB posteriors where the model
+    prior is an ensemble of P classifiers, each weighted by its own
+    agreement-derived weight (:1527-1643). ``examples_ds.pred_probs``
+    is fixed_size_list[P*K] (P priors back to back). Consensus is the
+    engine's deterministic majority vote (documented divergence from
+    the reference's posterior-relabel pass). Returns (Dataset
+    [conv_id, turn_idx, post_pred_probs, crowdlab_label,
+    consensus_quality, consensus_quality_score], info) with
+    info['model_weight'] the (P,) weights."""
+    combined, info = _crowdlab_combined(
+        annotations_ds, examples_ds, num_classes, num_join_partitions,
+        num_models=num_models,
+    )
+    out = _filter_row_type(combined, "example").select_columns(
+        [*EX_KEYS, "post_pred_probs", "crowdlab_label", "consensus_quality",
+         "consensus_quality_score"]
+    )
+    return out, info
+
+
+def active_learning_scores_ensemble(annotations_ds, examples_ds,
+                                    num_classes: int, num_models: int,
+                                    unlabeled_examples_ds=None,
+                                    num_join_partitions: int = 8):
+    """get_active_learning_scores_ensemble analogue (reference
+    multiannotator.py:729-895, temp scaling fixed at 1.0 — the
+    per-model temp grid search is the same documented omission as the
+    single-model path).
+
+    labeled score_i = weighted_avg((consensus_quality_score_i, 1/K);
+                      weights = (w_sum_i + Σ_p mw_p, avg annotator w));
+    unlabeled score = self-confidence of the ensemble-averaged
+                      posterior prior (Σ_p mw_p·prior_p + avg_aw/K) /
+                      (Σ mw + avg_aw) at its majority-vote argmax class
+                      (:865-889).
+    """
+    import pyarrow as pa
+
+    combined, info = _crowdlab_combined(
+        annotations_ds, examples_ds, num_classes, num_join_partitions,
+        num_models=num_models,
+    )
+    aw = info["annotator_weight"]
+    avg_aw = float(np.mean(list(aw.values()))) if aw else 1.0
+    mw_vec = np.asarray(info["model_weight"], dtype=np.float64).reshape(-1)
+    mw_sum = float(mw_vec.sum())
+    k = num_classes
+    P = int(num_models)
+
+    def labeled_kernel(batch: pa.Table) -> pa.Table:
+        q = batch["consensus_quality_score"].to_numpy(zero_copy_only=False)
+        wsum = batch["w_sum"].to_numpy(zero_copy_only=False)
+        wa = wsum + mw_sum
+        score = (q * wa + (1.0 / k) * avg_aw) / (wa + avg_aw)
+        return pa.table(
+            {
+                EX_KEYS[0]: batch[EX_KEYS[0]],
+                EX_KEYS[1]: batch[EX_KEYS[1]],
+                "active_learning_score": pa.array(score),
+            }
+        )
+
+    labeled = _filter_row_type(combined, "example").map_batches(
+        labeled_kernel, batch_format="pyarrow"
+    )
+    if unlabeled_examples_ds is None:
+        return labeled, None
+
+    from cleanlab_ray.state.confident import pred_probs_to_numpy
+
+    def unlabeled_kernel(batch: pa.Table) -> pa.Table:
+        probs = pred_probs_to_numpy(batch["pred_probs"]).astype(np.float64)
+        n = len(probs)
+        pr = probs.reshape(n, P, k)
+        # reference :871-889: consensus = majority vote over per-model
+        # argmaxes with avg-prob tie-break -> engine divergence: argmax
+        # of the ensemble-average prior (deterministic, no vote matrix)
+        avg_prior = pr.mean(axis=1)
+        cons = avg_prior.argmax(axis=1)
+        modified = (np.einsum("npk,p->nk", pr, mw_vec)
+                    + (1.0 / k) * avg_aw) / (mw_sum + avg_aw)
+        score = modified[np.arange(n), cons]
         out = {c: batch[c] for c in batch.column_names if c != "pred_probs"}
         out["active_learning_score"] = pa.array(score)
         return pa.table(out)

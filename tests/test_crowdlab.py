@@ -95,3 +95,140 @@ def test_active_learning_scores(crowd_setup):
     odd = udf[udf["conv_id"].str[1:].astype(int) % 2 == 1]["active_learning_score"]
     # confident unlabeled rows score higher than near-uniform ones
     assert even.mean() > odd.mean()
+
+
+# ---------------------------------------------------------------------------
+# Ensemble variants
+# ---------------------------------------------------------------------------
+
+def _ens_inputs():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    n_ex, M, K, P = 40, 4, 3, 2
+    true = rng.integers(0, K, n_ex)
+    ann_rows = {"conv_id": [], "turn_idx": [], "annotator_id": [], "label": []}
+    for i in range(n_ex):
+        for a in range(M):
+            if rng.random() < 0.7:
+                lab = true[i] if rng.random() < 0.8 else int(rng.integers(0, K))
+                ann_rows["conv_id"].append(str(i))
+                ann_rows["turn_idx"].append(0)
+                ann_rows["annotator_id"].append(f"a{a}")
+                ann_rows["label"].append(lab)
+    ann = rd.from_arrow(pa.table({
+        "conv_id": pa.array(ann_rows["conv_id"], type=pa.string()),
+        "turn_idx": pa.array(ann_rows["turn_idx"], type=pa.int32()),
+        "annotator_id": pa.array(ann_rows["annotator_id"], type=pa.string()),
+        "label": pa.array(ann_rows["label"], type=pa.int32()),
+    }))
+    priors = rng.dirichlet(np.ones(K), size=(P, n_ex)).astype(np.float32)
+    # model 0 leans toward the truth, model 1 is noisier
+    for i in range(n_ex):
+        priors[0, i, true[i]] += 1.0
+    priors[0] /= priors[0].sum(axis=1, keepdims=True)
+    flat = np.transpose(priors, (1, 0, 2)).reshape(n_ex, P * K)
+    examples = rd.from_arrow(pa.table({
+        "conv_id": pa.array([str(i) for i in range(n_ex)], type=pa.string()),
+        "turn_idx": pa.array(np.zeros(n_ex, dtype=np.int32)),
+        "pred_probs": pa.FixedSizeListArray.from_arrays(
+            pa.array(flat.reshape(-1)), P * K),
+    }))
+    return ann, examples, flat, true
+
+
+def test_crowdlab_ensemble_posterior_math(ray_session):
+    """Ensemble posterior == closed form with per-model weights."""
+    import numpy as np
+
+    from cleanlab_ray.stages.multiannotator import crowdlab_ensemble_consensus
+
+    ann, examples, flat, _true = _ens_inputs()
+    out, info = crowdlab_ensemble_consensus(ann, examples, num_classes=3,
+                                            num_models=2)
+    mw = np.asarray(info["model_weight"], dtype=np.float64)
+    assert mw.shape == (2,)
+    assert (mw > 0).all()
+    # model 0 tracks the consensus better -> larger weight
+    assert mw[0] > mw[1]
+
+    aw = info["annotator_weight"]
+    cl = info["consensus_likelihood"]
+    ncl = (1 - cl) / 2
+    df = out.to_pandas().set_index("conv_id")
+    ann_df = ann.to_pandas()
+    K = 3
+    for ex, grp in ann_df.groupby("conv_id"):
+        prior = flat[int(ex)].astype(np.float64).reshape(2, K)
+        W = sum(aw[a] for a in grp["annotator_id"])
+        Wk = np.zeros(K)
+        for _, r in grp.iterrows():
+            Wk[int(r["label"])] += aw[r["annotator_id"]]
+        post = (mw @ prior + ncl * W + (cl - ncl) * Wk) / (mw.sum() + W)
+        got = np.asarray(df.loc[ex, "post_pred_probs"], dtype=np.float64)
+        np.testing.assert_allclose(got, post, atol=1e-9)
+        assert int(df.loc[ex, "crowdlab_label"]) == int(post.argmax())
+
+
+def test_crowdlab_single_model_unchanged_by_generalization(ray_session):
+    """P=1 path still produces the same posteriors as before the
+    ensemble generalization (guard against regression)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.stages.multiannotator import crowdlab_consensus
+
+    ann, examples, flat, _ = _ens_inputs()
+
+    def first_model(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from cleanlab_ray.state.confident import pred_probs_to_numpy
+
+        probs = pred_probs_to_numpy(batch["pred_probs"])[:, :3]
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"],
+            "pred_probs": pa.FixedSizeListArray.from_arrays(
+                pa.array(probs.reshape(-1)), 3),
+        })
+
+    ex1 = examples.map_batches(first_model, batch_format="pyarrow")
+    out, info = crowdlab_consensus(ann, ex1, num_classes=3)
+    assert np.isscalar(info["model_weight"]) or isinstance(info["model_weight"], float)
+    df = out.to_pandas()
+    # examples without any annotation are dropped by the inner join
+    n_annotated = ann.to_pandas()["conv_id"].nunique()
+    assert len(df) == n_annotated
+    assert df["post_pred_probs"].map(lambda p: abs(sum(p) - 1) < 1e-6).all()
+
+
+def test_active_learning_ensemble(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.stages.multiannotator import active_learning_scores_ensemble
+
+    ann, examples, flat, _ = _ens_inputs()
+    unl_flat = flat[:10]
+    unlabeled = rd.from_arrow(pa.table({
+        "conv_id": pa.array([f"u{i}" for i in range(10)], type=pa.string()),
+        "turn_idx": pa.array(np.zeros(10, dtype=np.int32)),
+        "pred_probs": pa.FixedSizeListArray.from_arrays(
+            pa.array(unl_flat.reshape(-1)), 6),
+    }))
+    labeled, unl = active_learning_scores_ensemble(
+        ann, examples, num_classes=3, num_models=2,
+        unlabeled_examples_ds=unlabeled)
+    ldf = labeled.to_pandas()
+    udf = unl.to_pandas()
+    n_annotated = ann.to_pandas()["conv_id"].nunique()
+    assert len(ldf) == n_annotated and len(udf) == 10
+    assert ((ldf["active_learning_score"] >= 0)
+            & (ldf["active_learning_score"] <= 1)).all()
+    assert ((udf["active_learning_score"] >= 0)
+            & (udf["active_learning_score"] <= 1)).all()
