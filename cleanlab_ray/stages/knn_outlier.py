@@ -66,6 +66,13 @@ def _avg_knn_dist_exact(mat: np.ndarray, ids: np.ndarray, ref_mat: np.ndarray,
     return top.mean(axis=1)
 
 
+#: rows above which knn_outlier_scores auto-switches from the exact
+#: broadcast path (reference-parity, driver materializes the full
+#: embedding table) to the LSH-bucketed scale path — the same
+#: auto-escalation pattern quality_filter uses for checkpoint mode.
+EXACT_KNN_MAX_ROWS = 200_000
+
+
 def knn_outlier_scores(
     ds,
     embedding_col: str = "embedding",
@@ -73,17 +80,30 @@ def knn_outlier_scores(
     k: int = 10,
     t: float = 1.0,
     scaling_factor: float | None = None,
+    exact_max_rows: int | None = EXACT_KNN_MAX_ROWS,
 ):
     """Exact kNN-distance outlier scores (broadcast brute force).
 
     Returns Dataset[key_cols + (avg_knn_distance, ood_score_knn)].
     Requires a single integer key column for self-exclusion and
-    deterministic tie order."""
+    deterministic tie order.
+
+    The exact path materializes the reference set on the driver — fine
+    at reference-parity scales, O(N) driver memory at corpus scale.
+    Above ``exact_max_rows`` (pass None to force exact) the call
+    auto-delegates to :func:`knn_outlier_scores_bucketed`, whose
+    embedding table never leaves the cluster."""
     import ray
 
     if len(key_cols) != 1:
         raise ValueError("exact knn_outlier_scores needs a single key column")
     key = key_cols[0]
+
+    if exact_max_rows is not None and ds.count() > exact_max_rows:
+        return knn_outlier_scores_bucketed(
+            ds, embedding_col=embedding_col, key_cols=key_cols, k=k, t=t,
+            scaling_factor=scaling_factor,
+        )
 
     ref = ds.select_columns([key, embedding_col]).to_pandas()
     ref = ref.sort_values(key, kind="mergesort")

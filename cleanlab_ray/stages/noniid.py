@@ -241,7 +241,25 @@ def noniid_issues(
     The observed KS statistic and all permutation statistics come from
     ONE aggregate pass; the permutations are generated on the driver
     (np.random.seed(seed), matching noniid.py:270-276) and shipped in
-    the aggregate's closure."""
+    the aggregate's closure.
+
+    Above MAX_EXACT_ROWS the exact path's driver-side embedding
+    materialization is unsafe, so the call auto-delegates to
+    :func:`noniid_issues_windowed` (window count sized so one window
+    stays under the exact limit) — same auto-escalation pattern as
+    quality_filter's checkpoint mode."""
+    n_total = ds.count()
+    if n_total > MAX_EXACT_ROWS:
+        num_windows = int(-(-n_total // MAX_EXACT_ROWS))  # ceil
+        out = noniid_issues_windowed(
+            ds, embedding_col=embedding_col, key_col=key_col,
+            num_windows=num_windows, k=k,
+            num_permutations=num_permutations,
+            significance_threshold=significance_threshold, seed=seed,
+        )
+        info = {"mode": "windowed", "num_windows": num_windows,
+                "n": int(n_total), "p_value": None, "ks": None}
+        return out, info
     graph, n = knn_index_graph(ds, embedding_col, key_col, k)
     graph = graph.materialize()
 

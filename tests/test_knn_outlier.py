@@ -116,3 +116,21 @@ def test_knn_vote_pred_probs_recovers_cluster_labels(ray_session):
         assert row["knn_pred"] == true_cluster[i]
     clean = out.drop(index=flipped)
     assert (clean["knn_prob_given"] >= 0.8).mean() > 0.95
+
+
+def test_exact_auto_delegates_to_bucketed(embed_ds):
+    """Above exact_max_rows the entry point switches to the LSH-bucketed
+    scale path (no driver materialization of the embedding table)."""
+    from cleanlab_ray.stages.knn_outlier import (
+        knn_outlier_scores, knn_outlier_scores_bucketed,
+    )
+
+    ds, _mat = embed_ds
+    auto = knn_outlier_scores(ds, k=5, exact_max_rows=10).to_pandas()
+    bucketed = knn_outlier_scores_bucketed(ds, k=5).to_pandas()
+    auto = auto.sort_values("vec_id").reset_index(drop=True)
+    bucketed = bucketed.sort_values("vec_id").reset_index(drop=True)
+    import numpy as np
+
+    np.testing.assert_allclose(
+        auto["ood_score_knn"], bucketed["ood_score_knn"], atol=1e-12)

@@ -130,3 +130,29 @@ def test_windowed_scale_path_no_broadcast(ray_session, sorted_mat):
 
     with pytest.raises(ValueError, match="windowed"):
         knn_index_graph(ds, max_rows=10)
+
+
+def test_noniid_auto_delegates_to_windowed(ray_session, monkeypatch):
+    """Above MAX_EXACT_ROWS noniid_issues returns the windowed path's
+    result with a mode-tagged info dict (no driver embedding pull)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import cleanlab_ray.stages.noniid as noniid_mod
+
+    rng = np.random.default_rng(2)
+    n = 400
+    emb = rng.normal(size=(n, 8)).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(emb.reshape(-1)), 8),
+    }))
+    monkeypatch.setattr(noniid_mod, "MAX_EXACT_ROWS", 100)
+    out, info = noniid_mod.noniid_issues(ds, k=5, num_permutations=5, seed=0)
+    assert info["mode"] == "windowed"
+    assert info["num_windows"] == 4
+    df = out.to_pandas()
+    assert len(df) == n
+    assert {"noniid_score", "p_value", "is_noniid_issue"} <= set(df.columns)
