@@ -152,6 +152,11 @@ def run_bench() -> dict:
         "approx_distinct_words",
         "embedding_covariance",
         "quantize_embeddings",
+        # round-4 additions
+        "od_label_quality",
+        "crowdlab_ensemble",
+        "span_issues",
+        "mixture_sample",
     ]
     # best-of-2 per query: the first run pays one-time per-worker kernel
     # warmups (numpy, regex, model tables) that aren't steady-state

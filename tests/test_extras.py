@@ -53,9 +53,9 @@ def test_token_flatten_unflatten(ray_session):
     assert flat.num_rows == 6
     nested = unflatten_token_scores(rd.from_arrow(flat)).to_pandas()
     nested = nested.set_index(["conv_id", "turn_idx"])["token_scores"]
-    assert nested.loc[("a", 0)] == [0.9, 0.1, 0.5]
-    assert nested.loc[("a", 1)] == [0.3]
-    assert nested.loc[("b", 0)] == [0.7, 0.8]
+    assert list(nested.loc[("a", 0)]) == [0.9, 0.1, 0.5]
+    assert list(nested.loc[("a", 1)]) == [0.3]
+    assert list(nested.loc[("b", 0)]) == [0.7, 0.8]
 
 
 def test_segmentation_downsample():
