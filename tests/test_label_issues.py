@@ -94,3 +94,43 @@ def test_both(ds_and_arrays):
     expected[oracle_reduce_mask(labels, probs)] = False
     mask, _ = _engine_mask(ds, "both")
     np.testing.assert_array_equal(mask, expected)
+
+
+def test_bottom_t_refinement_is_byte_identical(ray_session, monkeypatch):
+    """The recursive boundary-bin histogram (decision.py refine_boundary)
+    must select exactly the same bottom-T set as the unrefined pull —
+    forced on by dropping REFINE_PULL_THRESHOLD to 0."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import cleanlab_ray.stages.decision as dec
+
+    rng = np.random.default_rng(17)
+    n, t = 5000, 700
+    # cluster scores so one coarse bin holds many rows (ties included)
+    scores = np.round(rng.beta(2, 5, n), 3)
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array([f"c{i:05d}" for i in range(n)], type=pa.string()),
+        "turn_idx": pa.array(np.zeros(n, dtype=np.int32)),
+        "score_self_confidence": pa.array(scores),
+    })).materialize()
+
+    def flags(bin_lo, keys):
+        kern = dec.make_issue_mask_kernel(bin_lo, keys)
+        out = ds.map_batches(kern, batch_format="pyarrow").to_pandas()
+        return set(out.loc[out["is_label_issue"], "conv_id"])
+
+    monkeypatch.setattr(dec, "REFINE_PULL_THRESHOLD", 10**12)  # never refine
+    lo0, keys0 = dec.resolve_bottom_t(ds, t)
+    monkeypatch.setattr(dec, "REFINE_PULL_THRESHOLD", 0)       # always refine
+    lo1, keys1 = dec.resolve_bottom_t(ds, t)
+
+    assert len(keys1) <= len(keys0)  # refined pull is never larger
+    f0, f1 = flags(lo0, keys0), flags(lo1, keys1)
+    assert len(f0) == t and f0 == f1
+
+    # oracle: exact bottom-T by (score, conv_id, turn_idx)
+    order = np.lexsort((np.zeros(n), np.array([f"c{i:05d}" for i in range(n)]), scores))
+    expect = {f"c{i:05d}" for i in order[:t]}
+    assert f0 == expect
