@@ -39,19 +39,34 @@ def majority_vote_consensus(ds, num_classes: int):
     groupby().map_groups, whose one-pandas-frame-per-example cost is
     per-row Python at scale. The same kernel pre-aggregates the
     per-annotator (agree, total) contributions map-side, so the
-    annotator-stats groupby sees O(annotators x blocks) rows."""
+    annotator-stats groupby sees O(annotators x blocks) rows, AND the
+    CROWDLAB agreement-with-other-annotators partials (w_sum, w_total —
+    reference multiannotator.py:1304-1393), so _crowdlab_combined needs
+    no second sort exchange over the annotations."""
     import pyarrow as pa
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import AggregateFn, Sum
 
     from cleanlab_ray.stages.dedup import _run_starts, _sorted_block_map
 
     k = num_classes
-    # pass 0: global class frequencies (K groups — tiny) for tie-break 1
-    freq_df = ds.groupby("label").count().to_pandas()
-    class_freq = np.zeros(k, dtype=np.int64)
-    for _, row in freq_df.iterrows():
-        class_freq[int(row["label"])] = int(row["count()"])
+
+    # pass 0: global class frequencies for tie-break 1 — a flat bincount
+    # aggregate (tree reduce), NOT groupby(label).count() (which would
+    # sort-exchange every annotation row for K counters)
+    def freq_accumulate(acc, block: pa.Table):
+        lab = pc.fill_null(
+            pc.cast(block["label"], pa.int64()), -1
+        ).to_numpy(zero_copy_only=False)
+        v = lab[(lab >= 0) & (lab < k)]
+        return np.asarray(acc, dtype=np.int64) + np.bincount(v, minlength=k)
+
+    class_freq = np.asarray(ds.aggregate(AggregateFn(
+        init=lambda _: np.zeros(k, dtype=np.int64),
+        accumulate_block=freq_accumulate,
+        merge=lambda a, b: np.asarray(a, dtype=np.int64) + np.asarray(b, dtype=np.int64),
+        name="class_freq",
+    ))["class_freq"], dtype=np.int64)
     # lexicographic (global freq ASC, class index ASC) tie-break key
     tie_key = class_freq * np.int64(k) + np.arange(k, dtype=np.int64)
 
@@ -67,6 +82,8 @@ def majority_vote_consensus(ds, num_classes: int):
             "annotator_agreement": pa.array([], type=pa.float64()),
             "agree": pa.array([], type=pa.int64()),
             "total": pa.array([], type=pa.int64()),
+            "w_sum": pa.array([], type=pa.float64()),
+            "w_total": pa.array([], type=pa.float64()),
         })
         if n == 0:
             return empty
@@ -100,14 +117,24 @@ def majority_vote_consensus(ds, num_classes: int):
             "annotator_agreement": pa.array(agreement),
             "agree": pa.array(np.zeros(n_runs, dtype=np.int64)),
             "total": pa.array(np.zeros(n_runs, dtype=np.int64)),
+            "w_sum": pa.array(np.zeros(n_runs, dtype=np.float64)),
+            "w_total": pa.array(np.zeros(n_runs, dtype=np.float64)),
         })
 
         # map-side-combined per-annotator contributions (one row per
-        # annotator per block)
+        # annotator per block): agreement-with-consensus (agree, total)
+        # AND CROWDLAB agreement-with-other-annotators (w_sum = matches
+        # with other labelers of the same example, w_total = (n-1) per
+        # labeled multi-annotated example — multiannotator.py:1304-1393)
         rows = np.flatnonzero(valid)
         if len(rows):
             ann_ids = np.asarray(batch["annotator_id"].to_pandas(), dtype=object)[rows]
             agree_vec = (lab[rows] == consensus[run_of_row[rows]]).astype(np.int64)
+            multi = sizes[run_of_row[rows]] > 1
+            matches = np.where(
+                multi, C[run_of_row[rows], lab[rows]] - 1, 0
+            ).astype(np.float64)
+            denom = np.where(multi, sizes[run_of_row[rows]] - 1, 0).astype(np.float64)
             codes, uniq = pd.factorize(ann_ids)
             m = len(uniq)
             ann_tbl = pa.table({
@@ -121,6 +148,8 @@ def majority_vote_consensus(ds, num_classes: int):
                     np.bincount(codes, weights=agree_vec, minlength=m).astype(np.int64)
                 ),
                 "total": pa.array(np.bincount(codes, minlength=m).astype(np.int64)),
+                "w_sum": pa.array(np.bincount(codes, weights=matches, minlength=m)),
+                "w_total": pa.array(np.bincount(codes, weights=denom, minlength=m)),
             })
             return pa.concat_tables([cons_tbl, ann_tbl])
         return cons_tbl
@@ -143,7 +172,9 @@ def majority_vote_consensus(ds, num_classes: int):
         combined.map_batches(keep_annotators, batch_format="pyarrow")
         .groupby("annotator_id")  # M annotators — tiny group count
         .aggregate(Sum("agree", alias_name="n_agree"),
-                   Sum("total", alias_name="num_labeled"))
+                   Sum("total", alias_name="num_labeled"),
+                   Sum("w_sum", alias_name="w_sum"),
+                   Sum("w_total", alias_name="w_total"))
         .map_batches(_add_agreement, batch_format="pandas")
     )
     return consensus, annotator_stats
@@ -265,64 +296,16 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
     modal = int(class_counts.argmax())
     mlc_error = max(float(1.0 - class_counts[modal] / n_multi), 1e-6)
 
-    # --- per-annotator agreement-with-other-annotators: one sort
-    # exchange + vectorized run kernel with map-side per-annotator
-    # combine (emits O(annotators) rows per block, not one pandas frame
-    # per example)
-    from cleanlab_ray.stages.dedup import _run_starts
-    from cleanlab_ray.stages.dedup import _sorted_block_map as _sbm
-
-    def agreement_kernel(batch: pa.Table) -> pa.Table:
-        empty = pa.table({
-            "annotator_id": pa.array([], type=pa.string()),
-            "w_sum": pa.array([], type=pa.float64()),
-            "w_total": pa.array([], type=pa.float64()),
-        })
-        n = batch.num_rows
-        if n == 0:
-            return empty
-        conv = np.asarray(batch[EX_KEYS[0]].to_pandas(), dtype=object)
-        turn = batch[EX_KEYS[1]].to_numpy(zero_copy_only=False)
-        lab = pc.fill_null(
-            pc.cast(batch["label"], pa.int64()), -1
-        ).to_numpy(zero_copy_only=False)
-        starts = _run_starts(conv, turn)
-        n_runs = len(starts)
-        sizes = np.diff(np.append(starts, n))
-        run_of_row = np.repeat(np.arange(n_runs, dtype=np.int64), sizes)
-        valid = lab >= 0
-        C = np.bincount(
-            run_of_row[valid] * num_classes + lab[valid],
-            minlength=n_runs * num_classes,
-        ).reshape(n_runs, num_classes)
-        # rows in multi-annotator examples: matches-with-others and the
-        # (n-1) denominator, per labeling row
-        rows = np.flatnonzero(valid & (sizes[run_of_row] > 1))
-        if not len(rows):
-            return empty
-        matches = (C[run_of_row[rows], lab[rows]] - 1).astype(np.float64)
-        denom = (sizes[run_of_row[rows]] - 1).astype(np.float64)
-        ann_ids = np.asarray(batch["annotator_id"].to_pandas(), dtype=object)[rows]
-        codes, uniq = pd.factorize(ann_ids)
-        m = len(uniq)
-        return pa.table({
-            "annotator_id": pa.array(uniq.astype(object), type=pa.string()),
-            "w_sum": pa.array(np.bincount(codes, weights=matches, minlength=m)),
-            "w_total": pa.array(np.bincount(codes, weights=denom, minlength=m)),
-        })
-
-    from ray.data.aggregate import Sum
-
-    contrib = _sbm(annotations_ds, EX_KEYS, agreement_kernel)
-    agg = (
-        contrib.groupby("annotator_id")
-        .aggregate(Sum("w_sum", alias_name="s"), Sum("w_total", alias_name="t"))
-        .to_pandas()
-    )
+    # --- per-annotator agreement-with-other-annotators: the (w_sum,
+    # w_total) partials ride majority_vote_consensus's sort exchange
+    # (its block kernel pre-aggregates them per annotator per block), so
+    # no second exchange over the annotations is needed here. Annotators
+    # appearing ONLY in single-annotation examples have w_total == 0 and
+    # are dropped, matching the previous standalone pass (their posterior
+    # weight falls back to 1e-6 below).
+    agg = _stats.to_pandas().rename(columns={"w_sum": "s", "w_total": "t"})
+    agg = agg[agg["t"] > 0].reset_index(drop=True)
     agg["agreement"] = agg["s"] / agg["t"].clip(lower=1e-12)
-    # impute for non-overlapping annotators (reference :1337-1347)
-    if agg["t"].eq(0).any():
-        agg.loc[agg["t"] == 0, "agreement"] = agg.loc[agg["t"] > 0, "agreement"].mean()
     annotator_weight = {
         row["annotator_id"]: max(1.0 - (1.0 - row["agreement"]) / mlc_error, 1e-6)
         for _, row in agg.iterrows()
