@@ -823,3 +823,33 @@ def active_learning_scores_ensemble(annotations_ds, examples_ds,
 
     unlabeled = unlabeled_examples_ds.map_batches(unlabeled_kernel, batch_format="pyarrow")
     return labeled, unlabeled
+
+
+def detailed_label_quality(annotations_ds, examples_ds, num_classes: int,
+                           num_models: int = 1, num_join_partitions: int = 8):
+    """Per-annotation label-quality scores (reference
+    multiannotator.py:304-316 / :545-557 detailed_label_quality: the
+    posterior probability of each annotator's chosen label) — the
+    reference pivots these into an (N, M) wide frame; at engine scale
+    the LONG format is the product. Returns
+    Dataset[(conv_id, turn_idx, annotator_id, label, quality_annotator)].
+    The scores fall out of the posterior pass's annotation rows — no
+    extra exchange."""
+    combined, _info = _crowdlab_combined(
+        annotations_ds, examples_ds, num_classes, num_join_partitions,
+        num_models=num_models,
+    )
+    import pyarrow as pa
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            EX_KEYS[0]: batch[EX_KEYS[0]],
+            EX_KEYS[1]: batch[EX_KEYS[1]],
+            "annotator_id": batch["annotator_id"],
+            "label": batch["label"],
+            "quality_annotator": batch["lq"],
+        })
+
+    return _filter_row_type(combined, "annotation").map_batches(
+        finalize, batch_format="pyarrow"
+    )

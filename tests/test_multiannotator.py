@@ -60,3 +60,78 @@ def test_annotator_stats(ray_session, annotations):
     assert agree[0] > agree[4]
     total = int(stats["num_labeled"].sum())
     assert total == len(annotations)
+
+
+def test_majority_vote_hot_key(ray_session):
+    """One example with 50k annotations (a hot key after the sort
+    exchange) must pool in one oversized block without per-group
+    Python cost blowup and produce the exact mode."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.stages.multiannotator import majority_vote_consensus
+
+    n_hot = 50_000
+    rng = np.random.default_rng(0)
+    hot_labels = rng.choice([0, 1, 2], size=n_hot, p=[0.5, 0.3, 0.2])
+    conv = ["hot"] * n_hot + [f"c{i}" for i in range(500)]
+    turn = np.zeros(n_hot + 500, dtype=np.int32)
+    ann = [f"a{i % 7}" for i in range(n_hot)] + ["a0"] * 500
+    lab = np.concatenate([hot_labels, np.ones(500, dtype=np.int64)])
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array(conv, type=pa.string()),
+        "turn_idx": pa.array(turn),
+        "annotator_id": pa.array(ann, type=pa.string()),
+        "label": pa.array(lab.astype(np.int32)),
+    })).repartition(16)
+    consensus, stats = majority_vote_consensus(ds, num_classes=3)
+    df = consensus.to_pandas().set_index("conv_id")
+    assert int(df.loc["hot", "consensus_label"]) == int(
+        np.bincount(hot_labels).argmax())
+    assert int(df.loc["hot", "num_annotations"]) == n_hot
+    assert len(df) == 501
+    sdf = stats.to_pandas()
+    assert int(sdf["num_labeled"].sum()) == n_hot + 500
+
+
+def test_detailed_label_quality_long_format(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.stages.multiannotator import (
+        crowdlab_consensus, detailed_label_quality,
+    )
+
+    rng = np.random.default_rng(4)
+    n_ex, K = 30, 3
+    ann_rows = {"conv_id": [], "turn_idx": [], "annotator_id": [], "label": []}
+    for i in range(n_ex):
+        for a in range(3):
+            ann_rows["conv_id"].append(str(i))
+            ann_rows["turn_idx"].append(0)
+            ann_rows["annotator_id"].append(f"a{a}")
+            ann_rows["label"].append(int(rng.integers(0, K)))
+    ann = rd.from_arrow(pa.table({
+        "conv_id": pa.array(ann_rows["conv_id"], type=pa.string()),
+        "turn_idx": pa.array(ann_rows["turn_idx"], type=pa.int32()),
+        "annotator_id": pa.array(ann_rows["annotator_id"], type=pa.string()),
+        "label": pa.array(ann_rows["label"], type=pa.int32()),
+    }))
+    probs = rng.dirichlet(np.ones(K), size=n_ex).astype(np.float32)
+    examples = rd.from_arrow(pa.table({
+        "conv_id": pa.array([str(i) for i in range(n_ex)], type=pa.string()),
+        "turn_idx": pa.array(np.zeros(n_ex, dtype=np.int32)),
+        "pred_probs": pa.FixedSizeListArray.from_arrays(
+            pa.array(probs.reshape(-1)), K),
+    }))
+    detail = detailed_label_quality(ann, examples, num_classes=K).to_pandas()
+    assert len(detail) == n_ex * 3
+    # each annotation's quality == posterior prob of its chosen label
+    post, _info = crowdlab_consensus(ann, examples, num_classes=K)
+    pp = post.to_pandas().set_index("conv_id")["post_pred_probs"]
+    for _, r in detail.iterrows():
+        np.testing.assert_allclose(
+            r["quality_annotator"], pp.loc[r["conv_id"]][int(r["label"])],
+            atol=1e-12)
