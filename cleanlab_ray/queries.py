@@ -5866,6 +5866,87 @@ QUERIES["span_issues"] = q_span_issues
 ORACLE_SQL["span_issues"] = SQL_SPAN_ISSUES
 
 
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style cross-document line dedup, SQL-checked
+# ---------------------------------------------------------------------------
+
+def q_line_dedup_docs(sf_dir: str):
+    """Cross-document line-level dedup (stages/dedup.py
+    line_dedup_documents — the CCNet boilerplate-removal step, Wenzek
+    et al. 2020): every line occurring in >= 2 distinct documents is
+    removed from all of them. The fixture re-chunks each document's
+    words into 3-word lines (small vocab -> real cross-doc duplicate
+    lines). SQL-checked end-to-end: the oracle rebuilds the same lines
+    with string_split + string_agg and applies the same >= 2-distinct-
+    docs rule on raw line content (the engine compares 64-bit line
+    hashes; equal lines hash equal, collisions are ~2^-64)."""
+    from cleanlab_ray.stages.dedup import line_dedup_documents
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_lines(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        words = pc.split_pattern(pc.fill_null(col, ""), pattern=" ")
+        flat = np.asarray(words.values.to_pandas(), dtype=object)
+        lens = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        texts = []
+        off = 0
+        for ln in lens:  # fixture derivation only — not the operator
+            w = flat[off:off + ln]
+            off += ln
+            texts.append("\n".join(
+                " ".join(w[i:i + 3]) for i in range(0, len(w), 3)))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text": pa.array(texts, type=pa.string()),
+        })
+
+    out = line_dedup_documents(
+        ds.map_batches(to_lines, batch_format="pyarrow"), min_docs=2)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text_dedup": pc.cast(batch["text_dedup"], pa.string()),
+            "n_lines": batch["n_lines"],
+            "n_removed": batch["n_removed"],
+        })
+
+    return out.map_batches(finalize, batch_format="pyarrow")
+
+
+SQL_LINE_DEDUP = """
+WITH words AS (
+  SELECT d.doc_id, g.i, d.ws[g.i] AS w, len(d.ws) AS nw
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) d
+  CROSS JOIN generate_series(1, 4096) AS g(i)
+  WHERE g.i <= len(d.ws)),
+lines AS (
+  SELECT doc_id, (i - 1) // 3 AS li,
+         string_agg(w, ' ' ORDER BY i) AS line
+  FROM words GROUP BY 1, 2),
+dup AS (
+  SELECT line FROM lines GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+stats AS (
+  SELECT doc_id, count(*) AS n_lines,
+         count(*) FILTER (WHERE line IN (SELECT line FROM dup)) AS n_removed
+  FROM lines GROUP BY 1),
+kept AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY li) AS text_dedup
+  FROM lines WHERE line NOT IN (SELECT line FROM dup) GROUP BY 1)
+SELECT s.doc_id, coalesce(k.text_dedup, '') AS text_dedup,
+       s.n_lines, s.n_removed
+FROM stats s LEFT JOIN kept k USING (doc_id)
+"""
+
+QUERIES["line_dedup_docs"] = q_line_dedup_docs
+ORACLE_SQL["line_dedup_docs"] = SQL_LINE_DEDUP
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks a fixed
 # window of the FIRST 50 queries() entries (CORRECTNESS_r03 confirmed
@@ -5894,11 +5975,12 @@ _PRIORITY_WINDOW = [
     # token / span / multilabel / segmentation
     "token_label_issues", "token_cl_issues", "span_issues",
     "multilabel_issues", "multilabel_class_quality", "segmentation_scores",
-    # object detection
-    "object_detection_ap", "od_label_quality",
-    # dedup family (dup_spans n_spans fix this round)
+    # object detection (per-class AP green in r03, unchanged — its slot
+    # goes to the new CCNet line dedup; od_label_quality covers the family)
+    "od_label_quality",
+    # dedup family (dup_spans n_spans fix this round; line dedup new)
     "exact_dedup_documents", "near_dup_documents", "dup_spans",
-    "ngram_jaccard_pairs", "dup_components",
+    "ngram_jaccard_pairs", "dup_components", "line_dedup_docs",
     # LLM-pipeline operators (bloom dedup fix + mixture salt this round)
     "inverted_index", "heavy_hitters", "approx_distinct_words",
     "bloom_semijoin", "grouped_topk", "mixture_sample",

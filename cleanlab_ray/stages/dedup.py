@@ -1087,3 +1087,169 @@ def dup_span_counts(ds, text_col: str = "text", key_col: str = "doc_id",
         })
 
     return summed.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line-level dedup (CCNet-style boilerplate removal)
+# ---------------------------------------------------------------------------
+
+def line_dedup_documents(ds, text_col: str = "text", key_col: str = "doc_id",
+                         min_docs: int = 2, separator: str = "\n"):
+    """Remove every line whose content occurs in >= ``min_docs``
+    DISTINCT documents (the line-level dedup / boilerplate-removal step
+    of CCNet, Wenzek et al. 2020 — headers, nav bars, cookie banners
+    repeat across pages; prose lines don't).
+
+    Ray shape (the text crosses an exchange exactly once, keyed by the
+    doc, for the rebuild; the counting exchange moves only hashes):
+      1. postings map: split each doc into lines, 64-bit-hash each line
+         (pandas C hasher — same as exact dedup), emit one posting
+         (h, doc_encoded_key, line_idx) per line occurrence;
+      2. ONE sort exchange on h; the run kernel counts DISTINCT docs
+         per hash run ((doc,hash) pairs are NOT pre-deduped, so the
+         kernel first-occurrence-masks doc ids inside the run) and
+         emits (key, line_idx) removal rows for runs hitting min_docs;
+      3. union(tagged doc rows, removal rows) + ONE sort exchange on
+         the doc key; the rebuild kernel splits each doc's text again,
+         drops removed positions with a flat boolean mask, and
+         re-joins lines with pc.binary_join — all vectorized.
+
+    Returns Dataset[(key_col, text_dedup, n_lines, n_removed)] with one
+    row per input document (documents with every line removed get '').
+    """
+    sep = separator
+
+    def split_lines(batch: pa.Table):
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = pc.fill_null(col, "")
+        lines = pc.split_pattern(col, pattern=sep)
+        flat = pc.list_flatten(lines)
+        lens = pc.list_value_length(lines).to_numpy(zero_copy_only=False).astype(np.int64)
+        total = int(lens.sum())
+        if total:
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            pos = np.arange(total, dtype=np.int64) - np.repeat(starts, lens)
+            parents = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        else:
+            pos = np.empty(0, np.int64)
+            parents = np.empty(0, np.int64)
+        return lines, flat, lens, pos, parents
+
+    def postings(batch: pa.Table) -> pa.Table:
+        _, flat, _lens, pos, parents = split_lines(batch)
+        h = pd.util.hash_array(
+            np.asarray(flat.to_pandas(), dtype=object)
+        ).astype(np.int64)
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        return pa.table({
+            "h": pa.array(h),
+            key_col: keys.take(pa.array(parents)),
+            "line_idx": pa.array(pos),
+        })
+
+    def emit_removals(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.select([key_col, "line_idx"])
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        starts = _run_starts(h)
+        run_id = np.repeat(np.arange(len(starts), dtype=np.int64),
+                           np.diff(np.append(starts, n)))
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        try:
+            kv = keys.to_numpy(zero_copy_only=False)
+        except (TypeError, ValueError):
+            kv = np.asarray(keys.to_pandas(), dtype=object)
+        # distinct docs per run: first occurrence of (run, doc) in
+        # (run, doc)-sorted order
+        order = np.lexsort((kv, run_id))
+        rs, ds_ = run_id[order], kv[order]
+        first = np.ones(n, dtype=bool)
+        first[1:] = (rs[1:] != rs[:-1]) | (ds_[1:] != ds_[:-1])
+        ndocs = np.bincount(rs[first], minlength=len(starts))
+        keep = ndocs[run_id] >= min_docs
+        return batch.select([key_col, "line_idx"]).filter(pa.array(keep))
+
+    removals = _sorted_block_map(
+        ds.map_batches(postings, batch_format="pyarrow"), "h", emit_removals
+    )
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.table({
+            key_col: batch[key_col],
+            "line_idx": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+            text_col: pc.cast(pc.fill_null(col, ""), pa.large_string()),
+        })
+
+    def tag_removals(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: batch[key_col],
+            "line_idx": pc.cast(batch["line_idx"], pa.int64()),
+            text_col: pa.nulls(batch.num_rows, pa.large_string()),
+        })
+
+    unioned = ds.map_batches(tag_docs, batch_format="pyarrow").union(
+        removals.map_batches(tag_removals, batch_format="pyarrow")
+    )
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        empty = pa.table({
+            key_col: batch[key_col].slice(0, 0),
+            "text_dedup": pa.array([], type=pa.large_string()),
+            "n_lines": pa.array([], type=pa.int64()),
+            "n_removed": pa.array([], type=pa.int64()),
+        })
+        if n == 0:
+            return empty
+        keys = batch[key_col]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        try:
+            kv = keys.to_numpy(zero_copy_only=False)
+        except (TypeError, ValueError):
+            kv = np.asarray(keys.to_pandas(), dtype=object)
+        li = batch["line_idx"].to_numpy(zero_copy_only=False)
+        starts = _run_starts(kv)
+        n_runs = len(starts)
+        run_id = np.repeat(np.arange(n_runs, dtype=np.int64),
+                           np.diff(np.append(starts, n)))
+        doc_rows = np.flatnonzero(li == -1)  # exactly one per run
+        # map each run to its doc row (runs without a doc row cannot
+        # happen: removals reference existing docs)
+        doc_of_run = np.full(n_runs, -1, dtype=np.int64)
+        doc_of_run[run_id[doc_rows]] = doc_rows
+        doc_tbl = batch.take(pa.array(doc_rows[np.argsort(run_id[doc_rows])]))
+        lines, flat, lens, _pos, _parents = split_lines(doc_tbl)
+        doc_starts = np.concatenate([[0], np.cumsum(lens)])
+        # removal rows -> global flat positions
+        rem_rows = np.flatnonzero(li >= 0)
+        keep = np.ones(int(lens.sum()), dtype=bool)
+        if len(rem_rows):
+            g = doc_starts[run_id[rem_rows]] + li[rem_rows]
+            keep[g] = False
+        kept_per_doc = np.add.reduceat(keep.astype(np.int64), doc_starts[:-1]) \
+            if len(lens) else np.empty(0, np.int64)
+        kept_per_doc = np.where(lens > 0, kept_per_doc, 0)
+        new_offsets = np.concatenate([[0], np.cumsum(kept_per_doc)]).astype(np.int64)
+        flat_kept = flat.filter(pa.array(keep))
+        rebuilt = pa.LargeListArray.from_arrays(
+            pa.array(new_offsets), pc.cast(flat_kept, pa.large_string()))
+        return pa.table({
+            key_col: doc_tbl[key_col],
+            "text_dedup": pc.binary_join(
+                rebuilt, pa.scalar(sep, type=pa.large_string())),
+            "n_lines": pa.array(lens),
+            "n_removed": pa.array((lens - kept_per_doc).astype(np.int64)),
+        })
+
+    return _sorted_block_map(unioned, key_col, rebuild)

@@ -276,3 +276,79 @@ def test_dup_span_counts_boilerplate_hot_key(ray_session):
     assert (out["n_dup_spans"] >= lower).all()
     # and a doc's dup spans never exceed its total spans
     assert (out["n_dup_spans"] <= out["n_spans"]).all()
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style cross-document line dedup
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_matches_oracle(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from cleanlab_ray.stages.dedup import line_dedup_documents
+
+    docs = {
+        0: "COOKIE BANNER\nunique prose zero\nfooter text",
+        1: "COOKIE BANNER\nunique prose one\nfooter text",
+        2: "COOKIE BANNER\nCOOKIE BANNER\nonly here",   # within-doc repeat
+        3: "COOKIE BANNER\nfooter text",                 # all lines removed
+        4: "",                                           # empty doc
+        5: "totally unique document",                    # untouched
+    }
+    rows = [{"doc_id": k, "text": v} for k, v in docs.items()]
+    out = (
+        line_dedup_documents(rd.from_items(rows), min_docs=2)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    # oracle: line -> distinct docs
+    from collections import defaultdict
+    seen = defaultdict(set)
+    for k, v in docs.items():
+        for ln in v.split("\n"):
+            seen[ln].add(k)
+    dup = {ln for ln, s in seen.items() if len(s) >= 2}
+    for k, v in docs.items():
+        lines = v.split("\n")
+        kept = [ln for ln in lines if ln not in dup]
+        row = out.loc[k]
+        assert row["text_dedup"] == "\n".join(kept), (k, row["text_dedup"])
+        assert row["n_lines"] == len(lines)
+        assert row["n_removed"] == len(lines) - len(kept)
+    # doc 3 fully boilerplate, doc 4's single empty line is unique ('' in
+    # one doc only), doc 5 untouched
+    assert out.loc[3, "text_dedup"] == ""
+    assert out.loc[5, "n_removed"] == 0
+
+
+def test_line_dedup_random_vs_oracle(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from cleanlab_ray.stages.dedup import line_dedup_documents
+
+    rng = np.random.default_rng(12)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = {}
+    for d in range(80):
+        lines = [
+            " ".join(rng.choice(vocab, size=2))
+            for _ in range(int(rng.integers(1, 8)))
+        ]
+        docs[d] = "\n".join(lines)
+    rows = [{"doc_id": k, "text": v} for k, v in docs.items()]
+    out = (
+        line_dedup_documents(
+            rd.from_items(rows).repartition(8), min_docs=3
+        ).to_pandas().set_index("doc_id").sort_index()
+    )
+    from collections import defaultdict
+    seen = defaultdict(set)
+    for k, v in docs.items():
+        for ln in v.split("\n"):
+            seen[ln].add(k)
+    dup = {ln for ln, s in seen.items() if len(s) >= 3}
+    assert len(out) == len(docs)
+    for k, v in docs.items():
+        kept = [ln for ln in v.split("\n") if ln not in dup]
+        assert out.loc[k, "text_dedup"] == "\n".join(kept)
