@@ -27,12 +27,21 @@ import pandas as pd
 EX_KEYS = ["conv_id", "turn_idx"]
 
 
-def majority_vote_consensus(ds, num_classes: int):
+def majority_vote_consensus(ds, num_classes: int,
+                            _with_crowdlab_scalars: bool = False):
     """Returns (consensus Dataset, annotator stats Dataset).
 
     consensus: conv_id, turn_idx, consensus_label, num_annotations,
                annotator_agreement (frac agreeing with consensus).
     annotator stats: annotator_id, num_labeled, agreement_with_consensus.
+
+    ``_with_crowdlab_scalars`` (internal, used by _crowdlab_combined):
+    the block kernel additionally emits per-block pseudo-rows
+    (annotator_id '__scalar_*') carrying the CROWDLAB global-scalar
+    partials (sum agreement | multi, n_multi, consensus-class bincount)
+    in the w_sum column — they ride the existing annotator-stats
+    groupby, eliminating a whole extra aggregate pass; the caller pops
+    them from the stats frame.
 
     Shape: ONE sort exchange on the example key + a whole-block
     vectorized run kernel (bincount over (run, class) cells) — NOT
@@ -137,22 +146,52 @@ def majority_vote_consensus(ds, num_classes: int):
             denom = np.where(multi, sizes[run_of_row[rows]] - 1, 0).astype(np.float64)
             codes, uniq = pd.factorize(ann_ids)
             m = len(uniq)
-            ann_tbl = pa.table({
-                "conv_id": pa.array([""] * m, type=pa.string()),
-                "turn_idx": pa.array(np.zeros(m, dtype=np.int64)).cast(turn_t),
-                "annotator_id": pa.array(uniq.astype(object), type=pa.string()),
-                "consensus_label": pa.array(np.full(m, -1, dtype=np.int64)),
-                "num_annotations": pa.array(np.zeros(m, dtype=np.int64)),
-                "annotator_agreement": pa.array(np.zeros(m, dtype=np.float64)),
-                "agree": pa.array(
-                    np.bincount(codes, weights=agree_vec, minlength=m).astype(np.int64)
-                ),
-                "total": pa.array(np.bincount(codes, minlength=m).astype(np.int64)),
-                "w_sum": pa.array(np.bincount(codes, weights=matches, minlength=m)),
-                "w_total": pa.array(np.bincount(codes, weights=denom, minlength=m)),
-            })
-            return pa.concat_tables([cons_tbl, ann_tbl])
-        return cons_tbl
+            ann_ids_out = uniq.astype(object)
+            agree_out = np.bincount(codes, weights=agree_vec, minlength=m).astype(np.int64)
+            total_out = np.bincount(codes, minlength=m).astype(np.int64)
+            wsum_out = np.bincount(codes, weights=matches, minlength=m)
+            wtot_out = np.bincount(codes, weights=denom, minlength=m)
+        else:
+            m = 0
+            ann_ids_out = np.empty(0, dtype=object)
+            agree_out = total_out = np.empty(0, dtype=np.int64)
+            wsum_out = wtot_out = np.empty(0, dtype=np.float64)
+        if _with_crowdlab_scalars:
+            # per-block CROWDLAB scalar partials as pseudo-annotator
+            # rows (values in w_sum; summed by the stats groupby) —
+            # emitted for EVERY non-empty block, including blocks whose
+            # rows all carry null labels (n_ann == 0 runs still count
+            # toward n_multi, matching the reference's n_ann != 1 mask)
+            multi_run = n_ann != 1
+            scal_ids = np.array(
+                ["__scalar_agree__", "__scalar_nmulti__"]
+                + [f"__scalar_cls_{j}__" for j in range(k)], dtype=object)
+            scal_vals = np.concatenate([
+                [float(agreement[multi_run].sum()), float(multi_run.sum())],
+                np.bincount(consensus[multi_run], minlength=k).astype(np.float64),
+            ])
+            s = len(scal_ids)
+            ann_ids_out = np.concatenate([ann_ids_out, scal_ids])
+            agree_out = np.concatenate([agree_out, np.zeros(s, np.int64)])
+            total_out = np.concatenate([total_out, np.zeros(s, np.int64)])
+            wsum_out = np.concatenate([wsum_out, scal_vals])
+            wtot_out = np.concatenate([wtot_out, np.zeros(s)])
+            m += s
+        if m == 0:
+            return cons_tbl
+        ann_tbl = pa.table({
+            "conv_id": pa.array([""] * m, type=pa.string()),
+            "turn_idx": pa.array(np.zeros(m, dtype=np.int64)).cast(turn_t),
+            "annotator_id": pa.array(ann_ids_out, type=pa.string()),
+            "consensus_label": pa.array(np.full(m, -1, dtype=np.int64)),
+            "num_annotations": pa.array(np.zeros(m, dtype=np.int64)),
+            "annotator_agreement": pa.array(np.zeros(m, dtype=np.float64)),
+            "agree": pa.array(agree_out),
+            "total": pa.array(total_out),
+            "w_sum": pa.array(wsum_out),
+            "w_total": pa.array(wtot_out),
+        })
+        return pa.concat_tables([cons_tbl, ann_tbl])
 
     combined = _sorted_block_map(ds, EX_KEYS, block_kernel).materialize()
 
@@ -261,38 +300,21 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
     from cleanlab_ray.state.confident import pred_probs_to_numpy
 
     k = num_classes
-    consensus, _stats = majority_vote_consensus(annotations_ds, num_classes=k)
+    consensus, _stats = majority_vote_consensus(
+        annotations_ds, num_classes=k, _with_crowdlab_scalars=True)
     consensus = consensus.materialize()
 
-    # --- scalar state: ONE flat aggregate over the consensus table
-    # (reference :1394-1440 quantities; nothing example-sized reaches
-    # the driver)
-    from ray.data.aggregate import AggregateFn
-
-    def cons_accumulate(acc, block):
-        a = np.asarray(acc, dtype=np.float64).copy()
-        n_ann = np.asarray(block["num_annotations"], dtype=np.int64)
-        agree = np.asarray(block["annotator_agreement"], dtype=np.float64)
-        lab = np.asarray(block["consensus_label"], dtype=np.int64)
-        m = n_ann != 1
-        a[0] += float(agree[m].sum())
-        a[1] += float(m.sum())
-        a[2 : 2 + k] += np.bincount(lab[m], minlength=k)
-        return a
-
-    cons_agg = consensus.aggregate(
-        AggregateFn(
-            init=lambda _: np.zeros(2 + k, dtype=np.float64),
-            accumulate_block=cons_accumulate,
-            merge=lambda a, b: np.asarray(a, dtype=np.float64) + np.asarray(b, dtype=np.float64),
-            name="consensus_scalars",
-        )
-    )["consensus_scalars"]
-    cons_agg = np.asarray(cons_agg, dtype=np.float64)
-    n_multi = max(cons_agg[1], 1.0)
-    consensus_likelihood = float(cons_agg[0] / n_multi)
+    # --- scalar state (reference :1394-1440 quantities): the per-block
+    # partials rode the majority-vote exchange as pseudo-annotator rows
+    # and arrive pre-summed in the stats frame — no extra aggregate pass
+    stats_df = _stats.to_pandas().set_index("annotator_id")
+    sum_agree = float(stats_df.loc["__scalar_agree__", "w_sum"])
+    n_multi = max(float(stats_df.loc["__scalar_nmulti__", "w_sum"]), 1.0)
+    class_counts = np.array(
+        [float(stats_df.loc[f"__scalar_cls_{j}__", "w_sum"]) for j in range(k)])
+    stats_df = stats_df[~stats_df.index.str.startswith("__scalar_")]
+    consensus_likelihood = sum_agree / n_multi
     non_consensus_likelihood = (1.0 - consensus_likelihood) / (k - 1)
-    class_counts = cons_agg[2 : 2 + k]
     modal = int(class_counts.argmax())
     mlc_error = max(float(1.0 - class_counts[modal] / n_multi), 1e-6)
 
@@ -303,7 +325,7 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
     # appearing ONLY in single-annotation examples have w_total == 0 and
     # are dropped, matching the previous standalone pass (their posterior
     # weight falls back to 1e-6 below).
-    agg = _stats.to_pandas().rename(columns={"w_sum": "s", "w_total": "t"})
+    agg = stats_df.reset_index().rename(columns={"w_sum": "s", "w_total": "t"})
     agg = agg[agg["t"] > 0].reset_index(drop=True)
     agg["agreement"] = agg["s"] / agg["t"].clip(lower=1e-12)
     annotator_weight = {
@@ -352,34 +374,22 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
         .materialize()
     )
 
-    err_cols = [f"err_{p}" for p in range(P)]
+    # model error: raw-task fan-out over the MATERIALIZED join's block
+    # refs (the _fanout_pass2 pattern) — same partials as an
+    # AggregateFn, minus one whole Dataset-execution fixed cost
+    import ray as _ray
 
-    def model_err_partial(batch: pa.Table) -> pa.Table:
-        probs = pred_probs_to_numpy(batch["pred_probs"]).astype(np.float64)
-        cons = batch["consensus_label"].to_numpy(zero_copy_only=False)
-        n_ann = batch["num_annotations"].to_numpy(zero_copy_only=False)
-        m = n_ann != 1
-        out = {}
-        for p in range(P):
-            sub = probs[:, p * k : (p + 1) * k]
-            out[err_cols[p]] = pa.array([float((sub.argmax(1)[m] != cons[m]).sum())])
-        out["cnt"] = pa.array([float(m.sum())])
-        out["n_sum"] = pa.array([float(n_ann.sum())])
-        out["n_cnt"] = pa.array([float(len(n_ann))])
-        return pa.table(out)
-
-    from ray.data.aggregate import Sum as _Sum
-
-    part = joined.map_batches(model_err_partial, batch_format="pyarrow").aggregate(
-        *[_Sum(c, alias_name=c) for c in err_cols],
-        _Sum("cnt", alias_name="cnt"),
-        _Sum("n_sum", alias_name="n_sum"), _Sum("n_cnt", alias_name="n_cnt"),
-    )
-    mean_annotations = part["n_sum"] / max(part["n_cnt"], 1.0)
+    err_task = _ray.remote(_model_err_block)
+    refs = joined.to_arrow_refs()
+    parts = _ray.get([
+        err_task.remote(P, k, *refs[i : i + 4]) for i in range(0, len(refs), 4)
+    ]) or [np.zeros(P + 3, dtype=np.float64)]
+    part = np.sum(parts, axis=0)
+    mean_annotations = part[P + 1] / max(part[P + 2], 1.0)
     mw_vec = np.array([
-        max(1.0 - (part[c] / max(part["cnt"], 1.0)) / mlc_error, 1e-6)
+        max(1.0 - (part[p] / max(part[P], 1.0)) / mlc_error, 1e-6)
         * float(np.sqrt(mean_annotations))
-        for c in err_cols
+        for p in range(P)
     ], dtype=np.float64)
     model_weight = float(mw_vec[0]) if P == 1 else mw_vec
 
@@ -853,3 +863,25 @@ def detailed_label_quality(annotations_ds, examples_ds, num_classes: int,
     return _filter_row_type(combined, "annotation").map_batches(
         finalize, batch_format="pyarrow"
     )
+
+
+def _model_err_block(P: int, k: int, *blocks) -> np.ndarray:
+    """Per-block model-error partial for _crowdlab_combined:
+    [err_0..err_{P-1}, cnt_multi, n_ann_sum, n_rows] — the same math the
+    previous AggregateFn computed (reference multiannotator.py:1466-1476
+    / :1607-1613 ensemble)."""
+    from cleanlab_ray.state.confident import pred_probs_to_numpy
+
+    acc = np.zeros(P + 3, dtype=np.float64)
+    for block in blocks:
+        probs = pred_probs_to_numpy(block["pred_probs"]).astype(np.float64)
+        cons = block["consensus_label"].to_numpy(zero_copy_only=False)
+        n_ann = block["num_annotations"].to_numpy(zero_copy_only=False)
+        m = n_ann != 1
+        for p in range(P):
+            sub = probs[:, p * k : (p + 1) * k]
+            acc[p] += float((sub.argmax(1)[m] != cons[m]).sum())
+        acc[P] += float(m.sum())
+        acc[P + 1] += float(n_ann.sum())
+        acc[P + 2] += float(len(n_ann))
+    return acc
