@@ -602,9 +602,15 @@ def crowdlab_consensus(annotations_ds, examples_ds, num_classes: int,
 
 
 def label_quality_multiannotator(annotations_ds, examples_ds, num_classes: int,
-                                 num_join_partitions: int = 8):
+                                 num_join_partitions: int = 8,
+                                 num_models: int = 1):
     """Full get_label_quality_multiannotator analogue (reference
     multiannotator.py:46-350, quality_method='crowdlab').
+
+    ``num_models`` > 1 selects the ENSEMBLE variant (reference :351-560):
+    pred_probs is fixed_size_list[P*K] and annotator stats use the MEAN
+    model weight, as the reference does (:866 'use average model weight
+    when scoring annotators').
 
     Returns (label_quality Dataset, annotator_stats DataFrame, info):
       label_quality: conv_id, turn_idx, consensus_label,
@@ -620,7 +626,8 @@ def label_quality_multiannotator(annotations_ds, examples_ds, num_classes: int,
     import pandas as pd
 
     combined, info = _crowdlab_combined(
-        annotations_ds, examples_ds, num_classes, num_join_partitions
+        annotations_ds, examples_ds, num_classes, num_join_partitions,
+        num_models=num_models,
     )
     combined = combined.materialize()
     label_quality = _filter_row_type(combined, "example").select_columns(
@@ -668,7 +675,8 @@ def label_quality_multiannotator(annotations_ds, examples_ds, num_classes: int,
     stats = stats.merge(worst, on="annotator_id", how="left")
 
     aw = info["annotator_weight"]
-    mw = info["model_weight"]
+    # ensemble: mean model weight for annotator scoring (reference :866)
+    mw = float(np.mean(info["model_weight"]))
     aw_adj = sum(aw.values()) * info["mean_annotations"] / max(len(aw), 1)
     w = mw / (mw + aw_adj)
     stats["annotator_quality"] = (
@@ -885,3 +893,16 @@ def _model_err_block(P: int, k: int, *blocks) -> np.ndarray:
         acc[P + 1] += float(n_ann.sum())
         acc[P + 2] += float(len(n_ann))
     return acc
+
+
+def label_quality_multiannotator_ensemble(annotations_ds, examples_ds,
+                                          num_classes: int, num_models: int,
+                                          num_join_partitions: int = 8):
+    """get_label_quality_multiannotator_ensemble analogue (reference
+    multiannotator.py:351-560): the full label-quality + annotator-stats
+    surface over P ensemble model priors (pred_probs
+    fixed_size_list[P*K]). Same outputs as
+    :func:`label_quality_multiannotator`."""
+    return label_quality_multiannotator(
+        annotations_ds, examples_ds, num_classes,
+        num_join_partitions=num_join_partitions, num_models=num_models)

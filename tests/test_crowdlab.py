@@ -232,3 +232,30 @@ def test_active_learning_ensemble(ray_session):
             & (ldf["active_learning_score"] <= 1)).all()
     assert ((udf["active_learning_score"] >= 0)
             & (udf["active_learning_score"] <= 1)).all()
+
+
+def test_label_quality_multiannotator_ensemble(ray_session):
+    import numpy as np
+
+    from cleanlab_ray.stages.multiannotator import (
+        label_quality_multiannotator_ensemble,
+    )
+
+    ann, examples, flat, true = _ens_inputs()
+    lq, stats, info = label_quality_multiannotator_ensemble(
+        ann, examples, num_classes=3, num_models=2)
+    df = lq.to_pandas()
+    n_annotated = ann.to_pandas()["conv_id"].nunique()
+    assert len(df) == n_annotated
+    assert {"consensus_label", "consensus_quality_score",
+            "annotator_agreement", "num_annotations"} <= set(df.columns)
+    assert ((df["consensus_quality_score"] >= 0)
+            & (df["consensus_quality_score"] <= 1)).all()
+    # consensus should mostly match truth (model 0 leans toward it)
+    acc = (df.set_index("conv_id")["consensus_label"]
+           .reindex([str(i) for i in range(40)])
+           .dropna().astype(int)
+           == [true[int(i)] for i in df["conv_id"].astype(int).sort_values()]).mean
+    sdf = stats
+    assert len(sdf) == 4 and "annotator_quality" in sdf.columns
+    assert np.asarray(info["model_weight"]).shape == (2,)
