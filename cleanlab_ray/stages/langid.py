@@ -36,15 +36,21 @@ def build_langid_table():
     return train_dense_table(corpora)
 
 
-def langid_probs_arrow(table, col) -> np.ndarray:
-    """(B, L) posterior over LANGS (length-normalized log-lik, sharp softmax)."""
-    loglik, counts = score_arrow_column(table, col)
+def langid_probs_from_loglik(loglik: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """(B, L) posterior from summed log-liks + trigram counts
+    (length-normalized log-lik, sharp softmax)."""
     denom = np.maximum(counts, 1.0)[:, None]
     z = loglik / denom
     z[counts == 0] = 0.0  # no evidence -> uniform posterior
     z = z - z.max(axis=1, keepdims=True)
     e = np.exp(z / 0.1)
     return e / e.sum(axis=1, keepdims=True)
+
+
+def langid_probs_arrow(table, col) -> np.ndarray:
+    """(B, L) posterior over LANGS for an Arrow string column."""
+    loglik, counts = score_arrow_column(table, col)
+    return langid_probs_from_loglik(loglik, counts)
 
 
 class LangIdScorer:
@@ -65,3 +71,27 @@ class LangIdScorer:
                 f"lang_prob_{code}", pa.array(probs[:, j], type=pa.float32())
             )
         return batch
+
+
+class PplScorer:
+    """Actor-pool callable: appends ``lang`` (argmax language) and
+    ``ppl`` (English-LM byte-trigram perplexity, float32) per document —
+    the per-record scoring stage of the CCNet head/middle/tail
+    partitioner (see stages/rank_buckets.py). Same ppl definition as
+    the flagship TurnScorer: exp(-loglik_en / trigram_count), OOV
+    fallback for rows with no trigrams."""
+
+    def __init__(self, text_col: str = "text"):
+        self.table = build_langid_table()
+        self.text_col = text_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lowered = pc.utf8_lower(batch[self.text_col])
+        loglik, counts = score_arrow_column(self.table, lowered)
+        probs = langid_probs_from_loglik(loglik, counts)
+        top = np.argmax(probs, axis=1)
+        lang_codes = np.array(LANGS, dtype=object)
+        ppl = np.exp(-loglik[:, 0] / np.maximum(counts, 1.0))
+        ppl[counts == 0] = float(np.exp(-self.table.oov[0]))
+        batch = batch.append_column("lang", pa.array(lang_codes[top], type=pa.string()))
+        return batch.append_column("ppl", pa.array(ppl, type=pa.float32()))
