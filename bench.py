@@ -157,6 +157,10 @@ def run_bench() -> dict:
         "crowdlab_ensemble",
         "span_issues",
         "mixture_sample",
+        "line_dedup_docs",
+        "semdedup",
+        "noisy_labels",
+        "perplexity_buckets",
     ]
     # best-of-2 per query: the first run pays one-time per-worker kernel
     # warmups (numpy, regex, model tables) that aren't steady-state
