@@ -161,6 +161,7 @@ def run_bench() -> dict:
         "semdedup",
         "noisy_labels",
         "perplexity_buckets",
+        "shuffle_export",
     ]
     # best-of-2 per query: the first run pays one-time per-worker kernel
     # warmups (numpy, regex, model tables) that aren't steady-state
