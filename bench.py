@@ -162,6 +162,7 @@ def run_bench() -> dict:
         "noisy_labels",
         "perplexity_buckets",
         "shuffle_export",
+        "incremental_ingest",
     ]
     # best-of-2 per query: the first run pays one-time per-worker kernel
     # warmups (numpy, regex, model tables) that aren't steady-state

@@ -6278,6 +6278,155 @@ QUERIES["shuffle_export"] = q_shuffle_export
 ORACLE_SQL["shuffle_export"] = SQL_SHUFFLE_EXPORT
 
 
+# --- incremental corpus ingestion -----------------------------------------
+
+_INCR_COPY1 = 1_000_000
+_INCR_COPY2 = 2_000_000
+
+
+def q_incremental_ingest(sf_dir: str):
+    """Incremental ingestion: dedup a DELTA batch against a persisted
+    text-free state of the CORPUS (stages/incremental.py — the
+    streaming-corpus form of cleanlab's duplicate issue manager,
+    /root/reference/cleanlab/datalab/internal/issue_manager/duplicate.py:52).
+
+    Corpus = even doc_ids; delta = odd doc_ids plus re-keyed copies of
+    every 10th (and 20th) doc so the exact-vs-corpus and within-batch
+    paths are exercised at any sf. The SQL oracle replicates the full
+    MinHash-LSH band cascade and uses text equality as the exact-hash
+    proxy (identical up to 64-bit collisions, absent in the corpus)."""
+    import shutil
+    import tempfile
+
+    from cleanlab_ray.stages.incremental import (
+        build_dedup_state,
+        incremental_flags,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def corpus_kernel(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 2 == 0))
+
+    def delta_kernel(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        parts = [batch.filter(pa.array(ids % 2 == 1))]
+        for mod, shift in ((10, _INCR_COPY1), (20, _INCR_COPY2)):
+            cp = batch.filter(pa.array(ids % mod == 0))
+            cid = cp["doc_id"].to_numpy(zero_copy_only=False) + shift
+            parts.append(cp.set_column(
+                cp.column_names.index("doc_id"), "doc_id",
+                pa.array(cid, type=pa.int64())))
+        return pa.concat_tables(parts)
+
+    corpus = ds.map_batches(corpus_kernel, batch_format="pyarrow")
+    delta = ds.map_batches(delta_kernel, batch_format="pyarrow")
+
+    tmp = tempfile.mkdtemp(prefix="incr_state_")
+    try:
+        build_dedup_state(corpus, tmp)
+        return incremental_flags(delta, tmp).to_pandas()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _make_incremental_ingest_sql(
+    num_perm: int = 64, bands: int = 8, shingle_k: int = 5, seed: int = 7,
+) -> str:
+    """incremental_ingest oracle: the same MinHash band cascade as the
+    near_dup_documents oracle, computed over corpus ∪ delta, with
+    membership tests replacing the Jaccard verification (the persisted
+    state keeps band buckets only — candidate semantics BY DESIGN)."""
+    from cleanlab_ray.stages.dedup import _minhash_params
+
+    a, b = _minhash_params(num_perm, seed)
+    perm_rows = ",\n    ".join(
+        f"({j}, {int(a[j])}::HUGEINT, {int(b[j])}::HUGEINT)"
+        for j in range(num_perm)
+    )
+    rpb = num_perm // bands
+    salts = [int((i + 1) * 0x9E3779B97F4A7C15 % (1 << 64)) for i in range(bands)]
+    salt_rows = ", ".join(
+        f"({i}, {s - (1 << 64) if s >= (1 << 63) else s}::BIGINT)"
+        for i, s in enumerate(salts)
+    )
+    P = 1099511628211
+    M64 = 1 << 64
+    return f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+delta AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + {_INCR_COPY1} AS doc_id, text FROM documents
+  WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + {_INCR_COPY2} AS doc_id, text FROM documents
+  WHERE doc_id % 20 = 0),
+perms(j, pa, pb) AS (VALUES
+    {perm_rows}),
+salts(band, salt) AS (VALUES {salt_rows}),
+alldocs AS (
+  SELECT 0 AS side, doc_id, lower(text) AS t FROM corpus
+  UNION ALL
+  SELECT 1 AS side, doc_id, lower(text) AS t FROM delta),
+pad AS (
+  SELECT side, doc_id,
+         CASE WHEN length(t) < {shingle_k}
+              THEN t || repeat(' ', {shingle_k} - length(t)) ELSE t END AS tx
+  FROM alldocs),
+sh AS (
+  SELECT DISTINCT side, doc_id,
+         ((((((((ord(substr(tx, g.p, 1))::HUGEINT * {P}
+            + ord(substr(tx, g.p + 1, 1))) % {M64})
+            * {P} + ord(substr(tx, g.p + 2, 1))) % {M64})
+            * {P} + ord(substr(tx, g.p + 3, 1))) % {M64})
+            * {P} + ord(substr(tx, g.p + 4, 1))) % {M64}) AS h
+  FROM pad CROSS JOIN generate_series(1, 4096) AS g(p)
+  WHERE g.p <= length(tx) - {shingle_k - 1}),
+mh AS (
+  SELECT s.side, s.doc_id, p.j,
+         min((((s.h * p.pa) % {M64} + p.pb) % {M64}) // 8) AS sig
+  FROM sh s CROSS JOIN perms p
+  GROUP BY 1, 2, 3),
+bandsigs AS (
+  SELECT side, doc_id, j // {rpb} AS band, list(sig ORDER BY j) AS sigs
+  FROM mh GROUP BY 1, 2, 3),
+bandhash AS (
+  SELECT side, doc_id, band,
+         list_reduce(sigs, (acc, x) -> (acc * {P} + x) % {M64}) AS bh
+  FROM bandsigs),
+buckets AS (
+  SELECT b.side, b.doc_id,
+         xor(CASE WHEN b.bh >= {1 << 63} THEN CAST(b.bh - {M64} AS BIGINT)
+                  ELSE CAST(b.bh AS BIGINT) END, s.salt) AS bucket
+  FROM bandhash b JOIN salts s ON b.band = s.band),
+near AS (
+  SELECT DISTINCT doc_id FROM buckets
+  WHERE side = 1
+    AND bucket IN (SELECT bucket FROM buckets WHERE side = 0)),
+exact_c AS (
+  SELECT DISTINCT d.doc_id FROM delta d JOIN corpus c ON c.text = d.text),
+exact_n AS (
+  SELECT DISTINCT d.doc_id FROM delta d
+  JOIN delta d2 ON d2.text = d.text AND d2.doc_id < d.doc_id)
+SELECT d.doc_id,
+       ec.doc_id IS NOT NULL AS exact_dup_corpus,
+       en.doc_id IS NOT NULL AS exact_dup_new,
+       nr.doc_id IS NOT NULL AS near_dup_corpus,
+       (ec.doc_id IS NULL AND en.doc_id IS NULL
+        AND nr.doc_id IS NULL) AS keep
+FROM delta d
+LEFT JOIN exact_c ec ON ec.doc_id = d.doc_id
+LEFT JOIN exact_n en ON en.doc_id = d.doc_id
+LEFT JOIN near nr ON nr.doc_id = d.doc_id
+"""
+
+
+QUERIES["incremental_ingest"] = q_incremental_ingest
+ORACLE_SQL["incremental_ingest"] = _make_incremental_ingest_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks a fixed
 # window of the FIRST 50 queries() entries (CORRECTNESS_r03 confirmed
@@ -6319,8 +6468,11 @@ _PRIORITY_WINDOW = [
     # goes to the new CCNet line dedup; od_label_quality covers the family)
     "od_label_quality",
     # dedup family (dup_spans n_spans fix this round; line dedup +
-    # semantic dedup new)
-    "exact_dedup_documents", "near_dup_documents", "dup_spans",
+    # semantic dedup + incremental ingestion new)
+    # (near_dup_documents' slot goes to the new incremental_ingest —
+    # near_dup was green in r03, is unchanged, and its MinHash band
+    # kernel is exactly what incremental_ingest's oracle re-checks)
+    "exact_dedup_documents", "incremental_ingest", "dup_spans",
     "ngram_jaccard_pairs", "dup_components", "line_dedup_docs",
     "semdedup",
     # LLM-pipeline operators (bloom dedup fix + mixture salt this round)

@@ -1,0 +1,185 @@
+"""Incremental corpus ingestion (stages/incremental.py): flag a delta
+batch against a persisted text-free dedup state.
+
+Oracle: the SAME hash/bucket kernels applied locally in-process —
+exact membership by 64-bit content hash, near membership by shared
+LSH band bucket — so the test checks the distributed exchanges, the
+state round-trip, and the within-batch semantics, not the hash math
+(covered by test_dedup)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cleanlab_ray.stages.incremental import (
+    build_dedup_state,
+    compact_dedup_state,
+    incremental_flags,
+    update_dedup_state,
+)
+
+
+def _mk_docs(ids, texts):
+    return pa.table(
+        {"doc_id": pa.array(ids, type=pa.int64()), "text": pa.array(texts)}
+    )
+
+
+_WORDS = [
+    "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+    "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+]
+
+
+def _sentence(rng, n=40):
+    return " ".join(rng.choice(_WORDS, size=n))
+
+
+@pytest.fixture(scope="module")
+def corpus_and_delta():
+    rng = np.random.default_rng(11)
+    corpus_texts = [_sentence(rng) for _ in range(60)]
+    corpus = _mk_docs(range(60), corpus_texts)
+
+    delta_texts = []
+    # 0-9: exact copies of corpus docs
+    delta_texts += [corpus_texts[i] for i in range(10)]
+    # 10-19: near-dups — one word changed in a corpus doc
+    for i in range(10, 20):
+        words = corpus_texts[i].split()
+        words[3] = "zulu"
+        delta_texts.append(" ".join(words))
+    # 20-39: fresh docs
+    delta_texts += [_sentence(rng) for _ in range(20)]
+    # 40-44: exact copies of delta docs 20-24 (within-batch dups)
+    delta_texts += [delta_texts[20 + i] for i in range(5)]
+    delta = _mk_docs(range(1000, 1000 + len(delta_texts)), delta_texts)
+    return corpus, delta
+
+
+def _local_oracle(corpus: pa.Table, delta: pa.Table):
+    """Expected flags computed with the same kernels, locally."""
+    from cleanlab_ray.stages.dedup import (
+        make_minhash_kernel,
+        polynomial_string_hashes,
+    )
+
+    ch = set(polynomial_string_hashes(corpus["text"]).tolist())
+    dh = polynomial_string_hashes(delta["text"])
+    kern = make_minhash_kernel(text_col="text", key_cols=("doc_id",))
+    cb = set(kern(corpus)["bucket"].to_pylist())
+    db = kern(delta)
+    did = np.asarray(db["doc_id"])
+    dbk = np.asarray(db["bucket"])
+
+    ids = delta["doc_id"].to_numpy()
+    exact_corpus = np.array([h in ch for h in dh.tolist()])
+    seen: dict[int, int] = {}
+    exact_new = np.zeros(len(ids), dtype=bool)
+    for i in np.argsort(ids, kind="stable"):
+        h = int(dh[i])
+        exact_new[i] = h in seen
+        seen.setdefault(h, int(ids[i]))
+    near = np.zeros(len(ids), dtype=bool)
+    pos = {int(d): i for i, d in enumerate(ids)}
+    for d, b in zip(did.tolist(), dbk.tolist()):
+        if b in cb:
+            near[pos[d]] = True
+    return exact_corpus, exact_new, near
+
+
+def _flags_frame(corpus, delta, tmp, **kw):
+    import ray.data as rd
+
+    state = str(tmp / "state")
+    build_dedup_state(rd.from_arrow(corpus), state, **kw)
+    out = incremental_flags(rd.from_arrow(delta), state).to_pandas()
+    return state, out.set_index("doc_id").sort_index()
+
+
+def test_incremental_flags_match_local_oracle(
+    ray_session, tmp_path, corpus_and_delta
+):
+    corpus, delta = corpus_and_delta
+    _, got = _flags_frame(corpus, delta, tmp_path)
+    ec, en, near = _local_oracle(corpus, delta)
+    order = np.argsort(delta["doc_id"].to_numpy())
+    assert got.shape[0] == delta.num_rows
+    np.testing.assert_array_equal(got["exact_dup_corpus"].to_numpy(), ec[order])
+    np.testing.assert_array_equal(got["exact_dup_new"].to_numpy(), en[order])
+    np.testing.assert_array_equal(got["near_dup_corpus"].to_numpy(), near[order])
+    np.testing.assert_array_equal(
+        got["keep"].to_numpy(), ~(ec | en | near)[order]
+    )
+    # the fixture planted each regime; make sure none is vacuous
+    assert got["exact_dup_corpus"].sum() >= 10
+    assert got["exact_dup_new"].sum() >= 5
+    assert near.sum() >= 10
+    assert got["keep"].sum() >= 1
+
+
+def test_update_then_reflag_marks_everything_dup(
+    ray_session, tmp_path, corpus_and_delta
+):
+    import ray.data as rd
+
+    corpus, delta = corpus_and_delta
+    state, _ = _flags_frame(corpus, delta, tmp_path)
+    update_dedup_state(rd.from_arrow(delta), state)
+    again = (
+        incremental_flags(rd.from_arrow(delta), state)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert bool(again["exact_dup_corpus"].all())
+    assert not bool(again["keep"].any())
+
+
+def test_update_idempotent_and_compact_preserves_membership(
+    ray_session, tmp_path, corpus_and_delta
+):
+    import os
+
+    import ray.data as rd
+
+    corpus, delta = corpus_and_delta
+    state, base = _flags_frame(corpus, delta, tmp_path)
+    # appending the SAME corpus again must not change any flag
+    update_dedup_state(rd.from_arrow(corpus), state)
+    twice = (
+        incremental_flags(rd.from_arrow(delta), state)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert twice.equals(base)
+    # compaction folds duplicate files without changing membership
+    n_before = len(os.listdir(os.path.join(state, "exact")))
+    compact_dedup_state(state)
+    n_after = len(os.listdir(os.path.join(state, "exact")))
+    assert n_after <= n_before
+    after = (
+        incremental_flags(rd.from_arrow(delta), state)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert after.equals(base)
+
+
+def test_manifest_version_guard(ray_session, tmp_path, corpus_and_delta):
+    import json
+    import os
+
+    import ray.data as rd
+
+    corpus, delta = corpus_and_delta
+    state, _ = _flags_frame(corpus, delta, tmp_path)
+    with open(os.path.join(state, "state.json")) as f:
+        m = json.load(f)
+    m["version"] = 99
+    with open(os.path.join(state, "state.json"), "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ValueError, match="version"):
+        incremental_flags(rd.from_arrow(delta), state)
