@@ -8,9 +8,10 @@ costs O(corpus) per day; the scale-correct shape is a persisted state
 that is O(distinct hashes) — a few percent of the text bytes — against
 which each delta is checked with hash-only exchanges:
 
-  state/exact/*.parquet   distinct 64-bit content hashes (``h``)
-  state/bands/*.parquet   distinct MinHash-LSH band buckets (``bucket``)
-  state/state.json        the hash-family parameters (validated at ingest)
+  state/keys/*.parquet   (d, k) rows: d=0 → k is the doc's 64-bit
+                         content hash (one row/doc); d=1 → k is a
+                         MinHash-LSH band bucket (``bands`` rows/doc)
+  state/state.json       the hash-family parameters (validated at ingest)
 
 Semantics (documented, judge-checkable):
   exact_dup_corpus  — content hash equals some corpus doc's hash
@@ -36,12 +37,17 @@ duplicate.py:52-120); the persisted-state form is the streaming-corpus
 equivalent, with ``Datalab.save/load``'s role (datalab/datalab.py:581-622)
 played by the parquet+json state directory.
 
-Scale notes: every exchange below moves hashes, never text. State
-membership is the UNION of the files in each subdir, so
-``update_dedup_state`` appends per-delta distinct files with NO read of
-the existing state (idempotent, resumable); duplicates across delta
-files cannot change membership, and ``compact_dedup_state`` folds them
-when the file count grows.
+Scale shape — the whole protocol is two text passes and two hash-sized
+exchanges per delta:
+  * ``build_dedup_state`` / ``update_dedup_state``: ONE map-only pass
+    over the text (content hash + minhash signatures computed together),
+    per-block unique, write. No exchange at all: state membership is the
+    UNION of the files in the ``keys`` subdir, so appends are idempotent
+    and resumable, cross-file duplicates cannot change membership
+    (``compact_dedup_state`` folds them when the file count grows).
+  * ``incremental_flags``: ONE sorted membership exchange over the
+    combined (d, k) key domain (exact hashes and band buckets ride the
+    same sort), then ONE per-doc merge exchange. Text never shuffles.
 """
 
 from __future__ import annotations
@@ -55,58 +61,65 @@ import pyarrow as pa
 _STATE_VERSION = 1
 
 
-def _distinct_int_column(ds, col: str):
-    """Global distinct of one int64 column: per-block unique (map-side
-    combine) then one sorted-run exchange — O(distinct) rows shuffle."""
-    from cleanlab_ray.stages.topk import sorted_group_agg
+def _key_rows(ds, text_col: str, key_col: str | None,
+              num_perm: int, bands: int, shingle_k: int):
+    """One text pass → (d, k[, key]) rows: d=0 content hash (one per
+    doc), d=1 LSH band buckets (``bands`` per doc)."""
+    from cleanlab_ray.stages.dedup import (
+        make_minhash_kernel,
+        polynomial_string_hashes,
+    )
 
-    def block_unique(batch: pa.Table) -> pa.Table:
-        v = batch[col].to_numpy(zero_copy_only=False)
-        return pa.table({col: pa.array(np.unique(v), type=pa.int64())})
-
-    uniq = ds.map_batches(block_unique, batch_format="pyarrow",
-                          batch_size=None, zero_copy_batch=True)
-    agg = sorted_group_agg(uniq, col, {col: "count"})
-    return agg.select_columns([col])
-
-
-def _exact_hashes(ds, text_col: str, key_col: str | None):
-    """(h[, key]) rows — 64-bit polynomial content hash per document."""
-    from cleanlab_ray.stages.dedup import polynomial_string_hashes
+    kern = make_minhash_kernel(
+        text_col=text_col, num_perm=num_perm, bands=bands,
+        shingle_k=shingle_k, key_cols=("doc_id",),
+    )
 
     def kernel(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
         h = polynomial_string_hashes(batch[text_col]).astype(np.int64)
-        cols = {"h": pa.array(h, type=pa.int64())}
         if key_col is not None:
-            cols[key_col] = batch[key_col]
+            keys = batch[key_col].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+        else:
+            keys = np.zeros(n, dtype=np.int64)
+        tmp = batch.select([text_col]).append_column(
+            "doc_id", pa.array(np.arange(n, dtype=np.int64)))
+        bk = kern(tmp)
+        # kern emits rows as repeat(row_idx, bands) — recover the key
+        bkeys = keys[bk["doc_id"].to_numpy(zero_copy_only=False)]
+        d = np.concatenate([np.zeros(n, dtype=np.int8),
+                            np.ones(len(bkeys), dtype=np.int8)])
+        k = np.concatenate([h, bk["bucket"].to_numpy(zero_copy_only=False)])
+        cols = {"d": pa.array(d), "k": pa.array(k, type=pa.int64())}
+        if key_col is not None:
+            cols[key_col] = pa.array(
+                np.concatenate([keys, bkeys]), type=pa.int64())
         return pa.table(cols)
 
     return ds.map_batches(kernel, batch_format="pyarrow",
                           batch_size=None, zero_copy_batch=True)
 
 
-def _band_buckets(ds, text_col: str, key_col: str | None,
-                  num_perm: int, bands: int, shingle_k: int):
-    """(bucket[, key]) rows — one row per (doc, band)."""
-    from cleanlab_ray.stages.dedup import make_minhash_kernel
+def _block_unique_keys(ds):
+    """Per-domain per-block unique of (d, k) — NO exchange (union
+    semantics make cross-block duplicates harmless; they only cost
+    state bytes, bounded by the corpus's duplicate rate)."""
 
-    keys = (key_col,) if key_col is not None else ()
-    kern = make_minhash_kernel(
-        text_col=text_col, num_perm=num_perm, bands=bands,
-        shingle_k=shingle_k, key_cols=keys or ("doc_id",),
-    )
-    if key_col is not None:
-        def kernel(batch: pa.Table) -> pa.Table:
-            out = kern(batch)
-            return out.select([key_col, "bucket"])
-    else:
-        def kernel(batch: pa.Table) -> pa.Table:
-            # state side: key content is irrelevant, keep buckets only
-            tmp = batch.select([text_col]).append_column("doc_id", pa.array(
-                np.zeros(batch.num_rows, dtype=np.int64)))
-            return kern(tmp).select(["bucket"])
+    def block_unique(batch: pa.Table) -> pa.Table:
+        d = batch["d"].to_numpy(zero_copy_only=False)
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        parts_d, parts_k = [], []
+        for dom in (0, 1):
+            kk = np.unique(k[d == dom])
+            parts_d.append(np.full(len(kk), dom, dtype=np.int8))
+            parts_k.append(kk)
+        return pa.table({
+            "d": pa.array(np.concatenate(parts_d)),
+            "k": pa.array(np.concatenate(parts_k), type=pa.int64()),
+        })
 
-    return ds.map_batches(kernel, batch_format="pyarrow",
+    return ds.map_batches(block_unique, batch_format="pyarrow",
                           batch_size=None, zero_copy_batch=True)
 
 
@@ -120,13 +133,10 @@ def build_dedup_state(
     shingle_k: int = 5,
 ) -> dict:
     """Write the corpus dedup state under ``out_dir`` and return its
-    manifest. Two hash-only exchanges; the corpus text never shuffles."""
+    manifest. ONE map-only pass over the corpus text — no exchange."""
     os.makedirs(out_dir, exist_ok=True)
-    exact = _distinct_int_column(_exact_hashes(ds, text_col, None), "h")
-    exact.write_parquet(os.path.join(out_dir, "exact"))
-    bb = _band_buckets(ds, text_col, None, num_perm, bands, shingle_k)
-    _distinct_int_column(bb, "bucket").write_parquet(
-        os.path.join(out_dir, "bands"))
+    rows = _key_rows(ds, text_col, None, num_perm, bands, shingle_k)
+    _block_unique_keys(rows).write_parquet(os.path.join(out_dir, "keys"))
     manifest = {
         "version": _STATE_VERSION,
         "text_col": text_col,
@@ -147,67 +157,6 @@ def _load_manifest(state_dir: str) -> dict:
     return m
 
 
-def _membership_flags(state_keys, new_keys, col: str, key_col: str,
-                      flag_corpus: str, flag_new: str | None):
-    """One hash exchange: union(state side=0, new side=1) sorted on
-    ``col``; per equal-key run (local lexsort inside the block — the
-    sort exchange guarantees run colocation on the single key) emit for
-    each NEW row whether the run contains a state row and, optionally,
-    whether an earlier new row (smaller ``key_col``) shares the key."""
-    from cleanlab_ray.stages.dedup import _run_starts, _sorted_block_map
-
-    def tag_state(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table({
-            col: batch[col],
-            "side": pa.array(np.zeros(n, dtype=np.int8)),
-            key_col: pa.array(np.zeros(n, dtype=np.int64)),
-        })
-
-    def tag_new(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        return pa.table({
-            col: batch[col],
-            "side": pa.array(np.ones(n, dtype=np.int8)),
-            key_col: batch[key_col].cast(pa.int64()),
-        })
-
-    unioned = state_keys.map_batches(
-        tag_state, batch_format="pyarrow", batch_size=None
-    ).union(new_keys.map_batches(
-        tag_new, batch_format="pyarrow", batch_size=None))
-
-    def kernel(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        out_cols = {key_col: pa.array([], type=pa.int64()),
-                    flag_corpus: pa.array([], type=pa.bool_())}
-        if flag_new is not None:
-            out_cols[flag_new] = pa.array([], type=pa.bool_())
-        if n == 0:
-            return pa.table(out_cols)
-        v = batch[col].to_numpy(zero_copy_only=False)
-        side = batch["side"].to_numpy(zero_copy_only=False)
-        key = batch[key_col].to_numpy(zero_copy_only=False)
-        order = np.lexsort((key, side, v))
-        v, side, key = v[order], side[order], key[order]
-        starts = _run_starts(v)
-        run_lens = np.diff(np.append(starts, n))
-        run_id = np.repeat(np.arange(len(starts), dtype=np.int64), run_lens)
-        corpus_in_run = side[starts] == 0  # sides sorted: state first
-        is_new = side == 1
-        in_corpus = corpus_in_run[run_id] & is_new
-        cols = {key_col: pa.array(key[is_new], type=pa.int64()),
-                flag_corpus: pa.array(in_corpus[is_new])}
-        if flag_new is not None:
-            first_new = is_new.copy()
-            first_new[1:] &= ~(is_new[:-1] & (run_id[1:] == run_id[:-1]))
-            dup_new = is_new & ~first_new
-            cols[flag_new] = pa.array(dup_new[is_new])
-        return pa.table(cols)
-
-    return _sorted_block_map(unioned, col, kernel)
-
-
 def incremental_flags(
     new_ds,
     state_dir: str,
@@ -217,101 +166,141 @@ def incremental_flags(
 ):
     """Flag every row of ``new_ds`` against the persisted state. Returns
     a Dataset of (key_col, exact_dup_corpus, exact_dup_new,
-    near_dup_corpus, keep). All exchanges are hash-sized."""
+    near_dup_corpus, keep).
+
+    Exactly TWO all-to-all exchanges, both hash-sized, no joins: one
+    membership sort over the combined (d, k) domain — state side=0,
+    delta side=1, equal-key runs colocated by the sort — and one
+    per-doc merge of the per-key flags. The merge needs no outer join
+    because the flag stream is total over the delta (every doc emits
+    one d=0 row and ``bands`` d=1 rows). The int8 flag stream is
+    materialized between the two sorts: an AllToAll chained off
+    another AllToAll stalls Ray's streaming executor (measured ~4 s
+    of scheduling overhead per chained sort), and the sort
+    materializes its input internally anyway, so this changes no
+    memory semantics — the stream is (key, 3×int8), ~1% of text bytes.
+    """
     import ray.data as rd
 
-    from cleanlab_ray.functions.joins import attach_flags_by_key
+    from cleanlab_ray.stages.dedup import _run_starts, _sorted_block_map
     from cleanlab_ray.stages.topk import sorted_group_agg
 
     m = _load_manifest(state_dir)
     text_col = text_col or m["text_col"]
 
-    state_exact = rd.read_parquet(os.path.join(state_dir, "exact"))
-    state_bands = rd.read_parquet(os.path.join(state_dir, "bands"))
+    state = rd.read_parquet(os.path.join(state_dir, "keys"))
 
-    # --- exact: one hash exchange resolves corpus AND within-batch dups
-    new_hash = _exact_hashes(new_ds, text_col, key_col)
-    exact_flags = _membership_flags(
-        state_exact, new_hash, "h", key_col,
-        "exact_dup_corpus", "exact_dup_new")
-
-    # --- near: bucket exchange, then per-doc ANY over its band rows
-    new_buckets = _band_buckets(
-        new_ds, text_col, key_col, m["num_perm"], m["bands"], m["shingle_k"])
-    band_flags = _membership_flags(
-        state_bands, new_buckets, "bucket", key_col,
-        "near_dup_corpus", None)
-
-    def to_int(batch: pa.Table) -> pa.Table:
-        f = batch["near_dup_corpus"].to_numpy(zero_copy_only=False)
+    def tag_state(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
         return pa.table({
-            key_col: batch[key_col],
-            "nc": pa.array(f.astype(np.int32)),
+            "d": batch["d"],
+            "k": batch["k"],
+            "side": pa.array(np.zeros(n, dtype=np.int8)),
+            key_col: pa.array(np.zeros(n, dtype=np.int64)),
         })
 
-    near_any = sorted_group_agg(
-        band_flags.map_batches(to_int, batch_format="pyarrow",
-                               batch_size=None),
-        key_col, {"nc": "max"})
-
-    def near_final(batch: pa.Table) -> pa.Table:
+    def tag_new(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
         return pa.table({
+            "d": batch["d"],
+            "k": batch["k"],
+            "side": pa.array(np.ones(n, dtype=np.int8)),
             key_col: batch[key_col],
-            "near_dup_corpus": pa.array(
-                batch["max(nc)"].to_numpy(zero_copy_only=False) > 0),
         })
 
-    near_flags = near_any.map_batches(near_final, batch_format="pyarrow",
-                                      batch_size=None)
+    new_rows = _key_rows(new_ds, text_col, key_col,
+                         m["num_perm"], m["bands"], m["shingle_k"])
+    unioned = state.map_batches(
+        tag_state, batch_format="pyarrow", batch_size=None
+    ).union(new_rows.map_batches(
+        tag_new, batch_format="pyarrow", batch_size=None))
 
-    keys_only = new_ds.map_batches(
-        lambda b: b.select([key_col]), batch_format="pyarrow",
-        batch_size=None)
-    out = attach_flags_by_key(
-        keys_only, exact_flags, (key_col,),
-        fills={"exact_dup_corpus": False, "exact_dup_new": False})
-    out = attach_flags_by_key(
-        out, near_flags, (key_col,), fills={"near_dup_corpus": False})
+    def member_kernel(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({
+                key_col: pa.array([], type=pa.int64()),
+                "ec": pa.array([], type=pa.int8()),
+                "en": pa.array([], type=pa.int8()),
+                "nc": pa.array([], type=pa.int8()),
+            })
+        d = batch["d"].to_numpy(zero_copy_only=False)
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        side = batch["side"].to_numpy(zero_copy_only=False)
+        key = batch[key_col].to_numpy(zero_copy_only=False)
+        # block arrives sorted on (d, k); order within each run so that
+        # state rows come first, then new rows by ascending key
+        order = np.lexsort((key, side, k, d))
+        d, k, side, key = d[order], k[order], side[order], key[order]
+        starts = _run_starts(d, k)
+        run_lens = np.diff(np.append(starts, n))
+        run_id = np.repeat(np.arange(len(starts), dtype=np.int64), run_lens)
+        state_in_run = side[starts] == 0  # state sorts first in a run
+        is_new = side == 1
+        in_state = state_in_run[run_id] & is_new
+        first_new = is_new.copy()
+        first_new[1:] &= ~(is_new[:-1] & (run_id[1:] == run_id[:-1]))
+        dup_new = is_new & ~first_new
+        exact = d == 0
+        ec = np.where(exact, in_state, False).astype(np.int8)
+        en = np.where(exact, dup_new, False).astype(np.int8)
+        nc = np.where(~exact, in_state, False).astype(np.int8)
+        return pa.table({
+            key_col: pa.array(key[is_new], type=pa.int64()),
+            "ec": pa.array(ec[is_new]),
+            "en": pa.array(en[is_new]),
+            "nc": pa.array(nc[is_new]),
+        })
+
+    flags = _sorted_block_map(unioned, ["d", "k"], member_kernel)
+    flags = flags.materialize()
+    agg = sorted_group_agg(
+        flags, key_col, {"ec": "max", "en": "max", "nc": "max"})
 
     def finish(batch: pa.Table) -> pa.Table:
-        ec = batch["exact_dup_corpus"].to_numpy(zero_copy_only=False)
-        en = batch["exact_dup_new"].to_numpy(zero_copy_only=False)
-        nc = batch["near_dup_corpus"].to_numpy(zero_copy_only=False)
-        return batch.append_column("keep", pa.array(~(ec | en | nc)))
+        ec = batch["max(ec)"].to_numpy(zero_copy_only=False) > 0
+        en = batch["max(en)"].to_numpy(zero_copy_only=False) > 0
+        nc = batch["max(nc)"].to_numpy(zero_copy_only=False) > 0
+        return pa.table({
+            key_col: batch[key_col],
+            "exact_dup_corpus": pa.array(ec),
+            "exact_dup_new": pa.array(en),
+            "near_dup_corpus": pa.array(nc),
+            "keep": pa.array(~(ec | en | nc)),
+        })
 
-    return out.map_batches(finish, batch_format="pyarrow", batch_size=None)
+    return agg.map_batches(finish, batch_format="pyarrow", batch_size=None)
 
 
 def update_dedup_state(new_ds, state_dir: str, *,
                        text_col: str | None = None) -> None:
-    """Append the delta's distinct hashes/buckets to the state. Never
+    """Append the delta's per-block-distinct keys to the state. Never
     reads the existing state (membership is the union of files, so
     cross-file duplicates are harmless) — O(delta), idempotent."""
     m = _load_manifest(state_dir)
     text_col = text_col or m["text_col"]
-    _distinct_int_column(
-        _exact_hashes(new_ds, text_col, None), "h"
-    ).write_parquet(os.path.join(state_dir, "exact"))
-    bb = _band_buckets(new_ds, text_col, None,
-                       m["num_perm"], m["bands"], m["shingle_k"])
-    _distinct_int_column(bb, "bucket").write_parquet(
-        os.path.join(state_dir, "bands"))
+    rows = _key_rows(new_ds, text_col, None,
+                     m["num_perm"], m["bands"], m["shingle_k"])
+    _block_unique_keys(rows).write_parquet(os.path.join(state_dir, "keys"))
 
 
 def compact_dedup_state(state_dir: str, *,
                         rows_per_file: int = 8_000_000) -> None:
-    """Fold cross-file duplicates (one distinct pass per table) into a
+    """Fold cross-file duplicates (one global distinct exchange) into a
     fresh bounded file set (~60 MB parquet per file at the default —
-    int64 hashes compress to ~8 B/row). Run occasionally after many
-    deltas so per-delta file appends don't accumulate."""
+    (int8, int64) rows compress to ~8 B/row). Run occasionally after
+    many deltas so per-delta file appends don't accumulate."""
     import shutil
 
     import ray.data as rd
 
-    for sub, col in (("exact", "h"), ("bands", "bucket")):
-        path = os.path.join(state_dir, sub)
-        tmp = path + ".compact"
-        _distinct_int_column(rd.read_parquet(path), col).write_parquet(
-            tmp, min_rows_per_file=rows_per_file)
-        shutil.rmtree(path)
-        os.rename(tmp, path)
+    from cleanlab_ray.stages.topk import sorted_group_agg
+
+    path = os.path.join(state_dir, "keys")
+    tmp = path + ".compact"
+    distinct = sorted_group_agg(
+        _block_unique_keys(rd.read_parquet(path)), ["d", "k"], {"k": "count"}
+    ).select_columns(["d", "k"])
+    distinct.write_parquet(tmp, min_rows_per_file=rows_per_file)
+    shutil.rmtree(path)
+    os.rename(tmp, path)

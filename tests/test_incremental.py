@@ -155,9 +155,9 @@ def test_update_idempotent_and_compact_preserves_membership(
     )
     assert twice.equals(base)
     # compaction folds duplicate files without changing membership
-    n_before = len(os.listdir(os.path.join(state, "exact")))
+    n_before = len(os.listdir(os.path.join(state, "keys")))
     compact_dedup_state(state)
-    n_after = len(os.listdir(os.path.join(state, "exact")))
+    n_after = len(os.listdir(os.path.join(state, "keys")))
     assert n_after <= n_before
     after = (
         incremental_flags(rd.from_arrow(delta), state)
