@@ -60,6 +60,21 @@ import pyarrow as pa
 
 _STATE_VERSION = 1
 
+_KEYS_SCHEMA = pa.schema([("d", pa.int8()), ("k", pa.int64())])
+
+
+def _write_keys(ds, keys_dir: str, **write_kwargs) -> None:
+    """write_parquet that tolerates an empty dataset (Ray writes no
+    directory at all for zero blocks — leave a schema'd empty file so
+    readers and appends behave uniformly)."""
+    ds.write_parquet(keys_dir, **write_kwargs)
+    if not os.path.isdir(keys_dir):
+        import pyarrow.parquet as pq
+
+        os.makedirs(keys_dir, exist_ok=True)
+        pq.write_table(_KEYS_SCHEMA.empty_table(),
+                       os.path.join(keys_dir, "empty.parquet"))
+
 
 def _key_rows(ds, text_col: str, key_col: str | None,
               num_perm: int, bands: int, shingle_k: int):
@@ -136,7 +151,7 @@ def build_dedup_state(
     manifest. ONE map-only pass over the corpus text — no exchange."""
     os.makedirs(out_dir, exist_ok=True)
     rows = _key_rows(ds, text_col, None, num_perm, bands, shingle_k)
-    _block_unique_keys(rows).write_parquet(os.path.join(out_dir, "keys"))
+    _write_keys(_block_unique_keys(rows), os.path.join(out_dir, "keys"))
     manifest = {
         "version": _STATE_VERSION,
         "text_col": text_col,
@@ -281,7 +296,7 @@ def update_dedup_state(new_ds, state_dir: str, *,
     text_col = text_col or m["text_col"]
     rows = _key_rows(new_ds, text_col, None,
                      m["num_perm"], m["bands"], m["shingle_k"])
-    _block_unique_keys(rows).write_parquet(os.path.join(state_dir, "keys"))
+    _write_keys(_block_unique_keys(rows), os.path.join(state_dir, "keys"))
 
 
 def compact_dedup_state(state_dir: str, *,
@@ -301,6 +316,6 @@ def compact_dedup_state(state_dir: str, *,
     distinct = sorted_group_agg(
         _block_unique_keys(rd.read_parquet(path)), ["d", "k"], {"k": "count"}
     ).select_columns(["d", "k"])
-    distinct.write_parquet(tmp, min_rows_per_file=rows_per_file)
+    _write_keys(distinct, tmp, min_rows_per_file=rows_per_file)
     shutil.rmtree(path)
     os.rename(tmp, path)

@@ -168,6 +168,32 @@ def test_update_idempotent_and_compact_preserves_membership(
     assert after.equals(base)
 
 
+def test_empty_and_unicode_edges(ray_session, tmp_path):
+    import ray.data as rd
+
+    corpus = _mk_docs([0, 1], ["héllo wörld ünïcode text here",
+                               "plain ascii text document"])
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "text": pa.array([], type=pa.string())})
+    delta = _mk_docs([10], ["héllo wörld ünïcode text here"])
+
+    state = str(tmp_path / "s1")
+    build_dedup_state(rd.from_arrow(corpus), state)
+    # empty delta → empty result, no crash
+    assert incremental_flags(rd.from_arrow(empty), state).count() == 0
+    # unicode exact copy flags both exact and near (shares all buckets)
+    row = (incremental_flags(rd.from_arrow(delta), state)
+           .to_pandas().iloc[0])
+    assert bool(row.exact_dup_corpus) and bool(row.near_dup_corpus)
+    assert not bool(row.keep)
+    # empty corpus → schema'd empty state; everything keeps
+    state2 = str(tmp_path / "s2")
+    build_dedup_state(rd.from_arrow(empty), state2)
+    row = (incremental_flags(rd.from_arrow(delta), state2)
+           .to_pandas().iloc[0])
+    assert bool(row.keep)
+
+
 def test_manifest_version_guard(ray_session, tmp_path, corpus_and_delta):
     import json
     import os
