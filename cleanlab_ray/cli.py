@@ -1,0 +1,250 @@
+"""Job-submission CLI: the ``ray job submit`` entry surface.
+
+The north-rule deployment shape is ``ray job submit -- python -m
+cleanlab_ray <subcommand> ...`` against a running cluster; locally the
+same commands run standalone (the CLI owns the Ray session — it inits
+only if no session exists, so it also composes with a caller-managed
+session, e.g. the test fixture).
+
+Subcommands
+-----------
+quality-filter   resumable flagship run (score → global stats →
+                 keep/drop decision), per-partition parquet + lineage;
+                 re-invoking after a kill skips finished partitions
+                 (pipelines/quality_filter.run_resumable).
+curate           end-to-end document curation flags
+                 (pipelines/corpus_curation.curate_documents).
+dedup-state      persisted-state incremental ingestion
+                 (stages/incremental): build / update / flags / compact.
+
+Every subcommand prints ONE summary JSON line to stdout and (with
+``--metrics-out``) writes the same payload to a file — the metrics
+artifact the north rule asks a submitted job to leave behind.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _ray_session(args):
+    """Init Ray only if the process has no session; return whether we
+    own it (and must shut it down)."""
+    import ray
+
+    if ray.is_initialized():
+        return False
+    kwargs = {"include_dashboard": False, "logging_level": "ERROR"}
+    if args.num_cpus is not None:
+        kwargs["num_cpus"] = args.num_cpus
+    ray.init(address=args.address, **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return True
+
+
+def _emit(payload: dict, metrics_out: str | None):
+    line = json.dumps(payload)
+    print(line)
+    if metrics_out:
+        with open(metrics_out, "w") as f:
+            f.write(line + "\n")
+
+
+def _cmd_quality_filter(args) -> dict:
+    from cleanlab_ray.pipelines.quality_filter import run_resumable
+    from cleanlab_ray.sources import io as lio
+
+    t0 = time.perf_counter()
+    final_dir, stats = run_resumable(
+        args.input, args.work_dir,
+        num_groups=args.num_groups,
+        concurrency=args.concurrency,
+        batch_size=args.batch_size,
+    )
+    lineage = lio.read_lineage(final_dir)
+    return {
+        "command": "quality-filter",
+        "final_dir": final_dir,
+        "partitions": len(lineage),
+        "rows": int(sum(r.get("rows_written", 0) for r in lineage)),
+        "num_issues": int(stats.num_issues),
+        "num_classes": int(stats.num_classes),
+        "wall_sec": round(time.perf_counter() - t0, 3),
+    }
+
+
+def _cmd_curate(args) -> dict:
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.pipelines.corpus_curation import curate_documents
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(args.input, columns=[args.key_col, args.text_col])
+    out = curate_documents(ds, text_col=args.text_col, key_col=args.key_col)
+    out = out.materialize()
+    out.write_parquet(args.output)
+
+    flag_cols = ["lang_ok", "quality_ok", "canonical", "dup_ok", "keep"]
+
+    def to_counts(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            c: pa.array([int(np.count_nonzero(
+                batch[c].to_numpy(zero_copy_only=False)))], type=pa.int64())
+            for c in flag_cols
+        })
+
+    counts = (
+        out.map_batches(to_counts, batch_format="pyarrow", batch_size=None)
+        .sum(flag_cols)
+    )
+    return {
+        "command": "curate",
+        "output": args.output,
+        "rows": out.count(),
+        **{f"n_{c}": int(counts[f"sum({c})"]) for c in flag_cols},
+        "wall_sec": round(time.perf_counter() - t0, 3),
+    }
+
+
+def _cmd_dedup_state(args) -> dict:
+    import ray.data as rd
+
+    from cleanlab_ray.stages import incremental as inc
+
+    t0 = time.perf_counter()
+    payload: dict = {"command": f"dedup-state {args.action}",
+                     "state": args.state}
+    if args.action == "build":
+        ds = rd.read_parquet(args.input,
+                             columns=[args.key_col, args.text_col])
+        inc.build_dedup_state(ds, args.state, text_col=args.text_col,
+                              num_perm=args.num_perm, bands=args.bands,
+                              shingle_k=args.shingle_k)
+        payload["docs"] = ds.count()
+    elif args.action == "update":
+        ds = rd.read_parquet(args.input,
+                             columns=[args.key_col, args.text_col])
+        inc.update_dedup_state(ds, args.state, text_col=args.text_col)
+        payload["docs"] = ds.count()
+    elif args.action == "flags":
+        ds = rd.read_parquet(args.input,
+                             columns=[args.key_col, args.text_col])
+        flags = inc.incremental_flags(ds, args.state, key_col=args.key_col,
+                                      text_col=args.text_col).materialize()
+        flags.write_parquet(args.output)
+        payload["output"] = args.output
+        payload["rows"] = flags.count()
+        import numpy as np
+        import pyarrow as pa
+
+        flag_cols = ["exact_dup_corpus", "exact_dup_new",
+                     "near_dup_corpus", "keep"]
+
+        def to_counts(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                c: pa.array([int(np.count_nonzero(
+                    batch[c].to_numpy(zero_copy_only=False)))],
+                    type=pa.int64())
+                for c in flag_cols
+            })
+
+        agg = flags.map_batches(to_counts, batch_format="pyarrow",
+                                batch_size=None).sum(flag_cols)
+        for c in flag_cols:
+            payload[f"n_{c}"] = int(agg[f"sum({c})"])
+    else:  # compact
+        inc.compact_dedup_state(args.state)
+    payload["wall_sec"] = round(time.perf_counter() - t0, 3)
+    return payload
+
+
+def build_parser() -> argparse.ArgumentParser:
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--address", default="local",
+                        help="Ray address ('local' starts a local cluster; "
+                             "'auto' joins the cluster a ray job runs in)")
+    common.add_argument("--num-cpus", type=int, default=None,
+                        help="num_cpus for a locally started session")
+    common.add_argument("--metrics-out", default=None,
+                        help="also write the summary JSON line to this file")
+    p = argparse.ArgumentParser(
+        prog="python -m cleanlab_ray",
+        description="Ray-Data quality-filter / curation / dedup jobs",
+        parents=[common],
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    qf = sub.add_parser("quality-filter", help="resumable flagship run",
+                        parents=[common])
+    qf.add_argument("--input", required=True,
+                    help="parquet dir of transcripts (conv_id, turn_idx, "
+                         "role, text, tool, ts)")
+    qf.add_argument("--work-dir", required=True,
+                    help="checkpoint root: scored/ final/ stats.json")
+    qf.add_argument("--num-groups", type=int, default=8,
+                    help="resumable partition count (one lineage record "
+                         "+ parquet dir each)")
+    qf.add_argument("--concurrency", type=int, default=None,
+                    help="scorer actor-pool size; default: stateless "
+                         "tasks (no pool — deadlock-proof on small "
+                         "clusters, lowest overhead on one node). Set "
+                         "an int only when the cluster has CPUs to "
+                         "spare beyond the pool (each actor holds its "
+                         "CPU for the pool's lifetime).")
+    qf.add_argument("--batch-size", type=int, default=None)
+    qf.set_defaults(fn=_cmd_quality_filter)
+
+    cu = sub.add_parser("curate", help="document curation flags",
+                        parents=[common])
+    cu.add_argument("--input", required=True)
+    cu.add_argument("--output", required=True)
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--key-col", default="doc_id")
+    cu.set_defaults(fn=_cmd_curate)
+
+    dd = sub.add_parser("dedup-state", help="incremental-ingestion state ops",
+                        parents=[common])
+    dd.add_argument("action", choices=["build", "update", "flags", "compact"])
+    dd.add_argument("--state", required=True, help="state directory")
+    dd.add_argument("--input", help="parquet dir (build/update/flags)")
+    dd.add_argument("--output", help="flags output dir (flags)")
+    dd.add_argument("--text-col", default="text")
+    dd.add_argument("--key-col", default="doc_id")
+    dd.add_argument("--num-perm", type=int, default=64)
+    dd.add_argument("--bands", type=int, default=8)
+    dd.add_argument("--shingle-k", type=int, default=5)
+    dd.set_defaults(fn=_cmd_dedup_state)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "dedup-state":
+        if args.action in ("build", "update", "flags") and not args.input:
+            print("error: --input required for build/update/flags",
+                  file=sys.stderr)
+            return 2
+        if args.action == "flags" and not args.output:
+            print("error: --output required for flags", file=sys.stderr)
+            return 2
+    import ray
+
+    owns = _ray_session(args)
+    try:
+        payload = args.fn(args)
+        _emit(payload, args.metrics_out)
+        return 0
+    finally:
+        if owns:
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,88 @@
+"""python -m cleanlab_ray job CLI (cleanlab_ray/cli.py): subcommands run
+in-process against the test Ray session (the CLI inits Ray only when no
+session exists, so it composes with the fixture)."""
+
+import json
+
+import pyarrow.parquet as pq
+import pytest
+
+from cleanlab_ray.cli import main
+
+
+@pytest.fixture(scope="module")
+def docs_file(tmp_path_factory):
+    import numpy as np
+    import pyarrow as pa
+
+    rng = np.random.default_rng(5)
+    words = np.array(["data", "model", "train", "filter", "ray", "arrow",
+                      "batch", "shard", "quality", "corpus"])
+    texts = [" ".join(rng.choice(words, size=20)) for _ in range(200)]
+    texts += texts[:40]  # exact dups
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    d = tmp_path_factory.mktemp("docs")
+    pq.write_table(t, str(d / "part-0.parquet"))
+    return str(d)
+
+
+def test_cli_dedup_state_roundtrip(ray_session, tmp_path, docs_file):
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "flags")
+    metrics = str(tmp_path / "m.json")
+    assert main(["dedup-state", "build", "--state", state,
+                 "--input", docs_file]) == 0
+    assert main(["dedup-state", "flags", "--state", state,
+                 "--input", docs_file, "--output", out,
+                 "--metrics-out", metrics]) == 0
+    m = json.loads(open(metrics).read())
+    assert m["rows"] == 240
+    # the entire input was the corpus → every doc is an exact corpus dup
+    assert m["n_exact_dup_corpus"] == 240
+    assert m["n_keep"] == 0
+    flags = pq.read_table(out)
+    assert flags.num_rows == 240
+    assert main(["dedup-state", "compact", "--state", state]) == 0
+
+
+def test_cli_dedup_state_missing_args(ray_session, tmp_path):
+    assert main(["dedup-state", "build",
+                 "--state", str(tmp_path / "s")]) == 2
+    assert main(["dedup-state", "flags", "--state", str(tmp_path / "s"),
+                 "--input", "x"]) == 2
+
+
+def test_cli_curate(ray_session, tmp_path, docs_file):
+    out = str(tmp_path / "curated")
+    metrics = str(tmp_path / "m.json")
+    assert main(["curate", "--input", docs_file, "--output", out,
+                 "--metrics-out", metrics]) == 0
+    m = json.loads(open(metrics).read())
+    assert m["rows"] == 240
+    # 40 planted exact dups → exactly 200 canonical docs
+    assert m["n_canonical"] == 200
+    assert set(pq.read_table(out).column_names) >= {
+        "doc_id", "lang_ok", "quality_ok", "canonical", "dup_ok", "keep"}
+
+
+def test_cli_quality_filter_resumes(ray_session, tmp_path, corpus_dir):
+    work = str(tmp_path / "qf")
+    metrics = str(tmp_path / "m.json")
+    # default concurrency = stateless tasks: must not deadlock even on
+    # the shared 4-CPU test session (an actor pool of 4 would)
+    assert main(["quality-filter", "--input", corpus_dir,
+                 "--work-dir", work, "--num-groups", "3",
+                 "--metrics-out", metrics]) == 0
+    m1 = json.loads(open(metrics).read())
+    assert m1["partitions"] == 3 and m1["rows"] > 0
+    # second invocation resumes: all partitions marked done, near-zero wall
+    assert main(["quality-filter", "--input", corpus_dir,
+                 "--work-dir", work, "--num-groups", "3",
+                 "--metrics-out", metrics]) == 0
+    m2 = json.loads(open(metrics).read())
+    assert m2["rows"] == m1["rows"]
+    assert m2["num_issues"] == m1["num_issues"]
+    assert m2["wall_sec"] < 1.0
