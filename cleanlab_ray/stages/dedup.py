@@ -864,6 +864,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 5,
     threshold: float = 0.5,
     df_cap: int | None = None,
+    max_pairs: float = 100e6,
 ):
     """EXACT n-gram (character k-shingle) Jaccard similarity for every
     document pair sharing at least one shingle — the inverted-index
@@ -889,6 +890,20 @@ def ngram_jaccard_pairs(
     documented recall trade — at web scale a shingle shared by >50 docs
     carries no near-dup signal). Default None = exact (the SQL oracle's
     semantics).
+
+    ``max_pairs`` is the loud-failure guard on that hazard: before any
+    pairs are emitted, one CHEAP exchange (per-shingle document
+    frequency — O(distinct shingles) rows) computes the EXACT number of
+    pair emissions Σ C(df, 2) the run would produce; if it exceeds the
+    bound with ``df_cap=None``, the operator raises immediately with
+    the measured df profile and remediation options (set ``df_cap``, or
+    use :func:`near_dup_groups` LSH) instead of grinding through a
+    quadratic shuffle for hours. Corpora whose shingle diversity is low
+    relative to the doc count (every shingle common to hundreds of
+    docs) make exact all-pairs intrinsically near-quadratic — no
+    candidate-generation scheme avoids it, which is why web-scale
+    systems use LSH or df caps there; the guard makes that wall
+    explicit instead of silent.
 
     Returns Dataset[(doc_a, doc_b, jaccard_e6)] with jaccard_e6 =
     floor(jaccard * 1e6 + 0.5) (half-away rounding, DuckDB-compatible).
@@ -948,7 +963,44 @@ def ngram_jaccard_pairs(
     from cleanlab_ray.stages.topk import sorted_group_agg
 
     posts = ds.map_batches(postings, batch_format="pyarrow")
+
+    if max_pairs is not None:
+        # exact emission count from the df profile: one O(distinct)
+        # exchange (rows are already distinct per (h, doc) from
+        # `postings`). Materialize posts so the guard pass and the pair
+        # exchange share one shingling scan instead of recomputing it.
+        posts = posts.materialize()
+        df_tbl = sorted_group_agg(posts.select_columns(["h"]),
+                                  "h", {"h": "count"})
+
+        def pair_partial(batch: pa.Table) -> pa.Table:
+            df = batch["count(h)"].to_numpy(zero_copy_only=False).astype(
+                np.float64)
+            capped = df if df_cap is None else df[df <= df_cap]
+            return pa.table({
+                "pairs": pa.array([float((capped * (capped - 1) / 2).sum())]),
+            })
+
+        n_pairs = float(df_tbl.map_batches(
+            pair_partial, batch_format="pyarrow", batch_size=None
+        ).sum("pairs"))
+        if n_pairs > max_pairs:
+            raise ValueError(
+                f"ngram_jaccard_pairs would emit {n_pairs:.3g} co-occurrence "
+                f"pairs (bound max_pairs={max_pairs:.3g}) — the shingle df "
+                "profile makes exact all-pairs near-quadratic on this "
+                "corpus. Set df_cap (drops shingles shared by more docs "
+                "than the cap; documented recall trade), use "
+                "near_dup_groups (MinHash-LSH) instead, or raise "
+                "max_pairs explicitly if the cost is intended."
+            )
+
     pairs = _sorted_block_map(posts, "h", emit_pairs)
+    if max_pairs is not None:
+        # bounded by the guard (≤ max_pairs 32-byte rows); breaking the
+        # AllToAll→AllToAll chain here avoids the streaming executor's
+        # chained-sort stall (~4 s fixed, measured — see BASELINE.md)
+        pairs = pairs.materialize()
     # pairs are the quadratic hazard — aggregate them with the sorted
     # run kernel, not the per-group-cost native aggregate
     counted = sorted_group_agg(

@@ -198,6 +198,29 @@ def test_ngram_jaccard_df_cap_drops_stop_shingles(ray_session):
     assert len(capped) < len(exact)
 
 
+def test_ngram_jaccard_max_pairs_guard(ray_session):
+    """The loud-failure guard: an exact run whose df profile would emit
+    more than max_pairs co-occurrence pairs raises BEFORE the quadratic
+    exchange; df_cap or a raised bound lets it proceed."""
+    import pytest
+    import ray.data as rd
+
+    from cleanlab_ray.stages.dedup import ngram_jaccard_pairs
+
+    # 40 docs all sharing the 'stopw' shingles → C(40,2)-scale emissions
+    rows = [{"doc_id": i, "text": f"stopw unique tail {i:04d}"} for i in range(40)]
+    ds = rd.from_items(rows)
+    with pytest.raises(ValueError, match="max_pairs"):
+        ngram_jaccard_pairs(ds, threshold=0.0, max_pairs=100)
+    # the same bound passes when df_cap excludes the hot runs
+    out = ngram_jaccard_pairs(ds, threshold=0.0, df_cap=5,
+                              max_pairs=100).to_pandas()
+    assert len(out) >= 0  # executed without raising
+    # and max_pairs=None disables the guard entirely
+    full = ngram_jaccard_pairs(ds, threshold=0.0, max_pairs=None).to_pandas()
+    assert len(full) > 0
+
+
 def test_dup_span_counts(ray_session):
     """Cross-doc duplicate windows: shared spans counted per position,
     within-doc repeats don't count without a second doc, short docs get
