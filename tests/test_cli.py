@@ -46,6 +46,15 @@ def test_cli_dedup_state_roundtrip(ray_session, tmp_path, docs_file):
     flags = pq.read_table(out)
     assert flags.num_rows == 240
     assert main(["dedup-state", "compact", "--state", state]) == 0
+    # update is idempotent (same corpus again) and flags are unchanged
+    assert main(["dedup-state", "update", "--state", state,
+                 "--input", docs_file]) == 0
+    out2 = str(tmp_path / "flags2")
+    assert main(["dedup-state", "flags", "--state", state,
+                 "--input", docs_file, "--output", out2,
+                 "--metrics-out", metrics]) == 0
+    m2 = json.loads(open(metrics).read())
+    assert m2["n_exact_dup_corpus"] == 240 and m2["n_keep"] == 0
 
 
 def test_cli_dedup_state_missing_args(ray_session, tmp_path):
