@@ -166,13 +166,19 @@ def _cmd_dedup_state(args) -> dict:
 
 
 def build_parser() -> argparse.ArgumentParser:
+    # the shared flags are valid before OR after the subcommand; they
+    # default to SUPPRESS so a subparser never overwrites a value the
+    # root already parsed (the classic argparse-parents pitfall — note
+    # set_defaults would ALSO clobber this, it mutates the action
+    # objects the parsers share, so the real defaults are filled in
+    # main() after parsing)
     common = argparse.ArgumentParser(add_help=False)
-    common.add_argument("--address", default="local",
+    common.add_argument("--address", default=argparse.SUPPRESS,
                         help="Ray address ('local' starts a local cluster; "
                              "'auto' joins the cluster a ray job runs in)")
-    common.add_argument("--num-cpus", type=int, default=None,
+    common.add_argument("--num-cpus", type=int, default=argparse.SUPPRESS,
                         help="num_cpus for a locally started session")
-    common.add_argument("--metrics-out", default=None,
+    common.add_argument("--metrics-out", default=argparse.SUPPRESS,
                         help="also write the summary JSON line to this file")
     p = argparse.ArgumentParser(
         prog="python -m cleanlab_ray",
@@ -226,6 +232,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    for dest, default in (("address", "local"), ("num_cpus", None),
+                          ("metrics_out", None)):
+        if not hasattr(args, dest):
+            setattr(args, dest, default)
     if args.command == "dedup-state":
         if args.action in ("build", "update", "flags") and not args.input:
             print("error: --input required for build/update/flags",

@@ -50,9 +50,11 @@ def test_cli_dedup_state_roundtrip(ray_session, tmp_path, docs_file):
     assert main(["dedup-state", "update", "--state", state,
                  "--input", docs_file]) == 0
     out2 = str(tmp_path / "flags2")
-    assert main(["dedup-state", "flags", "--state", state,
-                 "--input", docs_file, "--output", out2,
-                 "--metrics-out", metrics]) == 0
+    # global flag BEFORE the subcommand must also stick (argparse
+    # parents pitfall: a subparser default must not clobber it)
+    assert main(["--metrics-out", metrics,
+                 "dedup-state", "flags", "--state", state,
+                 "--input", docs_file, "--output", out2]) == 0
     m2 = json.loads(open(metrics).read())
     assert m2["n_exact_dup_corpus"] == 240 and m2["n_keep"] == 0
 
