@@ -139,6 +139,12 @@ def _cmd_dedup_state(args) -> dict:
         flags = inc.incremental_flags(ds, args.state, key_col=args.key_col,
                                       text_col=args.text_col).materialize()
         flags.write_parquet(args.output)
+        if args.and_update:
+            # the daily-ingest one-liner: after flagging, fold the
+            # delta's keys into the state (order matters — flags first,
+            # so the delta is judged against the PRE-delta corpus)
+            inc.update_dedup_state(ds, args.state, text_col=args.text_col)
+            payload["updated"] = True
         payload["output"] = args.output
         payload["rows"] = flags.count()
         import numpy as np
@@ -221,6 +227,9 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--state", required=True, help="state directory")
     dd.add_argument("--input", help="parquet dir (build/update/flags)")
     dd.add_argument("--output", help="flags output dir (flags)")
+    dd.add_argument("--and-update", action="store_true",
+                    help="after flagging, append the delta's keys to the "
+                         "state (the daily-ingest one-liner)")
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--key-col", default="doc_id")
     dd.add_argument("--num-perm", type=int, default=64)

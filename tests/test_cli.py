@@ -59,6 +59,35 @@ def test_cli_dedup_state_roundtrip(ray_session, tmp_path, docs_file):
     assert m2["n_exact_dup_corpus"] == 240 and m2["n_keep"] == 0
 
 
+def test_cli_dedup_state_flags_and_update(ray_session, tmp_path, docs_file):
+    """--and-update flags against the PRE-delta state, then folds the
+    delta in: a fresh corpus is all-keep on the first ingest and
+    all-dup when re-flagged."""
+    state = str(tmp_path / "state")
+    metrics = str(tmp_path / "m.json")
+    # empty-corpus state
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+    import ray.data as rd
+
+    from cleanlab_ray.stages.incremental import build_dedup_state
+
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "text": pa.array([], type=pa.string())})
+    build_dedup_state(rd.from_arrow(empty), state)
+    assert main(["dedup-state", "flags", "--state", state,
+                 "--input", docs_file, "--output", str(tmp_path / "f1"),
+                 "--and-update", "--metrics-out", metrics]) == 0
+    m1 = json.loads(open(metrics).read())
+    assert m1["updated"] and m1["n_exact_dup_corpus"] == 0
+    assert m1["n_keep"] == 200  # 240 docs − 40 within-batch dups keep=200
+    assert main(["dedup-state", "flags", "--state", state,
+                 "--input", docs_file, "--output", str(tmp_path / "f2"),
+                 "--metrics-out", metrics]) == 0
+    m2 = json.loads(open(metrics).read())
+    assert m2["n_exact_dup_corpus"] == 240 and m2["n_keep"] == 0
+
+
 def test_cli_dedup_state_missing_args(ray_session, tmp_path):
     assert main(["dedup-state", "build",
                  "--state", str(tmp_path / "s")]) == 2
