@@ -194,6 +194,40 @@ def test_empty_and_unicode_edges(ray_session, tmp_path):
     assert bool(row.keep)
 
 
+def test_hot_key_and_partitioning_independence(ray_session, tmp_path):
+    """One text shared by the WHOLE corpus and much of the delta → a
+    single giant equal-key run in the membership sort (the skew case);
+    flags must be identical across input partitionings."""
+    import ray.data as rd
+
+    hot = "the exact same boilerplate text appears everywhere here"
+    corpus = _mk_docs(range(80), [hot] * 80)
+    delta_texts = [hot] * 50 + [f"unique delta document {i}" for i in range(30)]
+    delta = _mk_docs(range(500, 500 + 80), delta_texts)
+
+    state = str(tmp_path / "state")
+    build_dedup_state(rd.from_arrow(corpus).repartition(7), state)
+
+    results = []
+    for parts in (1, 5, 13):
+        df = (
+            incremental_flags(rd.from_arrow(delta).repartition(parts), state)
+            .to_pandas().set_index("doc_id").sort_index()
+        )
+        results.append(df)
+    assert results[0].equals(results[1]) and results[1].equals(results[2])
+    got = results[0]
+    # all 50 hot-copy rows: exact corpus dup; none is a within-batch
+    # first (the corpus match fires first), but rows after the smallest
+    # id are within-batch dups too
+    hot_rows = got.loc[500:549]
+    assert bool(hot_rows.exact_dup_corpus.all())
+    assert not bool(hot_rows.exact_dup_new.iloc[0])
+    assert bool(hot_rows.exact_dup_new.iloc[1:].all())
+    fresh = got.loc[550:]
+    assert bool(fresh.keep.all())
+
+
 def test_manifest_version_guard(ray_session, tmp_path, corpus_and_delta):
     import json
     import os
