@@ -163,6 +163,7 @@ def run_bench() -> dict:
         "perplexity_buckets",
         "shuffle_export",
         "incremental_ingest",
+        "remove_dup_substrings",
     ]
     # best-of-2 per query: the first run pays one-time per-worker kernel
     # warmups (numpy, regex, model tables) that aren't steady-state

@@ -6427,6 +6427,80 @@ QUERIES["incremental_ingest"] = q_incremental_ingest
 ORACLE_SQL["incremental_ingest"] = _make_incremental_ingest_sql()
 
 
+# --- duplicate-substring removal ------------------------------------------
+
+_SUBSTR_K = 20
+
+
+def q_remove_dup_substrings(sf_dir: str):
+    """Lee et al. 2022 ExactSubstr REMOVAL (stages/substr_removal.py):
+    every raw 20-byte substring occurring in >= 2 distinct docs is cut
+    out of every document (merged spans, UTF-8-safe boundaries; the
+    counting twin is q:dup_spans). SQL-checked byte-for-byte: the
+    oracle replicates the raw FNV window fold, the >= 2-distinct-docs
+    rule, position coverage, and rebuilds the cleaned text per char."""
+    from cleanlab_ray.stages.substr_removal import remove_dup_substrings
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return remove_dup_substrings(ds, text_col="text", key_col="doc_id",
+                                 span_k=_SUBSTR_K)
+
+
+def _make_remove_dup_substrings_sql(span_k: int = _SUBSTR_K) -> str:
+    """remove_dup_substrings oracle: RAW (un-lowercased) k-byte FNV
+    window hashes; covered positions = union of [q, q+k) over duplicated
+    windows, clipped to the true length; output text = the kept chars in
+    order (ASCII corpus: chars == bytes, so the engine's byte surgery
+    and this per-char rebuild agree exactly)."""
+    P = 1099511628211
+    M64 = 1 << 64
+    expr = "0::HUGEINT"
+    for i in range(span_k):
+        expr = f"((({expr}) * {P} + ord(substr(tx, g.p + {i}, 1))) % {M64})"
+    return f"""
+WITH base AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+pad AS (
+  SELECT doc_id,
+         CASE WHEN length(t) < {span_k}
+              THEN t || repeat(' ', {span_k} - length(t)) ELSE t END AS tx,
+         length(t) AS tlen
+  FROM base),
+sh AS (
+  SELECT doc_id, g.p AS p, {expr} AS h
+  FROM pad CROSS JOIN generate_series(1, 4096) AS g(p)
+  WHERE g.p <= length(tx) - {span_k - 1}),
+nd AS (SELECT h FROM sh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT DISTINCT s.doc_id, s.p + o.i AS pos
+  FROM sh s JOIN nd ON s.h = nd.h
+  CROSS JOIN generate_series(0, {span_k - 1}) AS o(i)),
+chars AS (
+  SELECT p.doc_id, g.p AS pos, substr(p.tx, g.p, 1) AS ch
+  FROM pad p CROSS JOIN generate_series(1, 4096) AS g(p)
+  WHERE g.p <= p.tlen),
+kept AS (
+  SELECT c.doc_id, c.pos, c.ch
+  FROM chars c LEFT JOIN cov v ON c.doc_id = v.doc_id AND c.pos = v.pos
+  WHERE v.pos IS NULL),
+agg AS (
+  SELECT doc_id, string_agg(ch, '' ORDER BY pos) AS text
+  FROM kept GROUP BY doc_id),
+remcnt AS (
+  SELECT v.doc_id, count(*) AS n
+  FROM cov v JOIN pad p ON p.doc_id = v.doc_id
+  WHERE v.pos <= p.tlen GROUP BY v.doc_id)
+SELECT b.doc_id, coalesce(a.text, '') AS text,
+       CAST(coalesce(r.n, 0) AS BIGINT) AS n_removed_bytes
+FROM base b
+LEFT JOIN agg a ON a.doc_id = b.doc_id
+LEFT JOIN remcnt r ON r.doc_id = b.doc_id
+"""
+
+
+QUERIES["remove_dup_substrings"] = q_remove_dup_substrings
+ORACLE_SQL["remove_dup_substrings"] = _make_remove_dup_substrings_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks a fixed
 # window of the FIRST 50 queries() entries (CORRECTNESS_r03 confirmed

@@ -1,0 +1,102 @@
+"""Duplicate-substring removal (stages/substr_removal.py): distributed
+result == a pure-python oracle that enumerates raw k-byte windows,
+marks those appearing in >= 2 distinct docs, merges and cuts."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from cleanlab_ray.stages.substr_removal import remove_dup_substrings
+
+K = 12
+
+
+def _oracle(texts, k=K):
+    padded = [t if len(t.encode()) >= k else t + " " * (k - len(t.encode()))
+              for t in texts]
+    bts = [p.encode() for p in padded]
+    owners = {}
+    for i, b in enumerate(bts):
+        for p in range(len(b) - k + 1):
+            owners.setdefault(b[p:p + k], set()).add(i)
+    dup = {w for w, o in owners.items() if len(o) >= 2}
+    out, removed = [], []
+    for i, b in enumerate(bts):
+        true_len = len(texts[i].encode())
+        covered = np.zeros(len(b), dtype=bool)
+        for p in range(len(b) - k + 1):
+            if b[p:p + k] in dup:
+                covered[p:p + k] = True
+        keep = ~covered[:true_len]
+        out.append(bytes(np.frombuffer(b[:true_len], np.uint8)[keep]).decode())
+        removed.append(int((~keep).sum()))
+    return out, removed
+
+
+def _run(texts, parts=3):
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = (
+        remove_dup_substrings(rd.from_arrow(t).repartition(parts),
+                              span_k=K)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    return out
+
+
+def test_matches_python_oracle(ray_session):
+    boiler = "SHARED BOILERPLATE SENTENCE THAT REPEATS ACROSS DOCS."
+    texts = [
+        f"unique preamble {i:03d} | {boiler} | unique tail {i:03d}"
+        for i in range(4)
+    ] + [
+        "totally unique document body with no repeats at all 001",
+        "another fully unique body, nothing shared here either 002",
+        "tiny6",         # shorter than k, unique -> kept
+        "tiny",          # exact short dup pair -> both removed to empty
+        "tiny",
+    ]
+    got = _run(texts)
+    want_texts, want_removed = _oracle(texts)
+    assert got["text"].tolist() == want_texts
+    assert got["n_removed_bytes"].tolist() == want_removed
+    # the boilerplate is actually gone and uniques survive
+    assert all(boiler not in t for t in got["text"].tolist()[:4])
+    assert got.loc[4, "text"] == texts[4]
+    assert got.loc[6, "text"] == "tiny6"         # unique short doc kept
+    assert got.loc[7, "text"] == "" and got.loc[8, "text"] == ""
+
+
+def test_partitioning_independent(ray_session):
+    texts = ["common segment here!! plus suffix %d" % i for i in range(6)]
+    a = _run(texts, parts=1)
+    b = _run(texts, parts=5)
+    assert a.equals(b)
+
+
+def test_utf8_safe_cuts(ray_session):
+    # duplicated window lands adjacent to multibyte chars; output must
+    # decode (pyarrow cast to utf8 validates) and match the oracle up
+    # to the documented inward snap
+    boiler = "=== DUPLICATED RUN OF BYTES ==="
+    texts = [f"caféé曦 {boiler} naïveé曦", f"résumé曦 {boiler} 曦öö end",
+             "nothing shared ünïcode doc"]
+    got = _run(texts)
+    for t in got["text"].tolist():
+        t.encode()  # round-trips; pa already validated on cast
+    assert all(boiler not in t for t in got["text"].tolist())
+    assert got.loc[2, "text"] == texts[2]
+
+
+def test_empty_and_null(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array([0, 1], type=pa.int64()),
+                  "text": pa.array(["", None], type=pa.string())})
+    out = (remove_dup_substrings(rd.from_arrow(t), span_k=K)
+           .to_pandas().set_index("doc_id").sort_index())
+    # "" and null both normalize to the empty padded window -> the two
+    # rows share it -> removed to empty; no crash either way
+    assert out["text"].tolist() == ["", ""]
