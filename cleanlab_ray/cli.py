@@ -113,6 +113,27 @@ def _cmd_curate(args) -> dict:
     }
 
 
+def _cmd_remove_substrings(args) -> dict:
+    import ray.data as rd
+
+    from cleanlab_ray.stages.substr_removal import remove_dup_substrings
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(args.input, columns=[args.key_col, args.text_col])
+    out = remove_dup_substrings(
+        ds, text_col=args.text_col, key_col=args.key_col,
+        span_k=args.span_k).materialize()
+    out.write_parquet(args.output)
+    removed = int(out.sum("n_removed_bytes") or 0)
+    return {
+        "command": "remove-substrings",
+        "output": args.output,
+        "rows": out.count(),
+        "removed_bytes": removed,
+        "wall_sec": round(time.perf_counter() - t0, 3),
+    }
+
+
 def _cmd_dedup_state(args) -> dict:
     import ray.data as rd
 
@@ -220,6 +241,18 @@ def build_parser() -> argparse.ArgumentParser:
     cu.add_argument("--text-col", default="text")
     cu.add_argument("--key-col", default="doc_id")
     cu.set_defaults(fn=_cmd_curate)
+
+    rs = sub.add_parser("remove-substrings",
+                        help="cut cross-document duplicated substrings "
+                             "(Lee et al. ExactSubstr)",
+                        parents=[common])
+    rs.add_argument("--input", required=True)
+    rs.add_argument("--output", required=True)
+    rs.add_argument("--text-col", default="text")
+    rs.add_argument("--key-col", default="doc_id")
+    rs.add_argument("--span-k", type=int, default=50,
+                    help="window size in bytes (50 = Lee et al. default)")
+    rs.set_defaults(fn=_cmd_remove_substrings)
 
     dd = sub.add_parser("dedup-state", help="incremental-ingestion state ops",
                         parents=[common])

@@ -108,6 +108,18 @@ def test_cli_curate(ray_session, tmp_path, docs_file):
         "doc_id", "lang_ok", "quality_ok", "canonical", "dup_ok", "keep"}
 
 
+def test_cli_remove_substrings(ray_session, tmp_path, docs_file):
+    out = str(tmp_path / "cleaned")
+    metrics = str(tmp_path / "m.json")
+    assert main(["remove-substrings", "--input", docs_file,
+                 "--output", out, "--span-k", "12",
+                 "--metrics-out", metrics]) == 0
+    m = json.loads(open(metrics).read())
+    assert m["rows"] == 240
+    # the 40 planted exact-dup docs guarantee removed bytes
+    assert m["removed_bytes"] > 0
+
+
 def test_cli_quality_filter_resumes(ray_session, tmp_path, corpus_dir):
     work = str(tmp_path / "qf")
     metrics = str(tmp_path / "m.json")
