@@ -86,10 +86,19 @@ def remove_dup_substrings(
     text_col: str = "text",
     key_col: str = "doc_id",
     span_k: int = 50,
+    keep_first: bool = False,
 ):
     """Dataset[(key_col, text, n_removed_bytes)] with every
     cross-document duplicated ``span_k``-byte substring cut out of
-    ``text`` (see module docstring for exact semantics)."""
+    ``text`` (see module docstring for exact semantics).
+
+    ``keep_first=True`` selects Lee et al.'s keep-one-occurrence
+    variant: the member with the SMALLEST key keeps its copy of each
+    duplicated window (deterministic global tie-break — the min-key
+    member of the window's equal-hash run, resolved inside the same
+    hash exchange at zero extra cost); all other members still cut it.
+    Note the exemption is per-window: a doc exempt for window w may
+    still lose bytes of w to an overlapping non-exempt window."""
     from cleanlab_ray.stages.dedup import (
         _run_starts,
         _sorted_block_map,
@@ -115,7 +124,18 @@ def remove_dup_substrings(
         starts = _run_starts(h)
         sizes = np.diff(np.append(starts, len(h)))
         run_id = np.repeat(np.arange(len(starts)), sizes)
-        return batch.filter(pa.array(sizes[run_id] >= 2))
+        keep = sizes[run_id] >= 2
+        if keep_first:
+            # exempt the min-key member of every duplicated run: order
+            # within runs by key, the first row of each ordered run is
+            # the keeper (block holds whole runs — sort colocation)
+            k = batch[key_col].to_numpy(zero_copy_only=False).astype(
+                np.int64)
+            order = np.lexsort((k, h))
+            first_of_run = np.zeros(len(h), dtype=bool)
+            first_of_run[order[_run_starts(h[order])]] = True
+            keep &= ~first_of_run
+        return batch.filter(pa.array(keep))
 
     dup_members = _sorted_block_map(
         ds.map_batches(postings, batch_format="pyarrow"), "h", emit_dups)
@@ -178,7 +198,34 @@ def remove_dup_substrings(
         ).to_numpy(zero_copy_only=False).astype(np.int64)
 
         hashes, seg_starts, widths = raw_window_hashes(texts, span_k)
-        member = np.isin(hashes, dup_h)
+        if keep_first:
+            # per-(doc, hash) membership — the exemption makes the dup
+            # set doc-specific, so test (key, h) pairs via a sorted
+            # structured-array searchsorted (int keys required)
+            pair_dt = np.dtype([("k", np.int64), ("h", np.uint64)])
+            mk = batch[key_col].to_numpy(
+                zero_copy_only=False)[~is_text].astype(np.int64)
+            mh = batch["h"].to_numpy(
+                zero_copy_only=False)[~is_text].astype(np.uint64)
+            mem = np.empty(len(mk), dtype=pair_dt)
+            mem["k"], mem["h"] = mk, mh
+            mem.sort()
+            wkeys = np.repeat(
+                keys_out.to_numpy(zero_copy_only=False).astype(np.int64)
+                if not isinstance(keys_out, pa.ChunkedArray)
+                else keys_out.combine_chunks().to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+                widths)
+            if len(mem) == 0:
+                member = np.zeros(len(hashes), dtype=bool)
+            else:
+                q = np.empty(len(hashes), dtype=pair_dt)
+                q["k"], q["h"] = wkeys, hashes
+                idx = np.searchsorted(mem, q)
+                member = (idx < len(mem)) & (
+                    mem[np.minimum(idx, len(mem) - 1)] == q)
+        else:
+            member = np.isin(hashes, dup_h)
         # global byte position of each window start
         gpos = np.arange(int(widths.sum()), dtype=np.int64) + np.repeat(
             offsets[:-1] - seg_starts, widths)

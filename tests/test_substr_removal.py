@@ -90,6 +90,41 @@ def test_utf8_safe_cuts(ray_session):
     assert got.loc[2, "text"] == texts[2]
 
 
+def test_keep_first_exempts_min_doc(ray_session):
+    """keep_first=True: the smallest doc_id keeps each duplicated
+    window; oracle = per-(doc, window) exemption of the min owner."""
+    import ray.data as rd
+
+    boiler = "SHARED BOILERPLATE SENTENCE THAT REPEATS."
+    texts = [f"prefix {i} | {boiler} | tail {i}" for i in range(4)]
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    got = (
+        remove_dup_substrings(rd.from_arrow(t).repartition(3), span_k=K,
+                              keep_first=True)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+
+    # python oracle with the same per-window min-owner exemption
+    bts = [x.encode() for x in texts]
+    owners: dict = {}
+    for i, b in enumerate(bts):
+        for p in range(len(b) - K + 1):
+            owners.setdefault(b[p:p + K], set()).add(i)
+    out = []
+    for i, b in enumerate(bts):
+        covered = np.zeros(len(b), dtype=bool)
+        for p in range(len(b) - K + 1):
+            o = owners[b[p:p + K]]
+            if len(o) >= 2 and i != min(o):
+                covered[p:p + K] = True
+        out.append(bytes(np.frombuffer(b, np.uint8)[~covered]).decode())
+    assert got["text"].tolist() == out
+    # doc 0 keeps the boilerplate, the rest lose it
+    assert boiler in got.loc[0, "text"]
+    assert all(boiler not in got.loc[i, "text"] for i in (1, 2, 3))
+
+
 def test_empty_and_null(ray_session):
     import ray.data as rd
 
