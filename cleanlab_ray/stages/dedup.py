@@ -981,9 +981,10 @@ def ngram_jaccard_pairs(
                 "pairs": pa.array([float((capped * (capped - 1) / 2).sum())]),
             })
 
+        # sum() returns None on a zero-row dataset (empty input corpus)
         n_pairs = float(df_tbl.map_batches(
             pair_partial, batch_format="pyarrow", batch_size=None
-        ).sum("pairs"))
+        ).sum("pairs") or 0.0)
         if n_pairs > max_pairs:
             raise ValueError(
                 f"ngram_jaccard_pairs would emit {n_pairs:.3g} co-occurrence "

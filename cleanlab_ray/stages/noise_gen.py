@@ -202,6 +202,20 @@ def _hash_ids(ids: np.ndarray, salt: int) -> np.ndarray:
         return (ids.astype(np.uint64) ^ np.uint64(salt)) * np.uint64(HASH_MULT)
 
 
+_U64_MAX = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def _below_hi(h: np.ndarray, hi) -> np.ndarray:
+    """Window upper-bound test: half-open [lo, hi) for interior bins,
+    but the LAST histogram bin's count includes hash == 2^64-1, so its
+    window (hi == u64 max) must be closed [lo, hi] to match."""
+    hi = np.uint64(hi)
+    m = h < hi
+    if hi == _U64_MAX:
+        m |= h == hi
+    return m
+
+
 def salt_for_seed(seed: int) -> int:
     return (HASH_SALT_BASE + 2 * seed) % M64  # keep salt parity stable
 
@@ -249,7 +263,7 @@ def _window_hist_aggfn(
         )
         out = np.asarray(acc, dtype=np.int64).copy()
         for w, (c, lo, hi) in enumerate(wins):
-            m = (labels == c) & (h >= lo) & (h < hi)
+            m = (labels == c) & (h >= lo) & _below_hi(h, hi)
             if not m.any():
                 continue
             width = (hi - lo) // np.uint64(num_bins)
@@ -376,7 +390,7 @@ def generate_noisy_labels(
             )
             keep = np.zeros(len(labels), dtype=bool)
             for c, lo, hi in wins:
-                keep |= (labels == c) & (h >= lo) & (h < hi)
+                keep |= (labels == c) & (h >= lo) & _below_hi(h, hi)
             return pa.table(
                 {
                     "c": pa.array(labels[keep], type=pa.int64()),
@@ -392,7 +406,7 @@ def generate_noisy_labels(
         for t in need:
             kk, rank, lo, hi, below = t
             vals = sorted_by_class.get(kk, np.array([], dtype=np.uint64))
-            in_win = vals[(vals >= lo) & (vals < hi)]
+            in_win = vals[(vals >= lo) & _below_hi(vals, hi)]
             boundary_vals[kk].append((rank, in_win[rank - below]))
 
     # assemble per-class (sorted boundary hashes, bucket targets) tables

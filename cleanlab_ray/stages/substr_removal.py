@@ -98,12 +98,29 @@ def remove_dup_substrings(
     member of the window's equal-hash run, resolved inside the same
     hash exchange at zero extra cost); all other members still cut it.
     Note the exemption is per-window: a doc exempt for window w may
-    still lose bytes of w to an overlapping non-exempt window."""
+    still lose bytes of w to an overlapping non-exempt window.
+
+    ``keep_first=True`` requires an INTEGER ``key_col`` ("smallest key"
+    is resolved numerically inside the hash-exchange kernels); the
+    default remove-everywhere path accepts any key type."""
     from cleanlab_ray.stages.dedup import (
         _run_starts,
         _sorted_block_map,
         _unique_per_segment,
     )
+
+    if keep_first:
+        sch = ds.schema()
+        key_type = dict(zip(sch.names, sch.types))[key_col]
+        if not (isinstance(key_type, pa.DataType)
+                and pa.types.is_integer(key_type)):
+            raise ValueError(
+                f"keep_first=True requires an integer key column; "
+                f"{key_col!r} has type {key_type} (the min-key exemption "
+                "is resolved numerically inside the hash exchange — a "
+                "string key would silently compare numerically, not "
+                "lexicographically)"
+            )
 
     def postings(batch: pa.Table) -> pa.Table:
         hashes, seg_starts, widths = raw_window_hashes(batch[text_col],

@@ -375,3 +375,18 @@ def test_line_dedup_random_vs_oracle(ray_session):
     for k, v in docs.items():
         kept = [ln for ln in v.split("\n") if ln not in dup]
         assert out.loc[k, "text_dedup"] == "\n".join(kept)
+
+
+def test_ngram_jaccard_empty_input_with_guard(ray_session):
+    """max_pairs guard on a zero-row corpus: sum() returns None — the
+    guard must treat it as 0 pairs and return an empty result."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.stages.dedup import ngram_jaccard_pairs
+
+    t = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                  "text": pa.array([], type=pa.string())})
+    out = ngram_jaccard_pairs(rd.from_arrow(t), threshold=0.0,
+                              max_pairs=100).to_pandas()
+    assert len(out) == 0

@@ -135,3 +135,19 @@ def test_empty_and_null(ray_session):
     # "" and null both normalize to the empty padded window -> the two
     # rows share it -> removed to empty; no crash either way
     assert out["text"].tolist() == ["", ""]
+
+
+def test_keep_first_rejects_string_key(ray_session):
+    """keep_first's min-key exemption is numeric; a string key must be
+    rejected loudly, not silently compared as numbers."""
+    import pytest
+    import ray.data as rd
+
+    t = pa.table({"doc_id": pa.array(["a", "b"], type=pa.string()),
+                  "text": pa.array(["x" * K, "x" * K])})
+    with pytest.raises(ValueError, match="integer key"):
+        remove_dup_substrings(rd.from_arrow(t), span_k=K, keep_first=True)
+    # default remove-everywhere path still accepts string keys
+    out = (remove_dup_substrings(rd.from_arrow(t), span_k=K)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out["text"].tolist() == ["", ""]
