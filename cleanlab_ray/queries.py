@@ -6503,63 +6503,42 @@ ORACLE_SQL["remove_dup_substrings"] = _make_remove_dup_substrings_sql()
 
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks a fixed
-# window of the FIRST 50 queries() entries (CORRECTNESS_r03 confirmed
-# the window == insertion order). Order the registry so that window
-# covers (a) every operator changed this round, (b) every round-3/4
-# operator family that has no green oracle row yet, (c) the flagship
-# core. Every window entry has a DuckDB oracle (rows+schema+hash);
-# entries pushed past 50 all have green rows in CORRECTNESS_r03
-# (recorded) or pytest NumPy oracles, and are siblings of checked
-# representatives — nothing loses its only verification.
+# window of the FIRST 50 queries() entries. Round-5 rotation policy
+# (VERDICT r4 item 1): lead with every query that has NEVER had a
+# driver oracle row in any round (17, of which 13 have DuckDB oracles;
+# clean_learning / regression_clean_learning / bpe_train_encode /
+# embedding_pca are iterative learners with no SQL twin — the driver
+# records their weaker rows-only check, which is still their first
+# driver artifact ever). Then every operator whose code changed this
+# round, then the flagship core, then the entries whose last green row
+# is oldest (r03) so standing coverage keeps rotating. Everything
+# displaced has a green row in CORRECTNESS_r04 and is unchanged since.
 # ---------------------------------------------------------------------------
 
 _PRIORITY_WINDOW = [
-    # flagship + confident-learning core (conv_pooling/flagship changed
-    # this round: sorted-run partial merge, boundary-bin refinement)
-    "flagship_quality_filter", "conv_pooling", "confident_joint",
-    "self_confidence", "health_summary", "audit_summary", "ood_scores",
-    # (prune_by_class's slot goes to the new perplexity_buckets — the
-    # prune/veto machinery stays checked via prune_by_noise_rate and
-    # the flagship's _reduce_issues; prune_by_class was green in r03
-    # and is unchanged)
-    # (langid_documents' slot goes to the new shuffle_export — the whole
-    # langid classifier chain, model CTEs included, is a strict subset
-    # of the perplexity_buckets oracle now in the window)
-    "top_issues", "prune_by_noise_rate", "perplexity_buckets",
-    "shuffle_export", "doc_quality_signals",
-    # kNN / embedding stages (knn auto-delegation added this round)
-    # (std_distance_scores' slot goes to the new semdedup — its
-    # variance math stays checked via embedding_covariance)
-    "knn_outlier_scores", "knn_outlier_bucketed", "embedding_covariance",
-    "quantize_embeddings", "ann_ivf",
-    # multi-annotator (consensus + agreement kernels rewritten; ensemble new)
-    "annotator_consensus", "crowdlab_consensus", "crowdlab_ensemble",
-    "annotator_quality", "active_learning",
-    # token / span / multilabel / segmentation
-    "token_label_issues", "token_cl_issues", "span_issues",
-    "multilabel_issues", "multilabel_class_quality", "segmentation_scores",
-    # object detection (per-class AP green in r03, unchanged — its slot
-    # goes to the new CCNet line dedup; od_label_quality covers the family)
-    "od_label_quality",
-    # dedup family (dup_spans n_spans fix this round; line dedup +
-    # semantic dedup + incremental ingestion new)
-    # (near_dup_documents' slot goes to the new incremental_ingest —
-    # near_dup was green in r03, is unchanged, and its MinHash band
-    # kernel is exactly what incremental_ingest's oracle re-checks)
-    "exact_dedup_documents", "incremental_ingest", "dup_spans",
-    "ngram_jaccard_pairs", "dup_components", "line_dedup_docs",
-    "semdedup",
-    # LLM-pipeline operators (bloom dedup fix + mixture salt this round)
-    "inverted_index", "heavy_hitters", "approx_distinct_words",
-    "bloom_semijoin", "grouped_topk", "mixture_sample",
-    "curate_documents", "decontaminate_docs", "dsir_weights",
-    "vocab_topk", "chunk_documents", "pack_sequences",
-    # noise generation (new this round; ann_quantized's slot — its
-    # quantization math stays checked via quantize_embeddings and the
-    # ANN family via ann_ivf)
-    "noisy_labels",
-    # ordering / drift
-    "noniid_detection",
+    # (a) never-oracle-checked in any round — first driver rows
+    "remove_dup_substrings", "sliding_windows", "ensemble_scores",
+    "multilabel_common_issues", "token_common_issues",
+    "media_byte_features", "segmentation_common_issues",
+    "knn_vote_probs", "tfidf_terms", "token_quantiles",
+    "stratified_split", "std_distance_scores", "ann_quantized",
+    "clean_learning", "regression_clean_learning",
+    "bpe_train_encode", "embedding_pca",
+    # (b) operators changed in round 5 (advisor fixes + sorted-run
+    # kernel rewrites + ensemble fusion + jaccard fallback)
+    "noisy_labels", "ngram_jaccard_pairs", "conv_pooling",
+    "ann_ivf", "ann_topk", "object_detection_ap", "od_label_quality",
+    "data_valuation", "crowdlab_ensemble",
+    # (c) flagship core (always in the gate)
+    "flagship_quality_filter", "confident_joint", "self_confidence",
+    # (d) oldest standing greens (last green r03) rotated back in
+    "prune_by_class", "near_dup_documents", "langid_documents",
+    "segment_revenue", "ema_scores", "label_counts", "cv_folds",
+    "underperforming_groups", "null_patterns", "id_column_profile",
+    "spurious_correlations", "drift_windows", "kmeans_clusters",
+    "simhash_documents", "embedding_near_dup", "fingerprint_documents",
+    "asof_join", "range_join", "sessionization",
+    "regression_label_issues", "multilabel_joint",
 ]
 
 _missing = [k for k in _PRIORITY_WINDOW if k not in QUERIES]
