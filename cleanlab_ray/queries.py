@@ -4360,8 +4360,12 @@ def q_ngram_jaccard_pairs(sf_dir: str):
     from cleanlab_ray.stages.dedup import ngram_jaccard_pairs
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    # on_excess="cap": at oracle scale the guard never fires (exact,
+    # SQL-checked); on skewed/large corpora it degrades to the largest
+    # in-budget df_cap instead of raising (documented recall bound)
     return ngram_jaccard_pairs(
-        ds, text_col="text", key_col="doc_id", shingle_k=5, threshold=0.5
+        ds, text_col="text", key_col="doc_id", shingle_k=5, threshold=0.5,
+        on_excess="cap",
     )
 
 
@@ -4831,7 +4835,8 @@ def q_dup_components(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     pairs = ngram_jaccard_pairs(
-        ds, text_col="text", key_col="doc_id", shingle_k=5, threshold=0.5
+        ds, text_col="text", key_col="doc_id", shingle_k=5, threshold=0.5,
+        on_excess="cap",
     )
     comp = connected_components(pairs, src_col="doc_a", dst_col="doc_b")
     return comp.map_batches(

@@ -104,6 +104,11 @@ def connected_components(edges, src_col: str = "src", dst_col: str = "dst",
         .materialize()
     )
     prev_sum = labels.sum("label")
+    if prev_sum is None:  # empty edge list: no nodes, empty result
+        return rd.from_arrow(pa.table({
+            "node": pa.array([], type=pa.int64()),
+            "component": pa.array([], type=pa.int64()),
+        }))
 
     for _ in range(max_iters):
         # neighbour candidates: label(u) offered to every v adjacent to u

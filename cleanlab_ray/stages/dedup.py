@@ -865,6 +865,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     df_cap: int | None = None,
     max_pairs: float = 100e6,
+    on_excess: str = "raise",
 ):
     """EXACT n-gram (character k-shingle) Jaccard similarity for every
     document pair sharing at least one shingle — the inverted-index
@@ -886,9 +887,13 @@ def ngram_jaccard_pairs(
 
     Scale notes: the only all-to-all moves (shingle, doc, n) triples —
     text never shuffles. The quadratic hazard is a stop-shingle shared
-    by thousands of docs; ``df_cap`` drops runs larger than the cap (a
-    documented recall trade — at web scale a shingle shared by >50 docs
-    carries no near-dup signal). Default None = exact (the SQL oracle's
+    by thousands of docs; ``df_cap`` switches to STOP-SHINGLE-REMOVAL
+    semantics (see :func:`_capped_jaccard`): shingles with df > cap are
+    deleted from every document's set and jaccard is computed exactly
+    over the surviving universe — so exact/near duplicates still score
+    ~1.0, and only similarity carried exclusively by corpus-common
+    shingles is lost (at web scale a shingle shared by >50 docs carries
+    no near-dup signal). Default None = exact (the SQL oracle's
     semantics).
 
     ``max_pairs`` is the loud-failure guard on that hazard: before any
@@ -904,6 +909,19 @@ def ngram_jaccard_pairs(
     candidate-generation scheme avoids it, which is why web-scale
     systems use LSH or df caps there; the guard makes that wall
     explicit instead of silent.
+
+    ``on_excess="cap"`` replaces the raise with a DOCUMENTED
+    degradation: from the same df profile (one extra O(distinct-df)
+    frequency-of-frequencies aggregate, driver side ≤ max-df rows) it
+    picks the LARGEST df_cap whose capped emission count
+    Σ_{df≤cap} C(df, 2) stays within ``max_pairs``, warns with the
+    chosen cap, and proceeds with the stop-shingle-removal semantics
+    above. Recall bound: a pair is missed only if its similarity lives
+    entirely in shingles shared by > cap documents (the prefix-filter
+    df-cap trade of the similarity-join literature); duplicates of
+    small clusters keep jaccard ~1 because denominators shrink with
+    the intersections. Exactness is unchanged whenever the guard would
+    not have fired, so small-scale oracle checks see exact semantics.
 
     Returns Dataset[(doc_a, doc_b, jaccard_e6)] with jaccard_e6 =
     floor(jaccard * 1e6 + 0.5) (half-away rounding, DuckDB-compatible).
@@ -923,7 +941,13 @@ def ngram_jaccard_pairs(
             "n": pa.array(usizes[ru].astype(np.int64), type=pa.int64()),
         })
 
+    # effective cap — mutated (driver-side, before the pair map is
+    # ever executed) when on_excess="cap" lowers it; dict so the
+    # emit_pairs closure pickles the post-guard value
+    cap_state = {"cap": df_cap}
+
     def emit_pairs(batch: pa.Table) -> pa.Table:
+        cap = cap_state["cap"]
         h = batch["h"].to_numpy(zero_copy_only=False)
         doc_arr = batch["doc"]
         if isinstance(doc_arr, pa.ChunkedArray):
@@ -935,8 +959,8 @@ def ngram_jaccard_pairs(
         h, doc, n = h[order], doc[order], n[order]
         starts = _run_starts(h)
         lens = np.diff(np.append(starts, len(h)))
-        if df_cap is not None:
-            keep = lens <= df_cap
+        if cap is not None:
+            keep = lens <= cap
             starts, lens = starts[keep], lens[keep]
         pos_a, pos_b = _pairs_within_runs(starts, lens)
         da = pa.array(doc[pos_a])
@@ -986,15 +1010,58 @@ def ngram_jaccard_pairs(
             pair_partial, batch_format="pyarrow", batch_size=None
         ).sum("pairs") or 0.0)
         if n_pairs > max_pairs:
-            raise ValueError(
-                f"ngram_jaccard_pairs would emit {n_pairs:.3g} co-occurrence "
-                f"pairs (bound max_pairs={max_pairs:.3g}) — the shingle df "
-                "profile makes exact all-pairs near-quadratic on this "
-                "corpus. Set df_cap (drops shingles shared by more docs "
-                "than the cap; documented recall trade), use "
-                "near_dup_groups (MinHash-LSH) instead, or raise "
-                "max_pairs explicitly if the cost is intended."
-            )
+            if on_excess == "cap":
+                # frequency-of-frequencies of the df profile (tiny:
+                # one row per DISTINCT df value), then the largest cap
+                # whose capped emission count fits the budget
+                def fof_partial(batch: pa.Table) -> pa.Table:
+                    df = batch["count(h)"].to_numpy(
+                        zero_copy_only=False).astype(np.int64)
+                    v, c = np.unique(df, return_counts=True)
+                    return pa.table({
+                        "df": pa.array(v, type=pa.int64()),
+                        "cnt": pa.array(c.astype(np.int64)),
+                    })
+
+                fof = sorted_group_agg(
+                    df_tbl.map_batches(fof_partial, batch_format="pyarrow"),
+                    "df", {"cnt": "sum"},
+                ).take_all()
+                dfv = np.array([r["df"] for r in fof], dtype=np.int64)
+                cnt = np.array([r["sum(cnt)"] for r in fof], dtype=np.float64)
+                order = np.argsort(dfv)
+                dfv, cnt = dfv[order], cnt[order]
+                cum = np.cumsum(cnt * dfv * (dfv - 1) / 2.0)
+                ok = dfv[cum <= max_pairs]
+                cap = int(ok[-1]) if len(ok) else 1
+                if df_cap is not None:
+                    cap = min(cap, int(df_cap))
+                import warnings
+
+                warnings.warn(
+                    f"ngram_jaccard_pairs: exact all-pairs would emit "
+                    f"{n_pairs:.3g} pairs (> max_pairs={max_pairs:.3g}); "
+                    f"degrading to df_cap={cap} (drops shingles shared "
+                    "by more docs — a pair is lost only if ALL its "
+                    "shared shingles exceed the cap; see docstring "
+                    "recall bound)."
+                )
+                cap_state["cap"] = cap
+            else:
+                raise ValueError(
+                    f"ngram_jaccard_pairs would emit {n_pairs:.3g} "
+                    f"co-occurrence pairs (bound max_pairs={max_pairs:.3g}) "
+                    "— the shingle df profile makes exact all-pairs "
+                    "near-quadratic on this corpus. Set df_cap (drops "
+                    "shingles shared by more docs than the cap; documented "
+                    "recall trade), pass on_excess='cap' to auto-pick the "
+                    "largest in-budget cap, use near_dup_groups "
+                    "(MinHash-LSH) instead, or raise max_pairs explicitly "
+                    "if the cost is intended."
+                )
+
+    if cap_state["cap"] is not None:
+        return _capped_jaccard(posts, cap_state["cap"], threshold)
 
     pairs = _sorted_block_map(posts, "h", emit_pairs)
     if max_pairs is not None:
@@ -1008,6 +1075,182 @@ def ngram_jaccard_pairs(
         pairs, ["doc_a", "doc_b"], {"na": "max", "nb": "max", "doc_a": "count"}
     )
     return counted.map_batches(finalize, batch_format="pyarrow")
+
+
+def _capped_jaccard(posts, cap: int, threshold: float):
+    """Df-capped Jaccard = stop-shingle removal THEN exact Jaccard:
+    shingles shared by more than ``cap`` docs are deleted from every
+    document's set, and similarity is computed over the surviving
+    (informative) shingle universe. Unlike capping only the
+    intersection, this keeps exact/near duplicates at jaccard ~1 even
+    when most of their shingles are corpus-common — the standard
+    stop-word-removal semantics of prefix-filter similarity joins.
+
+    Join-free Ray shape: the one hash-sorted pass emits BOTH
+    co-occurrence pairs (from sub-cap runs) and per-doc survivor
+    counts; pair counts and survivor totals aggregate independently,
+    then each side of the pair picks up its denominator via two
+    union + sort exchanges (sorted-run colocation, same pattern as
+    dup_span_counts) — never a broadcast of the doc table, never a
+    join operator. All post-guard tables are O(capped pairs + docs).
+    """
+    from cleanlab_ray.stages.topk import sorted_group_agg
+
+    def emit_tagged(batch: pa.Table) -> pa.Table:
+        h = batch["h"].to_numpy(zero_copy_only=False)
+        doc_arr = batch["doc"]
+        if isinstance(doc_arr, pa.ChunkedArray):
+            doc_arr = doc_arr.combine_chunks()
+        doc = doc_arr.to_numpy(zero_copy_only=False)
+        order = np.lexsort((doc, h))
+        h, doc = h[order], doc[order]
+        starts = _run_starts(h)
+        lens = np.diff(np.append(starts, len(h)))
+        keep = lens <= cap
+        starts, lens = starts[keep], lens[keep]
+        # member postings of surviving runs -> per-doc survivor counts
+        total = int(lens.sum())
+        if total:
+            offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            idx = np.arange(total, dtype=np.int64) + np.repeat(
+                starts - offs, lens)
+            v, c = np.unique(doc[idx], return_counts=True)
+        else:
+            v = doc[:0]
+            c = np.empty(0, dtype=np.int64)
+        pos_a, pos_b = _pairs_within_runs(starts, lens)
+        da = np.concatenate([doc[pos_a], v])
+        db = np.concatenate([doc[pos_b], v])
+        cnt = np.concatenate([np.zeros(len(pos_a), dtype=np.int64),
+                              c.astype(np.int64)])
+        kind = np.concatenate([np.zeros(len(pos_a), dtype=np.int8),
+                               np.ones(len(v), dtype=np.int8)])
+        return pa.table({
+            "doc_a": pa.array(da), "doc_b": pa.array(db),
+            "cnt": pa.array(cnt, type=pa.int64()),
+            "kind": pa.array(kind, type=pa.int8()),
+        })
+
+    tagged = _sorted_block_map(posts, "h", emit_tagged).materialize()
+
+    def only(kind_val: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["kind"], kind_val))
+        return f
+
+    inter = sorted_group_agg(
+        tagged.map_batches(only(0), batch_format="pyarrow")
+        .select_columns(["doc_a", "doc_b"]),
+        ["doc_a", "doc_b"], {"doc_a": "count"},
+    )  # (doc_a, doc_b, count(doc_a))
+    nsurv = sorted_group_agg(
+        tagged.map_batches(only(1), batch_format="pyarrow")
+        .select_columns(["doc_a", "cnt"]),
+        "doc_a", {"cnt": "sum"},
+    ).materialize()  # (doc_a=doc, sum(cnt)=survivor set size)
+
+    def attach(side_col: str, out_col: str):
+        """union(pair rows, survivor rows) sorted on ``side_col``; the
+        colocated survivor row fills ``out_col`` for every pair row of
+        that key (vectorized searchsorted within the sorted block)."""
+
+        def fill(batch: pa.Table) -> pa.Table:
+            kind = batch["kind"].to_numpy(zero_copy_only=False)
+            key_arr = batch[side_col]
+            if isinstance(key_arr, pa.ChunkedArray):
+                key_arr = key_arr.combine_chunks()
+            key = key_arr.to_numpy(zero_copy_only=False)
+            n = batch["n"].to_numpy(zero_copy_only=False)
+            is_n = kind == 1
+            nk, nv = key[is_n], n[is_n]
+            out = batch.filter(pa.array(~is_n))
+            pos = np.searchsorted(nk, key[~is_n])
+            vals = nv[np.minimum(pos, max(len(nk) - 1, 0))] if len(nk) else \
+                np.zeros(int((~is_n).sum()), dtype=np.int64)
+            return out.set_column(
+                out.schema.get_field_index("n"), out_col,
+                pa.array(vals.astype(np.int64)))
+
+        return fill
+
+    def pair_rows_pass1(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_a": batch["doc_a"], "doc_b": batch["doc_b"],
+            "inter": batch["count(doc_a)"].cast(pa.int64()),
+            "n": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+            "kind": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+        })
+
+    def nsurv_rows(side_col: str):
+        def f(batch: pa.Table) -> pa.Table:
+            z = np.zeros(batch.num_rows, dtype=np.int64)
+            d = batch["doc_a"]
+            return pa.table({
+                "doc_a": d if side_col == "doc_a" else d,
+                "doc_b": d,
+                "inter": pa.array(z),
+                "n": batch["sum(cnt)"].cast(pa.int64()),
+                "kind": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+            })
+        return f
+
+    # pass 1: na by doc_a (survivor rows keyed doc_a=doc)
+    u1 = inter.map_batches(pair_rows_pass1, batch_format="pyarrow").union(
+        nsurv.map_batches(nsurv_rows("doc_a"), batch_format="pyarrow"))
+    p1 = _sorted_block_map(u1, "doc_a", attach("doc_a", "na"))
+    # pass 2: nb by doc_b (survivor rows keyed doc_b=doc)
+
+    def swap_key(batch: pa.Table) -> pa.Table:
+        z = np.zeros(batch.num_rows, dtype=np.int64)
+        d = batch["doc_a"]
+        return pa.table({
+            "doc_a": d, "doc_b": d, "inter": pa.array(z),
+            "na": batch["sum(cnt)"].cast(pa.int64()),
+            "kind": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+        })
+
+    def relabel_p1(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_a": batch["doc_a"], "doc_b": batch["doc_b"],
+            "inter": batch["inter"], "na": batch["na"],
+            "kind": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+        })
+
+    u2 = p1.map_batches(relabel_p1, batch_format="pyarrow").union(
+        nsurv.map_batches(swap_key, batch_format="pyarrow"))
+
+    def fill_nb(batch: pa.Table) -> pa.Table:
+        kind = batch["kind"].to_numpy(zero_copy_only=False)
+        key_arr = batch["doc_b"]
+        if isinstance(key_arr, pa.ChunkedArray):
+            key_arr = key_arr.combine_chunks()
+        key = key_arr.to_numpy(zero_copy_only=False)
+        na = batch["na"].to_numpy(zero_copy_only=False)
+        is_n = kind == 1
+        nk, nv = key[is_n], na[is_n]
+        pair = batch.filter(pa.array(~is_n))
+        if pair.num_rows == 0:
+            return pa.table({
+                "doc_a": pair["doc_a"], "doc_b": pair["doc_b"],
+                "jaccard_e6": pa.array(
+                    np.empty(0, dtype=np.int64), type=pa.int64()),
+            })
+        pos = np.searchsorted(nk, key[~is_n])
+        nb = nv[np.minimum(pos, len(nk) - 1)] if len(nk) else np.zeros(
+            pair.num_rows, dtype=np.int64)
+        inter_v = pair["inter"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        na_v = pair["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = inter_v / np.maximum(na_v + nb - inter_v, 1.0)
+        keep = jac >= threshold
+        out = pair.filter(pa.array(keep))
+        return pa.table({
+            "doc_a": out["doc_a"], "doc_b": out["doc_b"],
+            "jaccard_e6": pa.array(
+                np.floor(jac[keep] * 1_000_000 + 0.5).astype(np.int64)),
+        })
+
+    return _sorted_block_map(u2, "doc_b", fill_nb)
 
 
 # ---------------------------------------------------------------------------

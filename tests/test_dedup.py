@@ -390,3 +390,73 @@ def test_ngram_jaccard_empty_input_with_guard(ray_session):
     out = ngram_jaccard_pairs(rd.from_arrow(t), threshold=0.0,
                               max_pairs=100).to_pandas()
     assert len(out) == 0
+
+
+def test_ngram_jaccard_on_excess_cap_degrades(ray_session):
+    """on_excess='cap': a guard-tripping corpus degrades to the largest
+    in-budget df_cap instead of raising; result equals the explicit
+    df_cap run; non-tripping corpora stay exact."""
+    import warnings
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.stages.dedup import ngram_jaccard_pairs
+
+    # every doc shares the same text -> one fat shingle run per shingle
+    t = pa.table({"doc_id": pa.array(range(40), type=pa.int64()),
+                  "text": pa.array(["common shared boilerplate"] * 40)})
+    ds = rd.from_arrow(t)
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(ds, threshold=0.0, max_pairs=100)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        capped = ngram_jaccard_pairs(ds, threshold=0.0, max_pairs=100,
+                                     on_excess="cap").to_pandas()
+    assert any("df_cap" in str(x.message) for x in w)
+    # all shingles have df=40 > any in-budget cap -> no pairs survive
+    assert len(capped) == 0
+
+    # a corpus under the budget is untouched (exact semantics)
+    t2 = pa.table({"doc_id": pa.array(range(4), type=pa.int64()),
+                   "text": pa.array([f"doc number {i} text" for i in range(4)])})
+    exact = ngram_jaccard_pairs(rd.from_arrow(t2), threshold=0.0,
+                                max_pairs=None).to_pandas()
+    auto = ngram_jaccard_pairs(rd.from_arrow(t2), threshold=0.0,
+                               max_pairs=1e6, on_excess="cap").to_pandas()
+    key = ["doc_a", "doc_b"]
+    assert exact.sort_values(key).reset_index(drop=True).equals(
+        auto.sort_values(key).reset_index(drop=True))
+
+
+def test_ngram_jaccard_cap_keeps_planted_dups(ray_session):
+    """Stop-shingle-removal semantics: duplicates whose shingles are
+    mostly corpus-common still score ~1.0 under a df cap, because the
+    denominators shrink to the surviving universe too."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.stages.dedup import ngram_jaccard_pairs
+
+    boiler = "common boilerplate every document repeats verbatim"
+    texts = [f"{boiler} unique tail {i:04d}" for i in range(30)]
+    texts.append(texts[7])  # planted exact duplicate of doc 7
+    t = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                  "text": pa.array(texts)})
+    got = ngram_jaccard_pairs(rd.from_arrow(t), threshold=0.9,
+                              df_cap=5).to_pandas()
+    assert [(r.doc_a, r.doc_b) for r in got.itertuples()] == [(7, 30)]
+    assert got["jaccard_e6"].iloc[0] == 1_000_000
+
+
+def test_connected_components_empty_edges(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.stages.components import connected_components
+
+    edges = rd.from_arrow(pa.table({
+        "doc_a": pa.array([], type=pa.int64()),
+        "doc_b": pa.array([], type=pa.int64())}))
+    out = connected_components(edges, src_col="doc_a", dst_col="doc_b")
+    assert out.count() == 0
