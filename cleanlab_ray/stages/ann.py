@@ -15,7 +15,6 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
@@ -62,11 +61,14 @@ def ann_brute_force(
             }
         )
 
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+    from cleanlab_ray.stages.topk import grouped_top_k
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow")
-    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+    # merge = top-k per query by (cos_sim DESC, vec_id ASC) — the
+    # sorted-run Arrow kernel, not a per-group pandas roundtrip (the
+    # native map_groups path costs ~0.3 ms/group; see stages/topk.py)
+    return grouped_top_k(partials, "query_id", "cos_sim", k,
+                         tie_cols=("vec_id",))
 
 
 def ann_lsh(
@@ -118,26 +120,26 @@ def ann_lsh(
         sims = sub @ q.T
         ids = batch[id_col].to_numpy(zero_copy_only=False)[idx]
         kk = min(k, sims.shape[0])
-        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]
-        rows = {"query_id": [], "vec_id": [], "cos_sim": []}
-        for qi in range(q.shape[0]):
-            sel = top[:, qi]
-            rows["query_id"].extend([qi] * len(sel))
-            rows["vec_id"].extend(ids[sel].tolist())
-            rows["cos_sim"].extend(sims[sel, qi].tolist())
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+        nq = q.shape[0]
+        qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        sel = top.T.reshape(-1)  # one flatten — no per-query loop
         return pa.table(
             {
-                "query_id": pa.array(rows["query_id"], type=pa.int64()),
-                "vec_id": pa.array(rows["vec_id"], type=pa.int64()),
-                "cos_sim": pa.array(rows["cos_sim"], type=pa.float64()),
+                "query_id": pa.array(qid),
+                "vec_id": pa.array(ids[sel].astype(np.int64)),
+                "cos_sim": pa.array(sims[sel, qid]),
             }
         )
 
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+    from cleanlab_ray.stages.topk import grouped_top_k
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow")
-    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+    # merge = top-k per query by (cos_sim DESC, vec_id ASC) — the
+    # sorted-run Arrow kernel, not a per-group pandas roundtrip (the
+    # native map_groups path costs ~0.3 ms/group; see stages/topk.py)
+    return grouped_top_k(partials, "query_id", "cos_sim", k,
+                         tie_cols=("vec_id",))
 
 
 def ann_ivf(
@@ -211,8 +213,11 @@ def ann_ivf(
             "cos_sim": pa.array(vals[ok]),
         })
 
-    def merge_topk(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["cos_sim", "vec_id"], ascending=[False, True]).head(k)
+    from cleanlab_ray.stages.topk import grouped_top_k
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow")
-    return partials.groupby("query_id").map_groups(merge_topk, batch_format="pandas")
+    # merge = top-k per query by (cos_sim DESC, vec_id ASC) — the
+    # sorted-run Arrow kernel, not a per-group pandas roundtrip (the
+    # native map_groups path costs ~0.3 ms/group; see stages/topk.py)
+    return grouped_top_k(partials, "query_id", "cos_sim", k,
+                         tie_cols=("vec_id",))

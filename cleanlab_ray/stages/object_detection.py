@@ -122,31 +122,55 @@ def per_class_ap(ds, num_classes: int, iou_threshold: float = 0.5):
             }
         )
 
-    def per_class(g: pd.DataFrame) -> pd.DataFrame:
-        c = int(g["class_idx"].iloc[0])
-        n_gt = int(g.loc[g["is_gt_row"], "n_gt"].sum())
-        preds = g[~g["is_gt_row"]].sort_values(
-            "score", ascending=False, kind="mergesort"
-        )
-        n_pred = len(preds)
-        if n_pred == 0:
-            ap = 0.0
-        else:
-            tp_cum = preds["tp"].to_numpy().cumsum()
-            fp_cum = (1.0 - preds["tp"].to_numpy()).cumsum()
-            eps = np.finfo(np.float32).eps
-            recalls = tp_cum / max(n_gt, eps)
-            precisions = tp_cum / np.maximum(tp_cum + fp_cum, eps)
-            ap = average_precision(recalls, precisions)
-        return pd.DataFrame(
-            {"class_idx": [c], "ap": [ap], "n_gt": [n_gt], "n_pred": [n_pred]}
-        )
+    def per_class_block(batch: pa.Table) -> pa.Table:
+        """All class runs of a sorted block in one kernel — a loop over
+        the (few) classes, each vectorized; replaces the per-group
+        pandas map_groups roundtrip (~0.3 ms/group)."""
+        if batch.num_rows == 0:
+            return pa.table({
+                "class_idx": pa.array([], type=pa.int64()),
+                "ap": pa.array([], type=pa.float64()),
+                "n_gt": pa.array([], type=pa.int64()),
+                "n_pred": pa.array([], type=pa.int64()),
+            })
+        cls = batch["class_idx"].to_numpy(zero_copy_only=False)
+        score = batch["score"].to_numpy(zero_copy_only=False)
+        tp = batch["tp"].to_numpy(zero_copy_only=False)
+        ngt_col = batch["n_gt"].to_numpy(zero_copy_only=False)
+        is_gt = batch["is_gt_row"].to_numpy(zero_copy_only=False)
+        eps = np.finfo(np.float32).eps
+        out_c, out_ap, out_gt, out_np = [], [], [], []
+        for c in np.unique(cls):
+            m = cls == c
+            n_gt = int(ngt_col[m & is_gt].sum())
+            pm = m & ~is_gt
+            s, t = score[pm], tp[pm]
+            n_pred = int(pm.sum())
+            if n_pred == 0:
+                ap = 0.0
+            else:
+                order = np.argsort(-s, kind="stable")
+                tp_cum = t[order].cumsum()
+                fp_cum = (1.0 - t[order]).cumsum()
+                recalls = tp_cum / max(n_gt, eps)
+                precisions = tp_cum / np.maximum(tp_cum + fp_cum, eps)
+                ap = average_precision(recalls, precisions)
+            out_c.append(int(c))
+            out_ap.append(float(ap))
+            out_gt.append(n_gt)
+            out_np.append(n_pred)
+        return pa.table({
+            "class_idx": pa.array(out_c, type=pa.int64()),
+            "ap": pa.array(out_ap, type=pa.float64()),
+            "n_gt": pa.array(out_gt, type=pa.int64()),
+            "n_pred": pa.array(out_np, type=pa.int64()),
+        })
 
-    return (
-        ds.map_batches(per_image, batch_format="pyarrow")
-        .groupby("class_idx")
-        .map_groups(per_class, batch_format="pandas")
-    )
+    from cleanlab_ray.stages.dedup import _sorted_block_map
+
+    return _sorted_block_map(
+        ds.map_batches(per_image, batch_format="pyarrow"),
+        "class_idx", per_class_block)
 
 
 # ---------------------------------------------------------------------------

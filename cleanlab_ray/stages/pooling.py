@@ -50,60 +50,93 @@ def pool_conversations(
     ``salt`` rows regardless of conversation length.
     """
 
-    def pool_direct(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(turn_col)
-        s = g[score_col].to_numpy(dtype=np.float64)
-        mn, sm, n, a, b = _partials(s, temperature)
-        return pd.DataFrame(
-            {
-                conv_col: [g[conv_col].iloc[0]],
-                "n_turns": [n],
-                "min_score": [mn],
-                "mean_score": [sm / n],
-                "softmin_score": [a / b],
-            }
-        )
-
     if salt is None:
-        return ds.groupby(conv_col).map_groups(pool_direct, batch_format="pandas")
+        return pool_conversations_fast(
+            ds, score_col=score_col, conv_col=conv_col,
+            temperature=temperature)
 
-    def add_salt(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["_salt"] = batch[turn_col] // salt
-        return batch
+    import pyarrow as pa
 
-    def pool_partial(g: pd.DataFrame) -> pd.DataFrame:
-        s = g[score_col].to_numpy(dtype=np.float64)
-        mn, sm, n, a, b = _partials(s, temperature)
-        return pd.DataFrame(
-            {
-                conv_col: [g[conv_col].iloc[0]],
-                "_min": [mn],
-                "_sum": [sm],
-                "_n": [n],
-                "_a": [a],
-                "_b": [b],
-            }
+    from cleanlab_ray.stages.topk import sorted_group_agg
+
+    # level 1: per-batch partials keyed (conv, turn_idx // salt), then a
+    # sorted-run merge on that pair — any single first-level group holds
+    # at most ``salt`` turns regardless of conversation length. Both
+    # levels are the sorted-run Arrow kernel (one sort exchange +
+    # O(rows) run merge each); no per-group pandas roundtrips anywhere
+    # (the old map_groups formulation paid ~0.3 ms/group at BOTH levels
+    # — the per-group wall BASELINE.md measured, twice).
+    def batch_partials(batch: pa.Table) -> pa.Table:
+        conv = batch[conv_col].to_pandas()
+        bucket = (
+            batch[turn_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            // salt
         )
+        s = batch[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        codes, uniques = pd.factorize(
+            pd.MultiIndex.from_arrays([conv, bucket]))
+        n_groups = len(uniques)
+        e = np.exp((1.0 - s) / temperature)
+        order = np.argsort(codes, kind="stable")
+        seg = np.searchsorted(np.sort(codes), np.arange(n_groups))
+        return pa.table({
+            conv_col: pa.array(uniques.get_level_values(0),
+                               type=pa.string()),
+            "_salt": pa.array(
+                uniques.get_level_values(1).to_numpy().astype(np.int64)),
+            "_min": pa.array(
+                np.full(n_groups, np.inf) if n_groups == 0
+                else np.minimum.reduceat(s[order], seg)),
+            "_sum": pa.array(np.bincount(codes, weights=s,
+                                         minlength=n_groups)),
+            "_n": pa.array(np.bincount(codes, minlength=n_groups)
+                           .astype(np.int64)),
+            "_a": pa.array(np.bincount(codes, weights=s * e,
+                                       minlength=n_groups)),
+            "_b": pa.array(np.bincount(codes, weights=e,
+                                       minlength=n_groups)),
+        })
 
-    def pool_merge(g: pd.DataFrame) -> pd.DataFrame:
-        n = int(g["_n"].sum())
-        return pd.DataFrame(
-            {
-                conv_col: [g[conv_col].iloc[0]],
-                "n_turns": [n],
-                "min_score": [float(g["_min"].min())],
-                "mean_score": [float(g["_sum"].sum()) / n],
-                "softmin_score": [float(g["_a"].sum()) / float(g["_b"].sum())],
-            }
-        )
-
-    partials = (
-        ds.map_batches(add_salt, batch_format="pandas")
-        .groupby([conv_col, "_salt"])
-        .map_groups(pool_partial, batch_format="pandas")
+    level1 = sorted_group_agg(
+        ds.map_batches(batch_partials, batch_format="pyarrow"),
+        [conv_col, "_salt"],
+        {"_min": "min", "_sum": "sum", "_n": "sum", "_a": "sum",
+         "_b": "sum"},
     )
-    return partials.groupby(conv_col).map_groups(pool_merge, batch_format="pandas")
+
+    def rekey(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            conv_col: batch[conv_col],
+            "_min": batch["min(_min)"], "_sum": batch["sum(_sum)"],
+            "_n": batch["sum(_n)"], "_a": batch["sum(_a)"],
+            "_b": batch["sum(_b)"],
+        })
+
+    merged = sorted_group_agg(
+        level1.map_batches(rekey, batch_format="pyarrow"),
+        conv_col,
+        {"_min": "min", "_sum": "sum", "_n": "sum", "_a": "sum",
+         "_b": "sum"},
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch["sum(_n)"].to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return pa.table({
+            conv_col: batch[conv_col],
+            "n_turns": pa.array(n.astype(np.int64)),
+            "min_score": batch["min(_min)"],
+            "mean_score": pa.array(
+                batch["sum(_sum)"].to_numpy(zero_copy_only=False)
+                / np.maximum(n, 1.0)),
+            "softmin_score": pa.array(
+                batch["sum(_a)"].to_numpy(zero_copy_only=False)
+                / np.maximum(
+                    batch["sum(_b)"].to_numpy(zero_copy_only=False),
+                    1e-300)),
+        })
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
 
 
 def pool_conversations_fast(

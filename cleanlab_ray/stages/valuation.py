@@ -18,7 +18,6 @@ Per datalab's issue manager the exported score is ``0.5 * (1 + value)``
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 
@@ -69,30 +68,55 @@ def data_valuation(
         bucket = signs.dot(1 << np.arange(num_planes)).astype(np.int64)
         return batch.append_column("bucket", pa.array(bucket, type=pa.int64()))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(list(key_cols), kind="mergesort").reset_index(drop=True)
-        n = len(g)
-        kk = min(k, n - 1)
-        out = g[list(key_cols)].copy()
-        if kk < 1:
-            out["data_valuation_score"] = 0.5
-            out["is_data_valuation_issue"] = False
-            return out
-        mat = np.stack(g[embedding_col].to_numpy()).astype(np.float64)
-        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
-        sims = (mat / norms) @ (mat / norms).T
-        np.fill_diagonal(sims, -np.inf)  # leave-self-out
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
-        y = g[label_col].to_numpy()
-        values = knn_shapley_score(order, y, kk)
-        score = 0.5 * (1.0 + values)
-        out["data_valuation_score"] = score
-        out["is_data_valuation_issue"] = score < threshold
-        return out
+    def per_bucket_block(batch: pa.Table) -> pa.Table:
+        """All bucket runs of one sorted block — a loop over the (few)
+        buckets, each an O(n_b²) vectorized kernel; replaces the
+        per-group pandas map_groups roundtrip."""
+        key_arrays = {c: batch[c].to_numpy(zero_copy_only=False)
+                      for c in key_cols}
+        emb = batch[embedding_col]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = np.asarray(emb.values, dtype=np.float64)
+        n_rows = batch.num_rows
+        mat_all = flat.reshape(n_rows, -1) if n_rows else flat.reshape(0, 1)
+        y_all = batch[label_col].to_numpy(zero_copy_only=False)
+        bucket = batch["bucket"].to_numpy(zero_copy_only=False)
+        out_keys = {c: [] for c in key_cols}
+        out_score = []
+        for b in np.unique(bucket):
+            idx = np.flatnonzero(bucket == b)
+            # stable order by key columns (the old pandas sort_values)
+            order = np.lexsort(tuple(
+                key_arrays[c][idx] for c in reversed(key_cols)))
+            idx = idx[order]
+            n = len(idx)
+            kk = min(k, n - 1)
+            if kk < 1:
+                score = np.full(n, 0.5)
+            else:
+                mat = mat_all[idx]
+                norms = np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+                sims = (mat / norms) @ (mat / norms).T
+                np.fill_diagonal(sims, -np.inf)  # leave-self-out
+                nbrs = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+                values = knn_shapley_score(nbrs, y_all[idx], kk)
+                score = 0.5 * (1.0 + values)
+            for c in key_cols:
+                out_keys[c].append(key_arrays[c][idx])
+            out_score.append(score)
+        score = (np.concatenate(out_score) if out_score
+                 else np.empty(0, dtype=np.float64))
+        cols = {c: pa.array(np.concatenate(out_keys[c]) if out_keys[c]
+                            else key_arrays[c][:0]) for c in key_cols}
+        cols["data_valuation_score"] = pa.array(score)
+        cols["is_data_valuation_issue"] = pa.array(score < threshold)
+        return pa.table(cols)
 
-    return (
+    from cleanlab_ray.stages.dedup import _sorted_block_map
+
+    return _sorted_block_map(
         ds.select_columns([*key_cols, embedding_col, label_col])
-        .map_batches(bucketize, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(per_bucket, batch_format="pandas")
-    )
+        .map_batches(bucketize, batch_format="pyarrow"),
+        "bucket", per_bucket_block)
