@@ -302,7 +302,10 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
     k = num_classes
     consensus, _stats = majority_vote_consensus(
         annotations_ds, num_classes=k, _with_crowdlab_scalars=True)
-    consensus = consensus.materialize()
+    # consensus is a cheap filter over majority_vote_consensus's already-
+    # materialized blocks and is consumed exactly once (the join below) —
+    # re-materializing it would add a whole Dataset-execution fixed cost
+    # for nothing.
 
     # --- scalar state (reference :1394-1440 quantities): the per-block
     # partials rode the majority-vote exchange as pseudo-annotator rows
@@ -636,39 +639,55 @@ def label_quality_multiannotator(annotations_ds, examples_ds, num_classes: int,
          "consensus_quality"]
     )
 
-    from ray.data.aggregate import Count, Mean, Sum
+    from ray.data.aggregate import Count, Sum
 
     ann_rows = _filter_row_type(combined, "annotation")
-    per_ann = (
-        ann_rows.groupby("annotator_id")
-        .aggregate(
-            Mean("lq", alias_name="mean_lq"),
-            Count(alias_name="num_examples_labeled"),
-            Sum("agree", alias_name="_agree_any"),
-        )
-        .to_pandas()
-    )
-    # agreement restricted to multi-annotated examples (reference :1789-1800)
-    def multi_only(batch):
+
+    # ONE fused (annotator, label)-grained aggregate carries every stat the
+    # reference derives from the annotation rows (:1722-1905): per-class
+    # sums roll up to per-annotator means on the driver (M*K rows, tiny),
+    # and agreement-restricted-to-multi rides as a product column instead
+    # of a second filtered pass. Replaces three sequential Dataset
+    # executions with one.
+    def add_agree_multi(batch):
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        return batch.filter(pc.equal(batch["multi"], 1.0))
+        return batch.append_column(
+            "agree_multi", pc.multiply(batch["agree"], batch["multi"]))
 
-    per_ann_multi = (
-        ann_rows.map_batches(multi_only, batch_format="pyarrow")
-        .groupby("annotator_id")
-        .aggregate(Mean("agree", alias_name="agreement_multi"))
-        .to_pandas()
-    )
-    stats = per_ann.merge(per_ann_multi, on="annotator_id", how="left")
-    # worst class per annotator: lowest per-class agreement (tiny M*K table)
     per_class = (
-        ann_rows.groupby(["annotator_id", "label"])
-        .aggregate(Mean("agree", alias_name="class_acc"))
+        ann_rows.map_batches(add_agree_multi, batch_format="pyarrow")
+        .groupby(["annotator_id", "label"])
+        .aggregate(
+            Count(alias_name="cnt"),
+            Sum("lq", alias_name="lq_sum"),
+            Sum("agree", alias_name="agree_sum"),
+            Sum("multi", alias_name="multi_sum"),
+            Sum("agree_multi", alias_name="agree_multi_sum"),
+        )
         .to_pandas()
-        .sort_values(["annotator_id", "class_acc", "label"], kind="mergesort")
     )
+    per_ann = per_class.groupby("annotator_id", as_index=False).agg(
+        num_examples_labeled=("cnt", "sum"),
+        _lq_sum=("lq_sum", "sum"),
+        _multi_sum=("multi_sum", "sum"),
+        _agree_multi_sum=("agree_multi_sum", "sum"),
+    )
+    per_ann["mean_lq"] = per_ann["_lq_sum"] / per_ann["num_examples_labeled"]
+    per_ann["agreement_multi"] = np.where(
+        per_ann["_multi_sum"] > 0,
+        per_ann["_agree_multi_sum"] / per_ann["_multi_sum"].clip(lower=1e-12),
+        np.nan,
+    )
+    stats = per_ann[
+        ["annotator_id", "mean_lq", "num_examples_labeled", "agreement_multi"]
+    ]
+    # worst class per annotator: lowest per-class agreement (ties broken by
+    # lowest class index, as before)
+    per_class["class_acc"] = per_class["agree_sum"] / per_class["cnt"]
+    per_class = per_class.sort_values(
+        ["annotator_id", "class_acc", "label"], kind="mergesort")
     worst = per_class.groupby("annotator_id").first().reset_index()[
         ["annotator_id", "label"]
     ].rename(columns={"label": "worst_class"})
