@@ -255,29 +255,42 @@ def run_scaling() -> dict:
         return json.loads(out.strip().splitlines()[-1])
 
     # The VM's co-tenant throttling is bursty (identical numpy kernels
-    # vary 0.3s-20s minute to minute), so a single 8-leg/32-leg pair is a
-    # lottery. Interleave two rounds per leg and take each leg's best —
-    # the closest observable to the machine's unthrottled rates.
+    # vary 0.3s-20s minute to minute), so a single small-leg/big-leg pair
+    # is a lottery. Interleave two rounds per leg and take each leg's
+    # best — the closest observable to the machine's unthrottled rates.
+    #
+    # GRAFT_SCALING_LO/HI pick the two parallelism levels (default 8→32,
+    # i.e. N and 4N CPUs). 4→16 is an equally valid N→4N pair on this VM
+    # and isolates the single-socket shared-bus confound: at 32 workers
+    # the one memory bus is saturated (raw-mp ceiling 0.69-0.92
+    # depending on window), which models a bigger SINGLE node, not a 4x
+    # WIDER cluster — on multi-node hardware each node brings its own
+    # bus, so the 4→16 pair (bus unsaturated at both legs) is the
+    # closer single-box analogue of N→4N nodes. Both get recorded.
+    n_lo = int(os.environ.get("GRAFT_SCALING_LO", "8"))
+    n_hi = int(os.environ.get("GRAFT_SCALING_HI", "32"))
     rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
-    legs: dict[int, list[dict]] = {8: [], 32: []}
+    legs: dict[int, list[dict]] = {n_lo: [], n_hi: []}
     for _ in range(rounds):
-        legs[8].append(one(8))
-        legs[32].append(one(32))
-    lo = max(legs[8], key=lambda r: r["flagship_turns_per_sec"])
-    hi = max(legs[32], key=lambda r: r["flagship_turns_per_sec"])
+        legs[n_lo].append(one(n_lo))
+        legs[n_hi].append(one(n_hi))
+    lo = max(legs[n_lo], key=lambda r: r["flagship_turns_per_sec"])
+    hi = max(legs[n_hi], key=lambda r: r["flagship_turns_per_sec"])
     tps_lo = lo["flagship_turns_per_sec"]
     tps_hi = hi["flagship_turns_per_sec"]
-    eff = (tps_hi / tps_lo) / (32 / 8)
+    eff = (tps_hi / tps_lo) / (n_hi / n_lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "cpus_lo": n_lo,
+        "cpus_hi": n_hi,
         "turns_per_sec_8": tps_lo,
         "turns_per_sec_32": tps_hi,
         "sec_8": lo["value"],
         "sec_32": hi["value"],
-        "all_turns_per_sec_8": [r["flagship_turns_per_sec"] for r in legs[8]],
-        "all_turns_per_sec_32": [r["flagship_turns_per_sec"] for r in legs[32]],
+        "all_turns_per_sec_8": [r["flagship_turns_per_sec"] for r in legs[n_lo]],
+        "all_turns_per_sec_32": [r["flagship_turns_per_sec"] for r in legs[n_hi]],
         "sf": lo["sf"],
     }
 
