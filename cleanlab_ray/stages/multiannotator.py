@@ -27,21 +27,12 @@ import pandas as pd
 EX_KEYS = ["conv_id", "turn_idx"]
 
 
-def majority_vote_consensus(ds, num_classes: int,
-                            _with_crowdlab_scalars: bool = False):
+def majority_vote_consensus(ds, num_classes: int):
     """Returns (consensus Dataset, annotator stats Dataset).
 
     consensus: conv_id, turn_idx, consensus_label, num_annotations,
                annotator_agreement (frac agreeing with consensus).
     annotator stats: annotator_id, num_labeled, agreement_with_consensus.
-
-    ``_with_crowdlab_scalars`` (internal, used by _crowdlab_combined):
-    the block kernel additionally emits per-block pseudo-rows
-    (annotator_id '__scalar_*') carrying the CROWDLAB global-scalar
-    partials (sum agreement | multi, n_multi, consensus-class bincount)
-    in the w_sum column — they ride the existing annotator-stats
-    groupby, eliminating a whole extra aggregate pass; the caller pops
-    them from the stats frame.
 
     Shape: ONE sort exchange on the example key + a whole-block
     vectorized run kernel (bincount over (run, class) cells) — NOT
@@ -50,8 +41,9 @@ def majority_vote_consensus(ds, num_classes: int,
     per-annotator (agree, total) contributions map-side, so the
     annotator-stats groupby sees O(annotators x blocks) rows, AND the
     CROWDLAB agreement-with-other-annotators partials (w_sum, w_total —
-    reference multiannotator.py:1304-1393), so _crowdlab_combined needs
-    no second sort exchange over the annotations."""
+    reference multiannotator.py:1304-1393). (The CROWDLAB pipeline
+    itself uses the fully fused :func:`_crowdlab_combined` path; this
+    standalone surface serves the majority-vote queries.)"""
     import pyarrow as pa
     import pyarrow.compute as pc
     from ray.data.aggregate import AggregateFn, Sum
@@ -156,27 +148,6 @@ def majority_vote_consensus(ds, num_classes: int,
             ann_ids_out = np.empty(0, dtype=object)
             agree_out = total_out = np.empty(0, dtype=np.int64)
             wsum_out = wtot_out = np.empty(0, dtype=np.float64)
-        if _with_crowdlab_scalars:
-            # per-block CROWDLAB scalar partials as pseudo-annotator
-            # rows (values in w_sum; summed by the stats groupby) —
-            # emitted for EVERY non-empty block, including blocks whose
-            # rows all carry null labels (n_ann == 0 runs still count
-            # toward n_multi, matching the reference's n_ann != 1 mask)
-            multi_run = n_ann != 1
-            scal_ids = np.array(
-                ["__scalar_agree__", "__scalar_nmulti__"]
-                + [f"__scalar_cls_{j}__" for j in range(k)], dtype=object)
-            scal_vals = np.concatenate([
-                [float(agreement[multi_run].sum()), float(multi_run.sum())],
-                np.bincount(consensus[multi_run], minlength=k).astype(np.float64),
-            ])
-            s = len(scal_ids)
-            ann_ids_out = np.concatenate([ann_ids_out, scal_ids])
-            agree_out = np.concatenate([agree_out, np.zeros(s, np.int64)])
-            total_out = np.concatenate([total_out, np.zeros(s, np.int64)])
-            wsum_out = np.concatenate([wsum_out, scal_vals])
-            wtot_out = np.concatenate([wtot_out, np.zeros(s)])
-            m += s
         if m == 0:
             return cons_tbl
         ann_tbl = pa.table({
@@ -262,6 +233,161 @@ def generate_annotations(transcripts_table, num_annotators: int = 5, seed: int =
 # CROWDLAB — model-weighted consensus quality
 # ---------------------------------------------------------------------------
 
+def _crowdlab_class_freq_blocks(k: int, *blocks) -> np.ndarray:
+    """Per-block global class-frequency partial over the tagged union's
+    annotation rows (example rows carry null labels and drop out) —
+    tie-break input, reference multiannotator.py:996-1009."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    acc = np.zeros(k, dtype=np.int64)
+    for block in blocks:
+        lab = pc.fill_null(
+            pc.cast(block["label"], pa.int64()), -1
+        ).to_numpy(zero_copy_only=False)
+        v = lab[(lab >= 0) & (lab < k)]
+        acc += np.bincount(v, minlength=k)
+    return acc
+
+
+def _crowdlab_run_state(block, k: int, tie_key: np.ndarray):
+    """Shared per-block run decomposition + consensus for the sorted
+    tagged union (annotation rows ∪ example rows, sorted on EX_KEYS so
+    equal keys are block-local). Returns the intermediate arrays both
+    the stats fan-out and the posterior map derive from — ONE
+    deterministic formula, so the two passes always agree."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from cleanlab_ray.stages.dedup import _run_starts
+
+    n = block.num_rows
+    conv = np.asarray(block[EX_KEYS[0]].to_pandas(), dtype=object)
+    turn = block[EX_KEYS[1]].to_numpy(zero_copy_only=False)
+    if n > 1 and not bool(np.all(conv[1:] >= conv[:-1])):
+        # same loud precondition _sorted_block_map guards: Ray's sort
+        # must hand this kernel internally-sorted blocks
+        raise AssertionError(
+            "crowdlab: block not sorted on conv_id; run-colocation "
+            "precondition violated"
+        )
+    is_ex = block["is_example_row"].to_numpy(zero_copy_only=False)
+    lab = pc.fill_null(
+        pc.cast(block["label"], pa.int64()), -1
+    ).to_numpy(zero_copy_only=False)
+    starts = _run_starts(conv, turn)
+    n_runs = len(starts)
+    sizes = np.diff(np.append(starts, n))
+    run_of_row = np.repeat(np.arange(n_runs, dtype=np.int64), sizes)
+    ann_mask = ~is_ex
+    n_rows_ann = np.bincount(run_of_row[ann_mask], minlength=n_runs)
+    valid = ann_mask & (lab >= 0)
+    C = np.bincount(
+        run_of_row[valid] * k + lab[valid], minlength=n_runs * k
+    ).reshape(n_runs, k)
+    top = C.max(axis=1)
+    # among modal classes, minimize (global freq, class index)
+    key = np.where(C == top[:, None], tie_key[None, :], np.iinfo(np.int64).max)
+    consensus = key.argmin(axis=1).astype(np.int64)
+    n_ann = C.sum(axis=1).astype(np.int64)
+    agreement = C[np.arange(n_runs), consensus] / np.maximum(n_ann, 1)
+    ex_rows = np.flatnonzero(is_ex)
+    has_ex = np.zeros(n_runs, dtype=bool)
+    ex_of_run = np.zeros(n_runs, dtype=np.int64)
+    has_ex[run_of_row[ex_rows]] = True
+    ex_of_run[run_of_row[ex_rows]] = ex_rows
+    return dict(
+        conv=conv, turn=turn, is_ex=is_ex, lab=lab, run_of_row=run_of_row,
+        n_runs=n_runs, n_rows_ann=n_rows_ann, valid=valid, C=C,
+        consensus=consensus, n_ann=n_ann, agreement=agreement,
+        has_ex=has_ex, ex_of_run=ex_of_run,
+    )
+
+
+def _crowdlab_stats_block(P: int, k: int, tie_key: np.ndarray, *blocks):
+    """Per-block partials for every driver-side CROWDLAB scalar, fanned
+    out over the materialized sorted union (no extra exchange):
+
+    scal = [sum(agreement | multi ann-run), n_multi ann-runs,
+            consensus-class bincount over multi ann-runs (k),
+            model err_0..err_{P-1} over multi joined runs,
+            n multi joined runs, Σ n_ann over joined runs,
+            n joined runs]
+    plus per-annotator (id, agree, total, w_sum, w_total) partial rows
+    (reference multiannotator.py:1304-1393 agreement-with-others and
+    :1466-1476 / :1607-1613 ensemble model error). A "joined" run has
+    both ≥1 annotation row and an example row — the inner-join
+    semantics of the reference's example⋈consensus alignment."""
+    scal = np.zeros(2 + k + P + 3, dtype=np.float64)
+    ids_parts, agree_parts, total_parts, wsum_parts, wtot_parts = [], [], [], [], []
+    prob_cols = [f"_q{i}" for i in range(P * k)]
+    for block in blocks:
+        if block.num_rows == 0:
+            continue
+        st = _crowdlab_run_state(block, k, tie_key)
+        run_of_row, n_rows_ann = st["run_of_row"], st["n_rows_ann"]
+        consensus, n_ann, agreement = st["consensus"], st["n_ann"], st["agreement"]
+        lab, valid, C = st["lab"], st["valid"], st["C"]
+        has_ann = n_rows_ann > 0
+        multi_run = (n_ann != 1) & has_ann
+        scal[0] += float(agreement[multi_run].sum())
+        scal[1] += float(multi_run.sum())
+        scal[2 : 2 + k] += np.bincount(consensus[multi_run], minlength=k)
+        rows = np.flatnonzero(valid)
+        if len(rows):
+            ann_ids = np.asarray(
+                block["annotator_id"].to_pandas(), dtype=object
+            )[rows]
+            agree_vec = (lab[rows] == consensus[run_of_row[rows]]).astype(np.int64)
+            multi = n_rows_ann[run_of_row[rows]] > 1
+            matches = np.where(
+                multi, C[run_of_row[rows], lab[rows]] - 1, 0
+            ).astype(np.float64)
+            denom = np.where(
+                multi, n_rows_ann[run_of_row[rows]] - 1, 0
+            ).astype(np.float64)
+            codes, uniq = pd.factorize(ann_ids)
+            m = len(uniq)
+            ids_parts.append(uniq.astype(object))
+            agree_parts.append(
+                np.bincount(codes, weights=agree_vec, minlength=m).astype(np.int64))
+            total_parts.append(np.bincount(codes, minlength=m).astype(np.int64))
+            wsum_parts.append(np.bincount(codes, weights=matches, minlength=m))
+            wtot_parts.append(np.bincount(codes, weights=denom, minlength=m))
+        joined = st["has_ex"] & has_ann
+        if joined.any():
+            m_mask = joined & (n_ann != 1)
+            if m_mask.any():
+                ex_idx = st["ex_of_run"][m_mask]
+                probs = np.stack(
+                    [block[c].to_numpy(zero_copy_only=False)[ex_idx]
+                     for c in prob_cols], axis=1
+                ).astype(np.float64)
+                cons_m = consensus[m_mask]
+                for p in range(P):
+                    sub = probs[:, p * k : (p + 1) * k]
+                    scal[2 + k + p] += float((sub.argmax(1) != cons_m).sum())
+                scal[2 + k + P] += float(m_mask.sum())
+            scal[2 + k + P + 1] += float(n_ann[joined].sum())
+            scal[2 + k + P + 2] += float(joined.sum())
+    if ids_parts:
+        ids = np.concatenate(ids_parts)
+        ann_part = (
+            ids,
+            np.concatenate(agree_parts),
+            np.concatenate(total_parts),
+            np.concatenate(wsum_parts),
+            np.concatenate(wtot_parts),
+        )
+    else:
+        ann_part = (
+            np.empty(0, dtype=object), np.empty(0, np.int64),
+            np.empty(0, np.int64), np.empty(0, np.float64),
+            np.empty(0, np.float64),
+        )
+    return scal, ann_part
+
+
 def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
                        num_join_partitions: int = 8, num_models: int = 1):
     """CROWDLAB posterior label probabilities + weights, long-format.
@@ -287,48 +413,120 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
                               annotator (consensus/non-consensus
                               likelihood) votes, normalized.
 
+    Shape — ONE exchange total: tag annotation rows and example rows
+    (model priors exploded to scalar prob columns) into a uniform
+    schema, union, sort on the example key (Ray's sort range-partitions
+    so equal keys are block-local — the _sorted_block_map guarantee),
+    materialize. Consensus, per-annotator agreement, the CROWDLAB
+    global scalars AND the per-model error are then raw-task fan-outs
+    over the materialized sorted block refs (the _fanout_pass2
+    pattern: only O(M + P + K) floats return per task), and the
+    posterior is a lazy whole-block map over the SAME blocks that
+    recomputes each run's consensus from the same broadcast tie-break
+    state — deterministic, so the passes agree bit-for-bit. Replaces
+    the previous consensus sort + examples⋈consensus hash join +
+    posterior union-sort (three exchanges, five Dataset executions)
+    with one exchange and one driver barrier; the annotation text and
+    model priors ride the exchange exactly once.
+
+    ``num_join_partitions`` is retained for API compatibility; the
+    fused path has no hash join.
+
     ``annotations_ds``: (conv_id, turn_idx, annotator_id, label);
     ``examples_ds``: (conv_id, turn_idx, pred_probs fixed_size_list[K]).
-    All exchanges are groupbys/hash-joins on the example key; the only
-    broadcast state is O(M + K) scalars.
+    The only broadcast state is O(M + K) scalars.
     Returns (posterior Dataset keyed by example with post_pred_probs +
     crowdlab_label + consensus_quality, info dict with weights).
     """
     import pyarrow as pa
     import pyarrow.compute as pc
+    import ray as _ray
 
     from cleanlab_ray.state.confident import pred_probs_to_numpy
 
     k = num_classes
-    consensus, _stats = majority_vote_consensus(
-        annotations_ds, num_classes=k, _with_crowdlab_scalars=True)
-    # consensus is a cheap filter over majority_vote_consensus's already-
-    # materialized blocks and is consumed exactly once (the join below) —
-    # re-materializing it would add a whole Dataset-execution fixed cost
-    # for nothing.
+    P = int(num_models)
+    pk = P * k
+    prob_f64 = [f"_q{i}" for i in range(pk)]
+    union_cols = [*EX_KEYS, "annotator_id", "label", *prob_f64, "is_example_row"]
 
-    # --- scalar state (reference :1394-1440 quantities): the per-block
-    # partials rode the majority-vote exchange as pseudo-annotator rows
-    # and arrive pre-summed in the stats frame — no extra aggregate pass
-    stats_df = _stats.to_pandas().set_index("annotator_id")
-    sum_agree = float(stats_df.loc["__scalar_agree__", "w_sum"])
-    n_multi = max(float(stats_df.loc["__scalar_nmulti__", "w_sum"]), 1.0)
-    class_counts = np.array(
-        [float(stats_df.loc[f"__scalar_cls_{j}__", "w_sum"]) for j in range(k)])
-    stats_df = stats_df[~stats_df.index.str.startswith("__scalar_")]
+    def tag_annotation(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        cols = {
+            EX_KEYS[0]: pc.cast(batch[EX_KEYS[0]], pa.string()),
+            EX_KEYS[1]: pc.cast(batch[EX_KEYS[1]], pa.int64()),
+            "annotator_id": pc.cast(batch["annotator_id"], pa.string()),
+            "label": pc.cast(batch["label"], pa.int64()),
+        }
+        for c in prob_f64:
+            cols[c] = pa.nulls(n, pa.float64())
+        cols["is_example_row"] = pa.array(np.zeros(n, dtype=bool))
+        return pa.table(cols).select(union_cols)
+
+    def tag_example(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        probs = pred_probs_to_numpy(batch["pred_probs"]).astype(np.float64)
+        cols = {
+            EX_KEYS[0]: pc.cast(batch[EX_KEYS[0]], pa.string()),
+            EX_KEYS[1]: pc.cast(batch[EX_KEYS[1]], pa.int64()),
+            "annotator_id": pa.nulls(n, pa.string()),
+            "label": pa.nulls(n, pa.int64()),
+        }
+        for j, c in enumerate(prob_f64):
+            cols[c] = pa.array(probs[:, j])
+        cols["is_example_row"] = pa.array(np.ones(n, dtype=bool))
+        return pa.table(cols).select(union_cols)
+
+    ann_tagged = annotations_ds.select_columns(
+        [*EX_KEYS, "annotator_id", "label"]
+    ).map_batches(tag_annotation, batch_format="pyarrow")
+    ex_tagged = examples_ds.select_columns(
+        [*EX_KEYS, "pred_probs"]
+    ).map_batches(tag_example, batch_format="pyarrow")
+
+    sorted_union = ann_tagged.union(ex_tagged).sort(EX_KEYS).materialize()
+    refs = sorted_union.to_arrow_refs()
+
+    # fan-out 0: global class frequencies for tie-break 1 (a flat
+    # bincount — cheap raw tasks, no Dataset-execution fixed cost)
+    freq_task = _ray.remote(_crowdlab_class_freq_blocks)
+    freq_parts = _ray.get([
+        freq_task.remote(k, *refs[i : i + 8]) for i in range(0, len(refs), 8)
+    ]) or [np.zeros(k, dtype=np.int64)]
+    class_freq = np.sum(freq_parts, axis=0).astype(np.int64)
+    # lexicographic (global freq ASC, class index ASC) tie-break key
+    tie_key = class_freq * np.int64(k) + np.arange(k, dtype=np.int64)
+
+    # fan-out 1: consensus-derived scalars + per-annotator agreement
+    # partials + per-model error, all from the same sorted blocks
+    stats_task = _ray.remote(_crowdlab_stats_block)
+    raw = _ray.get([
+        stats_task.remote(P, k, tie_key, *refs[i : i + 4])
+        for i in range(0, len(refs), 4)
+    ])
+    scal = np.sum([r[0] for r in raw], axis=0) if raw else np.zeros(
+        2 + k + P + 3, dtype=np.float64)
+
+    sum_agree = float(scal[0])
+    n_multi = max(float(scal[1]), 1.0)
+    class_counts = scal[2 : 2 + k]
     consensus_likelihood = sum_agree / n_multi
     non_consensus_likelihood = (1.0 - consensus_likelihood) / (k - 1)
     modal = int(class_counts.argmax())
     mlc_error = max(float(1.0 - class_counts[modal] / n_multi), 1e-6)
 
-    # --- per-annotator agreement-with-other-annotators: the (w_sum,
-    # w_total) partials ride majority_vote_consensus's sort exchange
-    # (its block kernel pre-aggregates them per annotator per block), so
-    # no second exchange over the annotations is needed here. Annotators
-    # appearing ONLY in single-annotation examples have w_total == 0 and
-    # are dropped, matching the previous standalone pass (their posterior
+    # per-annotator agreement-with-other-annotators (driver-sized: M
+    # annotators). Annotators appearing ONLY in single-annotation
+    # examples have w_total == 0 and are dropped (their posterior
     # weight falls back to 1e-6 below).
-    agg = stats_df.reset_index().rename(columns={"w_sum": "s", "w_total": "t"})
+    if raw:
+        agg = pd.DataFrame({
+            "annotator_id": np.concatenate([r[1][0] for r in raw]),
+            "s": np.concatenate([r[1][3] for r in raw]),
+            "t": np.concatenate([r[1][4] for r in raw]),
+        }).groupby("annotator_id", as_index=False).sum()
+    else:
+        agg = pd.DataFrame({"annotator_id": [], "s": [], "t": []})
     agg = agg[agg["t"] > 0].reset_index(drop=True)
     agg["agreement"] = agg["s"] / agg["t"].clip(lower=1e-12)
     annotator_weight = {
@@ -336,114 +534,25 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
         for _, row in agg.iterrows()
     }
 
-    # --- model weight: hash-join consensus with the model priors
-    # (normalize key dtypes — map_groups frames carry int64 — and explode
-    # pred_probs into scalar columns: acero joins reject list payloads)
-    def normalize_keys(batch: pa.Table) -> pa.Table:
-        i = batch.column_names.index("turn_idx")
-        return batch.set_column(i, "turn_idx", pc.cast(batch["turn_idx"], pa.int64()))
-
-    P = int(num_models)
-    pk = P * k
-    prob_cols = [f"_p{i}" for i in range(pk)]
-
-    def explode_probs(batch: pa.Table) -> pa.Table:
-        batch = normalize_keys(batch)
-        probs = pred_probs_to_numpy(batch["pred_probs"]).astype(np.float64)
-        batch = batch.drop_columns(["pred_probs"])
-        for i in range(pk):
-            batch = batch.append_column(prob_cols[i], pa.array(probs[:, i]))
-        return batch
-
-    def reassemble_probs(batch: pa.Table) -> pa.Table:
-        probs = np.stack(
-            [batch[c].to_numpy(zero_copy_only=False) for c in prob_cols], axis=1
-        ).astype(np.float32)
-        batch = batch.drop_columns(prob_cols)
-        return batch.append_column(
-            "pred_probs",
-            pa.FixedSizeListArray.from_arrays(pa.array(probs.reshape(-1)), pk),
-        )
-
-    examples_norm = examples_ds.map_batches(explode_probs, batch_format="pyarrow")
-    joined = (
-        examples_norm.join(
-            consensus.map_batches(normalize_keys, batch_format="pyarrow"),
-            join_type="inner",
-            num_partitions=num_join_partitions,
-            on=tuple(EX_KEYS),
-        )
-        .map_batches(reassemble_probs, batch_format="pyarrow")
-        .materialize()
-    )
-
-    # model error: raw-task fan-out over the MATERIALIZED join's block
-    # refs (the _fanout_pass2 pattern) — same partials as an
-    # AggregateFn, minus one whole Dataset-execution fixed cost
-    import ray as _ray
-
-    err_task = _ray.remote(_model_err_block)
-    refs = joined.to_arrow_refs()
-    parts = _ray.get([
-        err_task.remote(P, k, *refs[i : i + 4]) for i in range(0, len(refs), 4)
-    ]) or [np.zeros(P + 3, dtype=np.float64)]
-    part = np.sum(parts, axis=0)
-    mean_annotations = part[P + 1] / max(part[P + 2], 1.0)
+    # model weights (reference :1466-1476 / :1607-1613)
+    err = scal[2 + k : 2 + k + P]
+    m_multi = float(scal[2 + k + P])
+    n_ann_sum = float(scal[2 + k + P + 1])
+    n_joined = float(scal[2 + k + P + 2])
+    mean_annotations = n_ann_sum / max(n_joined, 1.0)
     mw_vec = np.array([
-        max(1.0 - (part[p] / max(part[P], 1.0)) / mlc_error, 1e-6)
+        max(1.0 - (err[p] / max(m_multi, 1.0)) / mlc_error, 1e-6)
         * float(np.sqrt(mean_annotations))
         for p in range(P)
     ], dtype=np.float64)
     model_weight = float(mw_vec[0]) if P == 1 else mw_vec
 
-    # --- posterior per example: tagged union + ONE sort on the example
-    # key, then a whole-block vectorized kernel (no per-group Python).
-    # post[k] = (Σ_p prior_p[k]*mw_p + ncl*W + (cl-ncl)*W_k)
-    #           / (Σ_p mw_p + W), where W = sum of labeling annotators'
-    # weights and W_k the per-class part — the closed form of the
-    # reference's per-vote accumulation (single- and ensemble-model).
-    from cleanlab_ray.stages.dedup import _run_starts, _sorted_block_map
-
-    prob_f64 = [f"_q{i}" for i in range(pk)]
-    union_cols = [
-        *EX_KEYS, "annotator_id", "label", "consensus_label",
-        "num_annotations", "annotator_agreement", *prob_f64, "is_example_row",
-    ]
-
-    def tag_annotation(batch: pa.Table) -> pa.Table:
-        batch = normalize_keys(batch)
-        i = batch.column_names.index("label")
-        batch = batch.set_column(i, "label", pc.cast(batch["label"], pa.int64()))
-        batch = batch.append_column("consensus_label", pa.nulls(batch.num_rows, pa.int64()))
-        batch = batch.append_column("num_annotations", pa.nulls(batch.num_rows, pa.int64()))
-        batch = batch.append_column("annotator_agreement", pa.nulls(batch.num_rows, pa.float64()))
-        for c in prob_f64:
-            batch = batch.append_column(c, pa.nulls(batch.num_rows, pa.float64()))
-        batch = batch.append_column("is_example_row", pa.array(np.zeros(batch.num_rows, bool)))
-        return batch.select(union_cols)
-
-    ann_tagged = annotations_ds.select_columns(
-        [*EX_KEYS, "annotator_id", "label"]
-    ).map_batches(tag_annotation, batch_format="pyarrow")
-
-    def tag_example(batch: pa.Table) -> pa.Table:
-        probs = pred_probs_to_numpy(batch["pred_probs"]).astype(np.float64)
-        batch = batch.drop_columns(["pred_probs"])
-        batch = batch.append_column("annotator_id", pa.nulls(batch.num_rows, pa.string()))
-        batch = batch.append_column("label", pa.nulls(batch.num_rows, pa.int64()))
-        i = batch.column_names.index("consensus_label")
-        batch = batch.set_column(i, "consensus_label", pc.cast(batch["consensus_label"], pa.int64()))
-        i = batch.column_names.index("num_annotations")
-        batch = batch.set_column(i, "num_annotations", pc.cast(batch["num_annotations"], pa.int64()))
-        for j, c in enumerate(prob_f64):
-            batch = batch.append_column(c, pa.array(probs[:, j]))
-        batch = batch.append_column("is_example_row", pa.array(np.ones(batch.num_rows, bool)))
-        return batch.select(union_cols)
-
-    ex_tagged = joined.select_columns(
-        [*EX_KEYS, "pred_probs", "consensus_label", "num_annotations", "annotator_agreement"]
-    ).map_batches(tag_example, batch_format="pyarrow")
-
+    # --- posterior per example: lazy whole-block map over the SAME
+    # materialized sorted blocks (no second exchange; no per-group
+    # Python). post[k] = (Σ_p prior_p[k]*mw_p + ncl*W + (cl-ncl)*W_k)
+    # / (Σ_p mw_p + W), where W = sum of labeling annotators' weights
+    # and W_k the per-class part — the closed form of the reference's
+    # per-vote accumulation (single- and ensemble-model).
     aw_keys = np.array(sorted(annotator_weight), dtype=object)
     aw_vals = np.array([annotator_weight[a] for a in aw_keys], dtype=np.float64)
     cl, ncl = consensus_likelihood, non_consensus_likelihood
@@ -451,9 +560,6 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
 
     def posterior_block(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        conv = np.asarray(batch[EX_KEYS[0]].to_pandas(), dtype=object)
-        turn = batch[EX_KEYS[1]].to_numpy(zero_copy_only=False)
-        is_ex = batch["is_example_row"].to_numpy(zero_copy_only=False)
         out_schema = {
             EX_KEYS[0]: np.empty(0, object), EX_KEYS[1]: np.empty(0, np.int64),
             "row_type": np.empty(0, object), "annotator_id": np.empty(0, object),
@@ -478,24 +584,21 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
 
         if n == 0:
             return emit(out_schema)
-        starts = _run_starts(conv, turn)
-        sizes = np.diff(np.append(starts, n))
-        run_of_row = np.repeat(np.arange(len(starts)), sizes)
-        n_runs = len(starts)
-        # exactly one example row per run (inner-join output); runs
-        # without one (annotation-only keys) are dropped
-        ex_rows = np.flatnonzero(is_ex)
-        has_ex = np.zeros(n_runs, dtype=bool)
-        ex_of_run = np.zeros(n_runs, dtype=np.int64)
-        has_ex[run_of_row[ex_rows]] = True
-        ex_of_run[run_of_row[ex_rows]] = ex_rows
+        st = _crowdlab_run_state(batch, k, tie_key)
+        conv, turn, is_ex = st["conv"], st["turn"], st["is_ex"]
+        run_of_row = st["run_of_row"]
+        n_runs, ex_of_run, has_ex = st["n_runs"], st["ex_of_run"], st["has_ex"]
+        consensus, n_ann, agreement = st["consensus"], st["n_ann"], st["agreement"]
+        # inner-join semantics: a run contributes only with BOTH an
+        # example row and ≥1 annotation row
+        keep_mask = has_ex & (st["n_rows_ann"] > 0)
         prior = np.stack(
             [batch[c].to_numpy(zero_copy_only=False) for c in prob_f64], axis=1
-        ).astype(np.float64)[ex_of_run].reshape(len(ex_of_run), P, k)
+        ).astype(np.float64)[ex_of_run].reshape(n_runs, P, k)
         # Σ_p mw_p · prior_p — for P=1 a single multiply, identical to
         # the pre-ensemble prior*mw
         prior_term = np.einsum("rpk,p->rk", prior, mw_vec)
-        ann_rows = np.flatnonzero(~is_ex & has_ex[run_of_row])
+        ann_rows = np.flatnonzero(~is_ex & keep_mask[run_of_row])
         ann_run = run_of_row[ann_rows]
         ann_ids = np.asarray(batch["annotator_id"].to_pandas(), dtype=object)[ann_rows]
         ann_label = batch["label"].to_numpy(zero_copy_only=False)[ann_rows].astype(np.int64)
@@ -511,10 +614,7 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
         post = prior_term + ncl * W[:, None] + (cl - ncl) * Wk
         post /= (mw_sum + W)[:, None]
         crowd_lab = post.argmax(axis=1)
-        cons_lab = batch["consensus_label"].to_numpy(zero_copy_only=False)[
-            ex_of_run
-        ].astype(np.int64)
-        keep = np.flatnonzero(has_ex)
+        keep = np.flatnonzero(keep_mask)
         r = np.arange(n_runs)
         ex_out = {
             EX_KEYS[0]: conv[ex_of_run[keep]],
@@ -524,14 +624,10 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
             "post_pred_probs": post[keep],
             "crowdlab_label": crowd_lab[keep],
             "consensus_quality": post[r, crowd_lab][keep],
-            "consensus_quality_score": post[r, cons_lab][keep],
-            "consensus_label": cons_lab[keep],
-            "num_annotations": batch["num_annotations"].to_numpy(zero_copy_only=False)[
-                ex_of_run[keep]
-            ].astype(np.int64),
-            "annotator_agreement": batch["annotator_agreement"].to_numpy(
-                zero_copy_only=False
-            )[ex_of_run[keep]].astype(np.float64),
+            "consensus_quality_score": post[r, consensus][keep],
+            "consensus_label": consensus[keep],
+            "num_annotations": n_ann[keep],
+            "annotator_agreement": agreement[keep].astype(np.float64),
             "w_sum": W[keep],
             "lq": np.full(len(keep), np.nan),
             "agree": np.full(len(keep), np.nan),
@@ -547,17 +643,13 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
             "crowdlab_label": np.full(len(ann_rows), -1, dtype=np.int64),
             "consensus_quality": np.full(len(ann_rows), np.nan),
             "consensus_quality_score": np.full(len(ann_rows), np.nan),
-            "consensus_label": cons_lab[ann_run],
+            "consensus_label": consensus[ann_run],
             "num_annotations": np.zeros(len(ann_rows), dtype=np.int64),
             "annotator_agreement": np.full(len(ann_rows), np.nan),
             "w_sum": np.zeros(len(ann_rows)),
             "lq": post[ann_run, ann_label],
-            "agree": (ann_label == cons_lab[ann_run]).astype(np.float64),
-            "multi": (
-                batch["num_annotations"].to_numpy(zero_copy_only=False)[
-                    ex_of_run[ann_run]
-                ].astype(np.int64) != 1
-            ).astype(np.float64),
+            "agree": (ann_label == consensus[ann_run]).astype(np.float64),
+            "multi": (n_ann[ann_run] != 1).astype(np.float64),
             "label": ann_label,
         }
         merged = {
@@ -566,8 +658,9 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
         }
         return emit(merged)
 
-    combined_out = _sorted_block_map(
-        ann_tagged.union(ex_tagged), EX_KEYS, posterior_block
+    combined_out = sorted_union.map_batches(
+        posterior_block, batch_size=None, batch_format="pyarrow",
+        zero_copy_batch=True,
     )
     info = {
         "model_weight": model_weight,  # scalar for P=1, (P,) ndarray else
@@ -890,28 +983,6 @@ def detailed_label_quality(annotations_ds, examples_ds, num_classes: int,
     return _filter_row_type(combined, "annotation").map_batches(
         finalize, batch_format="pyarrow"
     )
-
-
-def _model_err_block(P: int, k: int, *blocks) -> np.ndarray:
-    """Per-block model-error partial for _crowdlab_combined:
-    [err_0..err_{P-1}, cnt_multi, n_ann_sum, n_rows] — the same math the
-    previous AggregateFn computed (reference multiannotator.py:1466-1476
-    / :1607-1613 ensemble)."""
-    from cleanlab_ray.state.confident import pred_probs_to_numpy
-
-    acc = np.zeros(P + 3, dtype=np.float64)
-    for block in blocks:
-        probs = pred_probs_to_numpy(block["pred_probs"]).astype(np.float64)
-        cons = block["consensus_label"].to_numpy(zero_copy_only=False)
-        n_ann = block["num_annotations"].to_numpy(zero_copy_only=False)
-        m = n_ann != 1
-        for p in range(P):
-            sub = probs[:, p * k : (p + 1) * k]
-            acc[p] += float((sub.argmax(1)[m] != cons[m]).sum())
-        acc[P] += float(m.sum())
-        acc[P + 1] += float(n_ann.sum())
-        acc[P + 2] += float(len(n_ann))
-    return acc
 
 
 def label_quality_multiannotator_ensemble(annotations_ds, examples_ds,
