@@ -66,13 +66,13 @@ def _per_group_reduce(groups: np.ndarray, values: np.ndarray):
     )
 
 
-def _group_stats_aggfn(group_col: str, value_col: str):
-    """AggregateFn: dict group -> [n, vmin, vmax]."""
-    from ray.data.aggregate import AggregateFn
-
-    def accumulate_block(acc: dict, block: pa.Table) -> dict:
+def _stats_blocks(group_col: str, value_col: str, *blocks) -> dict:
+    """Per-task group -> [n, vmin, vmax] partial over materialized
+    block refs (raw-task fan-out — no Dataset-execution fixed cost)."""
+    acc: dict = {}
+    for block in blocks:
         if block.num_rows == 0:
-            return acc
+            continue
         g = np.asarray(block[group_col].to_pandas(), dtype=object)
         v = block[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         uniq, cnt, mins, maxs = _per_group_reduce(g, v)
@@ -84,25 +84,19 @@ def _group_stats_aggfn(group_col: str, value_col: str):
                 prev[0] += int(c)
                 prev[1] = min(prev[1], float(lo))
                 prev[2] = max(prev[2], float(hi))
-        return acc
+    return acc
 
-    def merge(a: dict, b: dict) -> dict:
-        for k, (c, lo, hi) in b.items():
-            prev = a.get(k)
-            if prev is None:
-                a[k] = [c, lo, hi]
-            else:
-                prev[0] += c
-                prev[1] = min(prev[1], lo)
-                prev[2] = max(prev[2], hi)
-        return a
 
-    return AggregateFn(
-        init=lambda _: {},
-        accumulate_block=accumulate_block,
-        merge=merge,
-        name="group_stats",
-    )
+def _merge_stats(a: dict, b: dict) -> dict:
+    for k, (c, lo, hi) in b.items():
+        prev = a.get(k)
+        if prev is None:
+            a[k] = [c, lo, hi]
+        else:
+            prev[0] += c
+            prev[1] = min(prev[1], lo)
+            prev[2] = max(prev[2], hi)
+    return a
 
 
 def _bin_index(v: np.ndarray, lo: np.ndarray, hi: np.ndarray, num_bins: int):
@@ -115,18 +109,17 @@ def _bin_index(v: np.ndarray, lo: np.ndarray, hi: np.ndarray, num_bins: int):
     return np.clip(idx, 0, num_bins - 1).astype(np.int64)
 
 
-def _group_hist_aggfn(group_col: str, value_col: str, ranges: dict, num_bins: int):
-    """AggregateFn: dict group -> (num_bins,) int64 histogram, binned
-    over that group's [min, max] from pass A (broadcast via closure —
-    the ranges dict is O(G), shipped once per task)."""
-    from ray.data.aggregate import AggregateFn
-
+def _hist_blocks(group_col: str, value_col: str, num_bins: int,
+                 ranges: dict, *blocks) -> dict:
+    """Per-task group -> (num_bins,) int64 histogram partial, binned
+    over each group's [min, max] from pass A (the ranges dict is O(G),
+    shipped once via ray.put and shared by every task)."""
     lo_of = {k: r[0] for k, r in ranges.items()}
     hi_of = {k: r[1] for k, r in ranges.items()}
-
-    def accumulate_block(acc: dict, block: pa.Table) -> dict:
+    acc: dict = {}
+    for block in blocks:
         if block.num_rows == 0:
-            return acc
+            continue
         g = np.asarray(block[group_col].to_pandas(), dtype=object)
         v = block[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
         uniq, inv = np.unique(g, return_inverse=True)
@@ -138,24 +131,30 @@ def _group_hist_aggfn(group_col: str, value_col: str, ranges: dict, num_bins: in
         for j, k in enumerate(uniq):
             h = counts[j * num_bins : (j + 1) * num_bins].astype(np.int64)
             prev = acc.get(k)
-            # np.asarray: Ray may round-trip partials through Arrow,
-            # turning arrays into lists (list + list would concatenate)
-            acc[k] = h if prev is None else np.asarray(prev, dtype=np.int64) + h
-        return acc
+            acc[k] = h if prev is None else prev + h
+    return acc
 
-    def merge(a: dict, b: dict) -> dict:
-        for k, h in b.items():
-            prev = a.get(k)
-            h = np.asarray(h, dtype=np.int64)
-            a[k] = h if prev is None else np.asarray(prev, dtype=np.int64) + h
-        return a
 
-    return AggregateFn(
-        init=lambda _: {},
-        accumulate_block=accumulate_block,
-        merge=merge,
-        name="group_hist",
-    )
+def _boundary_blocks(group_col: str, value_col: str, id_col: str,
+                     num_bins: int, bcast: tuple, *blocks):
+    """Per-task boundary-bin pull: returns only the (group, value, id)
+    rows whose (group, bin) cell contains an NTILE cut rank."""
+    uniq_groups, lo_arr, hi_arr, want = bcast
+    out = []
+    for block in blocks:
+        if block.num_rows == 0:
+            continue
+        block = block.select([group_col, value_col, id_col])
+        g = np.asarray(block[group_col].to_pandas(), dtype=object)
+        gi = np.searchsorted(uniq_groups, g)
+        gi = np.clip(gi, 0, len(uniq_groups) - 1)
+        known = uniq_groups[gi] == g
+        v = block[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = _bin_index(v, lo_arr[gi], hi_arr[gi], num_bins)
+        keep = known & np.isin(gi * num_bins + idx, want)
+        if keep.any():
+            out.append(block.filter(pa.array(keep)))
+    return pa.concat_tables(out) if out else None
 
 
 def group_rank_buckets(
@@ -171,31 +170,57 @@ def group_rank_buckets(
     ORDER BY value, id) as int32, computed without a per-group sort.
 
     ``id_col`` must be numeric and unique within each group (it is the
-    deterministic tie-break). ``ds`` is executed three times (two
-    aggregates + the boundary pull) plus the final assignment pass —
-    materialize a pruned projection first if upstream compute is
-    expensive.
+    deterministic tie-break).
+
+    Execution shape: the input is materialized ONCE (a no-op when the
+    caller already passes a MaterializedDataset — recommended, as a
+    pruned (group, value, id) projection); passes A/B and the boundary
+    pull then run as raw-task fan-outs over the materialized block refs
+    (the flagship's _fanout_pass2 pattern: blocks never leave the
+    object store, only O(G x bins) partials return), and the bucket
+    assignment is a lazy map over the same blocks. One Dataset
+    execution total instead of four.
     """
-    # ---- pass A: per-group count / min / max --------------------------
-    stats = ds.aggregate(_group_stats_aggfn(group_col, value_col))["group_stats"]
-    # Ray's result conversion may float the counts / list the arrays
+    import ray
+    from ray.data.dataset import MaterializedDataset
+
+    mat = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
+    refs = mat.to_arrow_refs()
+
+    # ---- pass A: per-group count / min / max (fan-out) ----------------
+    stats_task = ray.remote(_stats_blocks)
+    parts = ray.get([
+        stats_task.remote(group_col, value_col, *refs[i : i + 4])
+        for i in range(0, len(refs), 4)
+    ])
+    stats: dict = {}
+    for p in parts:
+        _merge_stats(stats, p)
     stats = {
         k: [int(v[0]), float(v[1]), float(v[2])]
         for k, v in stats.items()
         if v[0] > 0
     }
     if not stats:
-        return ds.map_batches(
+        return mat.map_batches(
             lambda b: b.append_column(out_col, pa.array([], type=pa.int32())),
             batch_format="pyarrow",
         )
     ranges = {k: (v[1], v[2]) for k, v in stats.items()}
 
-    # ---- pass B: per-group histogram ----------------------------------
-    hists = ds.aggregate(
-        _group_hist_aggfn(group_col, value_col, ranges, num_bins)
-    )["group_hist"]
-    hists = {k: np.asarray(h, dtype=np.int64) for k, h in hists.items()}
+    # ---- pass B: per-group histogram (fan-out; ranges shipped once) ---
+    ranges_ref = ray.put(ranges)
+    hist_task = ray.remote(_hist_blocks)
+    parts = ray.get([
+        hist_task.remote(group_col, value_col, num_bins, ranges_ref,
+                         *refs[i : i + 4])
+        for i in range(0, len(refs), 4)
+    ])
+    hists: dict = {}
+    for p in parts:
+        for k, h in p.items():
+            prev = hists.get(k)
+            hists[k] = h if prev is None else prev + h
 
     # ---- locate the boundary bin of every cut rank ---------------------
     # boundary[(group, bin)] -> list of (cut_index, offset_within_bin)
@@ -226,17 +251,22 @@ def group_rank_buckets(
         known = uniq_groups[gi] == g
         return gi, known
 
-    def filter_boundary(batch: pa.Table) -> pa.Table:
-        batch = batch.select([group_col, value_col, id_col])
-        gi, known = _gids(batch)
-        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        idx = _bin_index(v, lo_arr[gi], hi_arr[gi], num_bins)
-        keep = known & np.isin(gi * num_bins + idx, want)
-        return batch.filter(pa.array(keep))
-
-    pulled = ds.map_batches(
-        filter_boundary, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).to_pandas()
+    # ---- boundary pull (fan-out; broadcast shipped once) ---------------
+    bcast_ref = ray.put((uniq_groups, lo_arr, hi_arr, want))
+    pull_task = ray.remote(_boundary_blocks)
+    tables = [
+        t for t in ray.get([
+            pull_task.remote(group_col, value_col, id_col, num_bins,
+                             bcast_ref, *refs[i : i + 4])
+            for i in range(0, len(refs), 4)
+        ]) if t is not None
+    ]
+    pulled = (
+        pa.concat_tables(tables).to_pandas()
+        if tables
+        else mat.limit(0).select_columns(
+            [group_col, value_col, id_col]).to_pandas()
+    )
 
     # ---- exact thresholds: rank-c (value, id) pair per cut -------------
     thr_val = np.zeros((len(uniq_groups), n_buckets - 1))
@@ -274,4 +304,4 @@ def group_rank_buckets(
             bucket += (known & above).astype(np.int32)
         return batch.append_column(out_col, pa.array(bucket))
 
-    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
+    return mat.map_batches(assign, batch_format="pyarrow", batch_size=None, zero_copy_batch=True)
