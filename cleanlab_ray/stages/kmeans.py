@@ -80,9 +80,28 @@ def kmeans_fit(
     """Fit k-means; returns the (k, D) centroid matrix.
 
     One streaming aggregate pass over ``ds`` per iteration; nothing but
-    the (k, D) centroids ever lives on the driver."""
+    the (k, D) centroids ever lives on the driver. Seeding picks the k
+    globally-smallest keys' embeddings WITHOUT a sort exchange: each
+    block contributes its bottom-k rows (a map-only pass, O(blocks x k)
+    rows to the driver), and the global bottom-k of those is exact —
+    any row outside a block's bottom-k is beaten by k rows in that
+    block alone. (Previously: sort(key).limit(k) — an all-to-all over
+    every embedding to select k seed rows.)"""
+
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        idx = np.argsort(keys, kind="stable")[:k]
+        return batch.take(pa.array(np.sort(idx)))
+
     seed_rows = (
-        ds.select_columns([key_col, embedding_col]).sort(key_col).limit(k).to_pandas()
+        ds.select_columns([key_col, embedding_col])
+        .map_batches(seed_partial, batch_format="pyarrow", batch_size=None,
+                     zero_copy_batch=True)
+        .to_pandas()
+        .sort_values(key_col, kind="mergesort")
+        .head(k)
     )
     cents = np.stack(seed_rows[embedding_col].to_numpy()).astype(np.float64)
     for _ in range(n_iter):
