@@ -473,9 +473,11 @@ def report(result: AuditResult, max_rows: int = 5,
         lines.append(f"Overall dataset quality in terms of this issue: {s['score']:.4f}")
         lines.append("")
         try:
-            worst = (
-                result.dataset.select_columns([*KEYS, col]).sort(col).limit(max_rows).to_pandas()
-            )
+            from cleanlab_ray.stages.topk import global_top_k
+
+            worst = global_top_k(
+                result.dataset.select_columns([*KEYS, col]), col, max_rows
+            ).to_pandas()
             lines.append("Examples representing most severe instances of this issue:")
             lines.append(worst.to_string(index=False))
             lines.append("")

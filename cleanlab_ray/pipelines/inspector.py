@@ -104,5 +104,9 @@ def order_label_issues(ds, score_col: str = "score_self_confidence",
 
 
 def find_top_issues(ds, top: int, score_col: str = "score_self_confidence"):
-    """The ``top`` lowest-scored rows (rank.py:369-395) — sort+limit."""
-    return ds.sort(score_col).limit(top)
+    """The ``top`` lowest-scored rows (rank.py:369-395) — exchange-free
+    per-block top-k + driver merge (stages/topk.global_top_k), not a
+    full sort for ``top`` rows."""
+    from cleanlab_ray.stages.topk import global_top_k
+
+    return global_top_k(ds, score_col, top)

@@ -154,9 +154,12 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 
 
 def q_top_orders(sf_dir: str):
-    """Global sort + limit (range-partitioned top-k)."""
+    """Global top-k: per-block partial + driver merge, no sort
+    exchange (stages/topk.global_top_k)."""
+    from cleanlab_ray.stages.topk import global_top_k
+
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    return ds.sort("o_totalprice", descending=True).limit(10)
+    return global_top_k(ds, "o_totalprice", 10, descending=True)
 
 
 SQL_TOP_ORDERS = """
@@ -1070,8 +1073,12 @@ FROM embeddings GROUP BY 1
 
 def q_top_issues(sf_dir: str):
     """find_top_issues (rank.py:369-395): the 20 lowest-quality examples
-    by self-confidence with deterministic tie-break."""
-    return q_self_confidence(sf_dir).sort(["self_confidence_e6", "vec_id"]).limit(20)
+    by self-confidence with deterministic tie-break — exchange-free
+    global top-k (stages/topk.global_top_k)."""
+    from cleanlab_ray.stages.topk import global_top_k
+
+    return global_top_k(
+        q_self_confidence(sf_dir), ["self_confidence_e6", "vec_id"], 20)
 
 
 SQL_TOP_ISSUES = f"""

@@ -193,3 +193,47 @@ def sorted_group_agg(ds, key_col, ops: dict):
         return pa.table(out)
 
     return _sorted_block_map(ds, key_col, kernel)
+
+
+def global_top_k(ds, sort_cols, k: int, descending: bool = False):
+    """Exact GLOBAL top-k rows by ``sort_cols`` without a sort exchange.
+
+    ``Dataset.sort(cols).limit(k)`` pays a full all-to-all over every
+    row to keep k of them. Instead each block contributes its own
+    top-k in a map-only pass — sound because any row outside a block's
+    local top-k is beaten by k rows from that block alone — and the
+    driver merges the O(blocks × k) survivors with one small Arrow
+    sort. Ties beyond ``sort_cols`` are resolved arbitrarily, the same
+    contract as sort().limit(); pass a unique trailing column for a
+    total order.
+
+    Returns a ``ray.data.Dataset`` of exactly ``min(k, n)`` rows
+    (driver-merged, so also cheap to ``to_pandas()``).
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    order = "descending" if descending else "ascending"
+    keys = [(c, order) for c in cols]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        idx = pc.sort_indices(batch, sort_keys=keys)[:k]
+        return batch.take(idx)
+
+    import ray
+
+    small_ds = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    ).materialize()
+    small = pa.concat_tables(
+        ray.get(small_ds.to_arrow_refs()), promote_options="default"
+    )
+    if small.num_rows > k:
+        idx = pc.sort_indices(small, sort_keys=keys)[:k]
+        small = small.take(idx)
+    else:
+        small = small.take(pc.sort_indices(small, sort_keys=keys))
+    return rd.from_arrow(small)
