@@ -230,10 +230,8 @@ def global_top_k(ds, sort_cols, k: int, descending: bool = False):
     ).materialize()
     small = pa.concat_tables(
         ray.get(small_ds.to_arrow_refs()), promote_options="default"
-    )
-    if small.num_rows > k:
+    ).combine_chunks()
+    if small.num_rows:
         idx = pc.sort_indices(small, sort_keys=keys)[:k]
         small = small.take(idx)
-    else:
-        small = small.take(pc.sort_indices(small, sort_keys=keys))
     return rd.from_arrow(small)

@@ -226,3 +226,45 @@ def test_sorted_group_agg_multikey(ray_session):
     import pandas as pd
 
     pd.testing.assert_frame_equal(got, exp[got.columns])
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_global_top_k_matches_sort_limit():
+    """global_top_k == pandas nsmallest/nlargest across blocks, empty
+    input, k > n, and a ties+tiebreak total order."""
+    import ray.data as rd
+
+    from cleanlab_ray.stages.topk import global_top_k
+
+    rng = np.random.default_rng(11)
+    n = 5_000
+    tbl = pa.table({
+        "k": pa.array(rng.integers(0, 400, size=n).astype(np.int64)),  # ties
+        "id": pa.array(np.arange(n, dtype=np.int64)),
+        "v": pa.array(rng.normal(size=n)),
+    })
+    ds = rd.from_arrow(tbl).repartition(7)
+    df = tbl.to_pandas()
+
+    # unique-key ascending
+    got = global_top_k(ds, "v", 25).to_pandas()
+    exp = df.nsmallest(25, "v").reset_index(drop=True)
+    assert np.array_equal(got["id"].to_numpy(), exp["id"].to_numpy())
+
+    # descending
+    got = global_top_k(ds, "v", 10, descending=True).to_pandas()
+    exp = df.nlargest(10, "v").reset_index(drop=True)
+    assert np.array_equal(got["id"].to_numpy(), exp["id"].to_numpy())
+
+    # heavy ties + unique tie-break column = deterministic total order
+    got = global_top_k(ds, ["k", "id"], 50).to_pandas()
+    exp = df.sort_values(["k", "id"], kind="mergesort").head(50).reset_index(drop=True)
+    assert np.array_equal(got["id"].to_numpy(), exp["id"].to_numpy())
+
+    # k > n returns everything, still sorted
+    got = global_top_k(rd.from_arrow(tbl.slice(0, 3)), "v", 99).to_pandas()
+    assert len(got) == 3 and got["v"].is_monotonic_increasing
+
+    # empty input
+    got = global_top_k(rd.from_arrow(tbl.slice(0, 0)), "v", 5).to_pandas()
+    assert len(got) == 0
