@@ -431,11 +431,11 @@ def q_ann_topk(sf_dir: str):
             }
         )
 
-    return (
-        emb.map_batches(cos_kernel, batch_format="pyarrow")
-        .sort(["cos_sim_e6", "vec_id"], descending=[True, False])
-        .limit(10)
-    )
+    from cleanlab_ray.stages.topk import global_top_k
+
+    return global_top_k(
+        emb.map_batches(cos_kernel, batch_format="pyarrow"),
+        ["cos_sim_e6", "vec_id"], 10, descending=[True, False])
 
 
 SQL_ANN_TOPK = """
@@ -4589,11 +4589,11 @@ def q_vocab_topk(sf_dir: str, k: int = 20):
     def finalize(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(["word", "cnt"])
 
-    return (
-        ds.map_batches(finalize, batch_format="pyarrow")
-        .sort(["cnt", "word"], descending=[True, False])
-        .limit(k)
-    )
+    from cleanlab_ray.stages.topk import global_top_k
+
+    return global_top_k(
+        ds.map_batches(finalize, batch_format="pyarrow"),
+        ["cnt", "word"], k, descending=[True, False])
 
 
 SQL_VOCAB_TOPK = r"""
@@ -5365,11 +5365,11 @@ def q_ann_quantized(sf_dir: str):
             ),
         })
 
-    return (
-        qds.map_batches(cos_kernel, batch_format="pyarrow")
-        .sort(["cos_sim_e6", "vec_id"], descending=[True, False])
-        .limit(10)
-    )
+    from cleanlab_ray.stages.topk import global_top_k
+
+    return global_top_k(
+        qds.map_batches(cos_kernel, batch_format="pyarrow"),
+        ["cos_sim_e6", "vec_id"], 10, descending=[True, False])
 
 
 SQL_ANN_QUANTIZED = r"""

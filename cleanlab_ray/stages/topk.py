@@ -207,15 +207,20 @@ def global_top_k(ds, sort_cols, k: int, descending: bool = False):
     contract as sort().limit(); pass a unique trailing column for a
     total order.
 
-    Returns a ``ray.data.Dataset`` of exactly ``min(k, n)`` rows
-    (driver-merged, so also cheap to ``to_pandas()``).
+    ``descending`` may be a single bool or a per-column list (matching
+    ``Dataset.sort``'s signature). Returns a ``ray.data.Dataset`` of
+    exactly ``min(k, n)`` rows (driver-merged, so also cheap to
+    ``to_pandas()``).
     """
     import pyarrow.compute as pc
     import ray.data as rd
 
     cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
-    order = "descending" if descending else "ascending"
-    keys = [(c, order) for c in cols]
+    if isinstance(descending, (list, tuple)):
+        orders = ["descending" if d else "ascending" for d in descending]
+    else:
+        orders = ["descending" if descending else "ascending"] * len(cols)
+    keys = list(zip(cols, orders))
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows <= k:
