@@ -116,3 +116,76 @@ def test_scrub_engines_byte_identical(parts):
     engine = scrub_array(col).to_pylist()
     oracle = [scrub_text_py(t) for t in texts]
     assert engine == oracle
+
+
+# ---------------------------------------------------------------------------
+# topk block kernels (pure Arrow/numpy — the map-side prune these rely on
+# must agree with a pandas oracle for arbitrary inputs, or the exchange-free
+# top-k paths silently drop rows).
+
+import pandas as pd
+import pyarrow as pa
+
+from cleanlab_ray.stages.topk import _rank_in_runs, _topk_block
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 5), max_size=60))
+def test_rank_in_runs_matches_groupby_cumcount(codes):
+    run = np.asarray(codes, dtype=np.int64)
+    got = _rank_in_runs(run)
+    # oracle: cumcount within contiguous runs
+    exp = []
+    for i, c in enumerate(codes):
+        exp.append(exp[-1] + 1 if i and codes[i - 1] == c else 0)
+    assert got.tolist() == exp
+
+
+@st.composite
+def grouped_score_tables(draw):
+    n = draw(st.integers(0, 120))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    g = rng.integers(0, 6, size=n)
+    # few distinct scores -> exercises ties heavily
+    score = rng.integers(0, 4, size=n).astype(np.float64)
+    key = rng.permutation(n).astype(np.int64)
+    return pa.table({"g": g, "score": score, "key": key})
+
+
+@settings(max_examples=60, deadline=None)
+@given(grouped_score_tables(), st.integers(1, 5))
+def test_topk_block_matches_pandas_oracle(tbl, k):
+    got = _topk_block(tbl, "g", "score", ("key",), k).to_pandas()
+    df = tbl.to_pandas()
+    exp = (
+        df.sort_values(["g", "score", "key"], ascending=[True, False, True])
+        .groupby("g")
+        .head(k)
+    )
+    # kernel preserves original row order within the block; compare as sets
+    # keyed by the unique key column plus full-row equality
+    got_s = got.sort_values("key").reset_index(drop=True)
+    exp_s = exp.sort_values("key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, exp_s[got_s.columns])
+
+
+@settings(max_examples=40, deadline=None)
+@given(grouped_score_tables(), st.integers(1, 5), st.integers(1, 4))
+def test_topk_block_prune_is_sound_under_split(tbl, k, n_parts):
+    """Pruning each split to its local top-k then re-running the kernel on
+    the concatenation must equal the kernel over the whole table — the
+    soundness property grouped_top_k's map-side prune relies on."""
+    n = tbl.num_rows
+    bounds = np.linspace(0, n, n_parts + 1).astype(int)
+    parts = [
+        _topk_block(tbl.slice(a, b - a), "g", "score", ("key",), k)
+        for a, b in zip(bounds[:-1], bounds[1:])
+    ]
+    merged = pa.concat_tables([p for p in parts if p.num_rows], promote_options="default") \
+        if any(p.num_rows for p in parts) else tbl.slice(0, 0)
+    got = _topk_block(merged.combine_chunks(), "g", "score", ("key",), k).to_pandas()
+    exp = _topk_block(tbl, "g", "score", ("key",), k).to_pandas()
+    got_s = got.sort_values("key").reset_index(drop=True)
+    exp_s = exp.sort_values("key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_s, exp_s)
