@@ -242,6 +242,10 @@ def _crowdlab_class_freq_blocks(k: int, *blocks) -> np.ndarray:
 
     acc = np.zeros(k, dtype=np.int64)
     for block in blocks:
+        if block.num_rows == 0:
+            # Ray's sort emits schema-less empty blocks when rows <
+            # partition count; same guard as _crowdlab_stats_block
+            continue
         lab = pc.fill_null(
             pc.cast(block["label"], pa.int64()), -1
         ).to_numpy(zero_copy_only=False)
@@ -280,8 +284,12 @@ def _crowdlab_run_state(block, k: int, tie_key: np.ndarray):
     sizes = np.diff(np.append(starts, n))
     run_of_row = np.repeat(np.arange(n_runs, dtype=np.int64), sizes)
     ann_mask = ~is_ex
-    n_rows_ann = np.bincount(run_of_row[ann_mask], minlength=n_runs)
     valid = ann_mask & (lab >= 0)
+    # count VALID annotation rows only: a null/out-of-range label is a
+    # missing annotation (reference wide-table NaN) and must drop out of
+    # run counts, multi-annotation masks and weight denominators exactly
+    # as it drops out of the consensus bincount
+    n_rows_ann = np.bincount(run_of_row[valid], minlength=n_runs)
     C = np.bincount(
         run_of_row[valid] * k + lab[valid], minlength=n_runs * k
     ).reshape(n_runs, k)
@@ -598,10 +606,13 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
         # Σ_p mw_p · prior_p — for P=1 a single multiply, identical to
         # the pre-ensemble prior*mw
         prior_term = np.einsum("rpk,p->rk", prior, mw_vec)
-        ann_rows = np.flatnonzero(~is_ex & keep_mask[run_of_row])
+        # valid-label annotation rows only — mirrors the stats pass
+        # (rows = flatnonzero(valid)); a null label would cast to a
+        # negative int64 and crash the bincount below
+        ann_rows = np.flatnonzero(st["valid"] & keep_mask[run_of_row])
         ann_run = run_of_row[ann_rows]
         ann_ids = np.asarray(batch["annotator_id"].to_pandas(), dtype=object)[ann_rows]
-        ann_label = batch["label"].to_numpy(zero_copy_only=False)[ann_rows].astype(np.int64)
+        ann_label = st["lab"][ann_rows]
         idx = np.clip(np.searchsorted(aw_keys, ann_ids), 0, max(len(aw_keys) - 1, 0))
         if len(aw_keys):
             w = np.where(aw_keys[idx] == ann_ids, aw_vals[idx], 1e-6)

@@ -259,3 +259,80 @@ def test_label_quality_multiannotator_ensemble(ray_session):
     sdf = stats
     assert len(sdf) == 4 and "annotator_quality" in sdf.columns
     assert np.asarray(info["model_weight"]).shape == (2,)
+
+
+def test_crowdlab_tiny_input_empty_sort_blocks(ray_session):
+    """rows < sort-partition count makes Ray's sort emit schema-less
+    empty blocks; every fan-out kernel must skip them (regression:
+    _crowdlab_class_freq_blocks raised KeyError 'label')."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.stages.multiannotator import crowdlab_consensus
+
+    ann = pa.table(
+        {
+            "conv_id": ["c0", "c0", "c1", "c1"],
+            "turn_idx": [0, 0, 0, 0],
+            "annotator_id": ["a0", "a1", "a0", "a1"],
+            "label": [0, 0, 1, 1],
+        }
+    )
+    probs = np.array([[0.8, 0.1, 0.1], [0.1, 0.8, 0.1]], dtype=np.float32)
+    ex = pa.table(
+        {
+            "conv_id": ["c0", "c1"],
+            "turn_idx": [0, 0],
+            "pred_probs": pa.FixedSizeListArray.from_arrays(
+                pa.array(probs.reshape(-1)), 3
+            ),
+        }
+    )
+    out, info = crowdlab_consensus(rd.from_arrow(ann), rd.from_arrow(ex), num_classes=3)
+    df = out.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert len(df) == 2
+    assert list(df["crowdlab_label"]) == [0, 1]
+
+
+def test_crowdlab_null_label_rows_tolerated(ray_session):
+    """A NULL label on an annotation row must drop out of the posterior
+    weighting exactly as it drops out of the stats pass (regression:
+    NaN->int64 cast produced a negative bincount index)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.stages.multiannotator import crowdlab_consensus
+
+    ann = pa.table(
+        {
+            "conv_id": ["c0", "c0", "c0", "c1", "c1"],
+            "turn_idx": [0, 0, 0, 0, 0],
+            "annotator_id": ["a0", "a1", "a2", "a0", "a1"],
+            "label": pa.array([0, None, 0, 1, 1], type=pa.int64()),
+        }
+    )
+    probs = np.array([[0.8, 0.1, 0.1], [0.1, 0.8, 0.1]], dtype=np.float32)
+    ex = pa.table(
+        {
+            "conv_id": ["c0", "c1"],
+            "turn_idx": [0, 0],
+            "pred_probs": pa.FixedSizeListArray.from_arrays(
+                pa.array(probs.reshape(-1)), 3
+            ),
+        }
+    )
+    out_n, _ = crowdlab_consensus(rd.from_arrow(ann), rd.from_arrow(ex), num_classes=3)
+    df_n = out_n.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    # identical result to the same input with the null row removed
+    out_d, _ = crowdlab_consensus(
+        rd.from_arrow(ann.filter(pa.compute.is_valid(ann["label"]))),
+        rd.from_arrow(ex),
+        num_classes=3,
+    )
+    df_d = out_d.to_pandas().sort_values("conv_id").reset_index(drop=True)
+    assert list(df_n["crowdlab_label"]) == list(df_d["crowdlab_label"]) == [0, 1]
+    np.testing.assert_allclose(
+        np.stack(df_n["post_pred_probs"].to_numpy()),
+        np.stack(df_d["post_pred_probs"].to_numpy()),
+        atol=1e-12,
+    )
