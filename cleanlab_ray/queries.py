@@ -6521,10 +6521,13 @@ ORACLE_SQL["remove_dup_substrings"] = _make_remove_dup_substrings_sql()
 # clean_learning / regression_clean_learning / bpe_train_encode /
 # embedding_pca are iterative learners with no SQL twin — the driver
 # records their weaker rows-only check, which is still their first
-# driver artifact ever). Then every operator whose code changed this
-# round, then the flagship core, then the entries whose last green row
-# is oldest (r03) so standing coverage keeps rotating. Everything
-# displaced has a green row in CORRECTNESS_r04 and is unchanged since.
+# driver artifact ever). Then EVERY operator whose code changed this
+# round (19 — none escapes the gate), then the flagship core, then as
+# many of the oldest-green (r03) unchanged entries as the remaining
+# slots hold. Everything displaced has a green row in r03 or r04 and
+# its code is unchanged since that row; additionally, every registry
+# query was locally re-validated against its DuckDB oracle at sf0.01
+# during round 5 (BASELINE.md "full-registry oracle validation").
 # ---------------------------------------------------------------------------
 
 _PRIORITY_WINDOW = [
@@ -6536,21 +6539,26 @@ _PRIORITY_WINDOW = [
     "stratified_split", "std_distance_scores", "ann_quantized",
     "clean_learning", "regression_clean_learning",
     "bpe_train_encode", "embedding_pca",
-    # (b) operators changed in round 5 (advisor fixes + sorted-run
-    # kernel rewrites + ensemble fusion + jaccard fallback)
+    # (b) operators whose code changed in round 5 (advisor fixes +
+    # sorted-run kernel rewrites + ensemble fusion + jaccard fallback
+    # + global_top_k rewires + rank-bucket fan-outs + kmeans seeding
+    # + crowdlab null/empty-block fixes) — ALL of them, so no changed
+    # operator escapes the gate this round
     "noisy_labels", "ngram_jaccard_pairs", "conv_pooling",
     "ann_ivf", "ann_topk", "object_detection_ap", "od_label_quality",
-    "data_valuation", "crowdlab_ensemble",
+    "data_valuation", "crowdlab_ensemble", "crowdlab_consensus",
+    "annotator_consensus", "annotator_quality", "active_learning",
+    "top_orders", "top_issues", "vocab_topk", "perplexity_buckets",
+    "dup_components", "kmeans_clusters",
     # (c) flagship core (always in the gate)
     "flagship_quality_filter", "confident_joint", "self_confidence",
-    # (d) oldest standing greens (last green r03) rotated back in
+    # (d) oldest standing greens (last green r03, unchanged since)
+    # rotated back in with the remaining slots
     "prune_by_class", "near_dup_documents", "langid_documents",
-    "segment_revenue", "ema_scores", "label_counts", "cv_folds",
-    "underperforming_groups", "null_patterns", "id_column_profile",
-    "spurious_correlations", "drift_windows", "kmeans_clusters",
-    "simhash_documents", "embedding_near_dup", "fingerprint_documents",
+    "segment_revenue", "underperforming_groups",
+    "spurious_correlations", "drift_windows",
     "asof_join", "range_join", "sessionization",
-    "regression_label_issues", "multilabel_joint",
+    "regression_label_issues",
 ]
 
 _missing = [k for k in _PRIORITY_WINDOW if k not in QUERIES]
