@@ -941,13 +941,12 @@ def ngram_jaccard_pairs(
             "n": pa.array(usizes[ru].astype(np.int64), type=pa.int64()),
         })
 
-    # effective cap — mutated (driver-side, before the pair map is
-    # ever executed) when on_excess="cap" lowers it; dict so the
-    # emit_pairs closure pickles the post-guard value
+    # effective cap — mutated (driver-side, after the guard below) when
+    # on_excess="cap" lowers it; any non-None cap routes the whole query
+    # through _capped_jaccard, so emit_pairs only ever runs uncapped
     cap_state = {"cap": df_cap}
 
     def emit_pairs(batch: pa.Table) -> pa.Table:
-        cap = cap_state["cap"]
         h = batch["h"].to_numpy(zero_copy_only=False)
         doc_arr = batch["doc"]
         if isinstance(doc_arr, pa.ChunkedArray):
@@ -959,9 +958,6 @@ def ngram_jaccard_pairs(
         h, doc, n = h[order], doc[order], n[order]
         starts = _run_starts(h)
         lens = np.diff(np.append(starts, len(h)))
-        if cap is not None:
-            keep = lens <= cap
-            starts, lens = starts[keep], lens[keep]
         pos_a, pos_b = _pairs_within_runs(starts, lens)
         da = pa.array(doc[pos_a])
         db = pa.array(doc[pos_b])
@@ -1181,22 +1177,22 @@ def _capped_jaccard(posts, cap: int, threshold: float):
             "kind": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
         })
 
-    def nsurv_rows(side_col: str):
-        def f(batch: pa.Table) -> pa.Table:
-            z = np.zeros(batch.num_rows, dtype=np.int64)
-            d = batch["doc_a"]
-            return pa.table({
-                "doc_a": d if side_col == "doc_a" else d,
-                "doc_b": d,
-                "inter": pa.array(z),
-                "n": batch["sum(cnt)"].cast(pa.int64()),
-                "kind": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
-            })
-        return f
+    def nsurv_rows(batch: pa.Table) -> pa.Table:
+        # survivor-count rows keyed doc_a=doc (pass 2 re-keys via
+        # swap_key below instead of a doc_b variant of this function)
+        z = np.zeros(batch.num_rows, dtype=np.int64)
+        d = batch["doc_a"]
+        return pa.table({
+            "doc_a": d,
+            "doc_b": d,
+            "inter": pa.array(z),
+            "n": batch["sum(cnt)"].cast(pa.int64()),
+            "kind": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+        })
 
     # pass 1: na by doc_a (survivor rows keyed doc_a=doc)
     u1 = inter.map_batches(pair_rows_pass1, batch_format="pyarrow").union(
-        nsurv.map_batches(nsurv_rows("doc_a"), batch_format="pyarrow"))
+        nsurv.map_batches(nsurv_rows, batch_format="pyarrow"))
     p1 = _sorted_block_map(u1, "doc_a", attach("doc_a", "na"))
     # pass 2: nb by doc_b (survivor rows keyed doc_b=doc)
 

@@ -8,9 +8,9 @@ is given features instead of cluster ids
 a native Ray Data operator instead of a driver-side sklearn call.
 
 Ray shape — the scale-correct decomposition:
-- init: centroids = the k rows with the smallest key values (a tiny
-  `sort().limit(k)` pull; deterministic and SQL-reproducible, unlike
-  random restarts);
+- init: centroids = the k rows with the smallest key values via the
+  exchange-free exact `global_top_k` (deterministic and
+  SQL-reproducible, unlike random restarts);
 - each Lloyd iteration is ONE streaming aggregate pass: every block
   computes (sums[K,D], counts[K]) partials against the broadcast
   centroids — a flat mergeable float64 accumulator, no shuffle, no
@@ -81,27 +81,16 @@ def kmeans_fit(
 
     One streaming aggregate pass over ``ds`` per iteration; nothing but
     the (k, D) centroids ever lives on the driver. Seeding picks the k
-    globally-smallest keys' embeddings WITHOUT a sort exchange: each
-    block contributes its bottom-k rows (a map-only pass, O(blocks x k)
-    rows to the driver), and the global bottom-k of those is exact —
-    any row outside a block's bottom-k is beaten by k rows in that
-    block alone. (Previously: sort(key).limit(k) — an all-to-all over
-    every embedding to select k seed rows.)"""
-
-    def seed_partial(batch: pa.Table) -> pa.Table:
-        if batch.num_rows <= k:
-            return batch
-        keys = batch[key_col].to_numpy(zero_copy_only=False)
-        idx = np.argsort(keys, kind="stable")[:k]
-        return batch.take(pa.array(np.sort(idx)))
+    globally-smallest keys' embeddings via :func:`~cleanlab_ray.stages
+    .topk.global_top_k` — exchange-free exact bottom-k (previously:
+    sort(key).limit(k), an all-to-all over every embedding to select k
+    seed rows)."""
+    from cleanlab_ray.stages.topk import global_top_k
 
     seed_rows = (
-        ds.select_columns([key_col, embedding_col])
-        .map_batches(seed_partial, batch_format="pyarrow", batch_size=None,
-                     zero_copy_batch=True)
+        global_top_k(ds.select_columns([key_col, embedding_col]), key_col, k)
         .to_pandas()
         .sort_values(key_col, kind="mergesort")
-        .head(k)
     )
     cents = np.stack(seed_rows[embedding_col].to_numpy()).astype(np.float64)
     for _ in range(n_iter):

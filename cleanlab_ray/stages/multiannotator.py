@@ -321,13 +321,13 @@ def _crowdlab_stats_block(P: int, k: int, tie_key: np.ndarray, *blocks):
             model err_0..err_{P-1} over multi joined runs,
             n multi joined runs, Σ n_ann over joined runs,
             n joined runs]
-    plus per-annotator (id, agree, total, w_sum, w_total) partial rows
+    plus per-annotator (id, w_sum, w_total) partial rows
     (reference multiannotator.py:1304-1393 agreement-with-others and
     :1466-1476 / :1607-1613 ensemble model error). A "joined" run has
     both ≥1 annotation row and an example row — the inner-join
     semantics of the reference's example⋈consensus alignment."""
     scal = np.zeros(2 + k + P + 3, dtype=np.float64)
-    ids_parts, agree_parts, total_parts, wsum_parts, wtot_parts = [], [], [], [], []
+    ids_parts, wsum_parts, wtot_parts = [], [], []
     prob_cols = [f"_q{i}" for i in range(P * k)]
     for block in blocks:
         if block.num_rows == 0:
@@ -346,7 +346,6 @@ def _crowdlab_stats_block(P: int, k: int, tie_key: np.ndarray, *blocks):
             ann_ids = np.asarray(
                 block["annotator_id"].to_pandas(), dtype=object
             )[rows]
-            agree_vec = (lab[rows] == consensus[run_of_row[rows]]).astype(np.int64)
             multi = n_rows_ann[run_of_row[rows]] > 1
             matches = np.where(
                 multi, C[run_of_row[rows], lab[rows]] - 1, 0
@@ -357,9 +356,6 @@ def _crowdlab_stats_block(P: int, k: int, tie_key: np.ndarray, *blocks):
             codes, uniq = pd.factorize(ann_ids)
             m = len(uniq)
             ids_parts.append(uniq.astype(object))
-            agree_parts.append(
-                np.bincount(codes, weights=agree_vec, minlength=m).astype(np.int64))
-            total_parts.append(np.bincount(codes, minlength=m).astype(np.int64))
             wsum_parts.append(np.bincount(codes, weights=matches, minlength=m))
             wtot_parts.append(np.bincount(codes, weights=denom, minlength=m))
         joined = st["has_ex"] & has_ann
@@ -379,18 +375,15 @@ def _crowdlab_stats_block(P: int, k: int, tie_key: np.ndarray, *blocks):
             scal[2 + k + P + 1] += float(n_ann[joined].sum())
             scal[2 + k + P + 2] += float(joined.sum())
     if ids_parts:
-        ids = np.concatenate(ids_parts)
         ann_part = (
-            ids,
-            np.concatenate(agree_parts),
-            np.concatenate(total_parts),
+            np.concatenate(ids_parts),
             np.concatenate(wsum_parts),
             np.concatenate(wtot_parts),
         )
     else:
         ann_part = (
-            np.empty(0, dtype=object), np.empty(0, np.int64),
-            np.empty(0, np.int64), np.empty(0, np.float64),
+            np.empty(0, dtype=object),
+            np.empty(0, np.float64),
             np.empty(0, np.float64),
         )
     return scal, ann_part
@@ -530,8 +523,8 @@ def _crowdlab_combined(annotations_ds, examples_ds, num_classes: int,
     if raw:
         agg = pd.DataFrame({
             "annotator_id": np.concatenate([r[1][0] for r in raw]),
-            "s": np.concatenate([r[1][3] for r in raw]),
-            "t": np.concatenate([r[1][4] for r in raw]),
+            "s": np.concatenate([r[1][1] for r in raw]),
+            "t": np.concatenate([r[1][2] for r in raw]),
         }).groupby("annotator_id", as_index=False).sum()
     else:
         agg = pd.DataFrame({"annotator_id": [], "s": [], "t": []})

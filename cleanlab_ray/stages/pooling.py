@@ -80,8 +80,10 @@ def pool_conversations(
         order = np.argsort(codes, kind="stable")
         seg = np.searchsorted(np.sort(codes), np.arange(n_groups))
         return pa.table({
+            # preserve the input key type (the pre-rewrite map_groups
+            # path accepted any conv-id dtype, not just string)
             conv_col: pa.array(uniques.get_level_values(0),
-                               type=pa.string()),
+                               type=batch.schema.field(conv_col).type),
             "_salt": pa.array(
                 uniques.get_level_values(1).to_numpy().astype(np.int64)),
             "_min": pa.array(
@@ -166,7 +168,9 @@ def pool_conversations_fast(
         e = np.exp((1.0 - s) / temperature)
         return pa.table(
             {
-                conv_col: pa.array(uniques, type=pa.string()),
+                # preserve the input key type (any conv-id dtype works)
+                conv_col: pa.array(
+                    uniques, type=batch.schema.field(conv_col).type),
                 "_min": pa.array(
                     np.full(n_groups, np.inf)
                     if n_groups == 0

@@ -55,3 +55,35 @@ def test_pool_fast_matches_direct(scored_ds, oracle_pools):
     from cleanlab_ray.stages.pooling import pool_conversations_fast
 
     _check(pool_conversations_fast(scored_ds).to_pandas(), oracle_pools)
+
+
+def test_pool_salted_integer_conv_ids(ray_session):
+    """The salt path must preserve the key dtype (regression: it
+    hard-cast conv ids to pa.string(), crashing on int64 keys that the
+    direct path and the pre-rewrite map_groups path both accepted)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.stages.pooling import pool_conversations
+
+    rng = np.random.default_rng(11)
+    n = 400
+    conv = rng.integers(0, 23, n).astype(np.int64)
+    turn = np.arange(n, dtype=np.int64)
+    score = rng.uniform(0, 1, n)
+    t = pa.table({"conv_id": conv, "turn_idx": turn,
+                  "score_self_confidence": score})
+    direct = (
+        pool_conversations(rd.from_arrow(t))
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    salted = (
+        pool_conversations(rd.from_arrow(t), salt=8)
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    assert direct["conv_id"].dtype == salted["conv_id"].dtype
+    for c in direct.columns:
+        if direct[c].dtype.kind == "f":
+            np.testing.assert_allclose(direct[c], salted[c], atol=1e-9)
+        else:
+            assert list(direct[c]) == list(salted[c])
