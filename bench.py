@@ -116,31 +116,35 @@ def run_bench() -> dict:
         import tempfile
 
         ckpt = tempfile.mkdtemp(prefix="qf_bench_ckpt_", dir="/tmp") if use_ckpt else None
-        t0 = time.perf_counter()
-        final, _stats = run_streaming(
-            corpus_dir,
-            concurrency=None,  # stateless tasks w/ per-worker cached scorer
-            # batch_size=None: the read FUSES with the scoring task (one
-            # operator, raw text never enters the object store); the
-            # scorer slices blocks internally to keep its kernel
-            # cache-resident. File count (data-sized at generation) is
-            # the stage parallelism.
-            batch_size=None,
-            # prune at the read: the flagship output contract is
-            # (keys, scrubbed_text, scores, keep) — role/tool/ts never
-            # leave the scorer, so decoding them is wasted bandwidth
-            columns=["conv_id", "turn_idx", "text", "label"],
-            override_num_blocks=n_files,
-            checkpoint_dir=ckpt,
-        )
-        n = final.count()
-        dt = time.perf_counter() - t0
-        # release the materialized intermediate before the next run so two
-        # runs never coexist in the object store
-        del final, _stats
-        gc.collect()
-        if ckpt:
-            shutil.rmtree(ckpt, ignore_errors=True)
+        try:
+            t0 = time.perf_counter()
+            final, _stats = run_streaming(
+                corpus_dir,
+                concurrency=None,  # stateless tasks w/ per-worker cached scorer
+                # batch_size=None: the read FUSES with the scoring task (one
+                # operator, raw text never enters the object store); the
+                # scorer slices blocks internally to keep its kernel
+                # cache-resident. File count (data-sized at generation) is
+                # the stage parallelism.
+                batch_size=None,
+                # prune at the read: the flagship output contract is
+                # (keys, scrubbed_text, scores, keep) — role/tool/ts never
+                # leave the scorer, so decoding them is wasted bandwidth
+                columns=["conv_id", "turn_idx", "text", "label"],
+                override_num_blocks=n_files,
+                checkpoint_dir=ckpt,
+            )
+            n = final.count()
+            dt = time.perf_counter() - t0
+            # release the materialized intermediate before the next run so
+            # two runs never coexist in the object store
+            del final, _stats
+            gc.collect()
+        finally:
+            # also on failure: checkpoint parquet on /tmp must not
+            # accumulate across failed benchmark invocations
+            if ckpt:
+                shutil.rmtree(ckpt, ignore_errors=True)
         return dt, n
 
     n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "3"))

@@ -6522,7 +6522,8 @@ ORACLE_SQL["remove_dup_substrings"] = _make_remove_dup_substrings_sql()
 # embedding_pca are iterative learners with no SQL twin — the driver
 # records their weaker rows-only check, which is still their first
 # driver artifact ever). Then EVERY operator whose code changed this
-# round (19 — none escapes the gate), then the flagship core, then as
+# round (20, counting all three rewritten ANN variants — none escapes
+# the gate), then the flagship core, then as
 # many of the oldest-green (r03) unchanged entries as the remaining
 # slots hold. Everything displaced has a green row in r03 or r04 and
 # its code is unchanged since that row; additionally, every registry
@@ -6545,7 +6546,8 @@ _PRIORITY_WINDOW = [
     # + crowdlab null/empty-block fixes) — ALL of them, so no changed
     # operator escapes the gate this round
     "noisy_labels", "ngram_jaccard_pairs", "conv_pooling",
-    "ann_ivf", "ann_topk", "object_detection_ap", "od_label_quality",
+    "ann_ivf", "ann_topk", "ann_lsh",
+    "object_detection_ap", "od_label_quality",
     "data_valuation", "crowdlab_ensemble", "crowdlab_consensus",
     "annotator_consensus", "annotator_quality", "active_learning",
     "top_orders", "top_issues", "vocab_topk", "perplexity_buckets",
@@ -6558,7 +6560,6 @@ _PRIORITY_WINDOW = [
     "segment_revenue", "underperforming_groups",
     "spurious_correlations", "drift_windows",
     "asof_join", "range_join", "sessionization",
-    "regression_label_issues",
 ]
 
 _missing = [k for k in _PRIORITY_WINDOW if k not in QUERIES]

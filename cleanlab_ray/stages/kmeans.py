@@ -87,11 +87,11 @@ def kmeans_fit(
     seed rows)."""
     from cleanlab_ray.stages.topk import global_top_k
 
-    seed_rows = (
-        global_top_k(ds.select_columns([key_col, embedding_col]), key_col, k)
-        .to_pandas()
-        .sort_values(key_col, kind="mergesort")
-    )
+    # global_top_k's driver merge already returns rows sorted ascending
+    # by key_col — no re-sort needed
+    seed_rows = global_top_k(
+        ds.select_columns([key_col, embedding_col]), key_col, k
+    ).to_pandas()
     cents = np.stack(seed_rows[embedding_col].to_numpy()).astype(np.float64)
     for _ in range(n_iter):
         agg = ds.aggregate(_moment_aggfn(embedding_col, cents))["kmeans_moments"]

@@ -131,11 +131,16 @@ def majority_vote_consensus(ds, num_classes: int):
         if len(rows):
             ann_ids = np.asarray(batch["annotator_id"].to_pandas(), dtype=object)[rows]
             agree_vec = (lab[rows] == consensus[run_of_row[rows]]).astype(np.int64)
-            multi = sizes[run_of_row[rows]] > 1
+            # multi / denom count VALID annotations only (n_ann, not run
+            # size): a null/out-of-range label is a missing annotation
+            # (reference wide-table NaN) and must not inflate the
+            # agreement-with-others denominator — same convention as the
+            # fused _crowdlab_run_state path
+            multi = n_ann[run_of_row[rows]] > 1
             matches = np.where(
                 multi, C[run_of_row[rows], lab[rows]] - 1, 0
             ).astype(np.float64)
-            denom = np.where(multi, sizes[run_of_row[rows]] - 1, 0).astype(np.float64)
+            denom = np.where(multi, n_ann[run_of_row[rows]] - 1, 0).astype(np.float64)
             codes, uniq = pd.factorize(ann_ids)
             m = len(uniq)
             ann_ids_out = uniq.astype(object)

@@ -22,6 +22,14 @@ import pandas as pd
 TEMPERATURE = 0.05
 
 
+def _grouped_min(s: np.ndarray, codes: np.ndarray, n_groups: int) -> np.ndarray:
+    """Per-group min of ``s`` for factorized group ``codes`` (one argsort,
+    reused as both the gather order and the segment-start source)."""
+    order = np.argsort(codes, kind="stable")
+    seg = np.searchsorted(codes[order], np.arange(n_groups))
+    return np.minimum.reduceat(s[order], seg)
+
+
 def _partials(scores: np.ndarray, temperature: float):
     e = np.exp((1.0 - scores) / temperature)
     return (
@@ -77,8 +85,6 @@ def pool_conversations(
             pd.MultiIndex.from_arrays([conv, bucket]))
         n_groups = len(uniques)
         e = np.exp((1.0 - s) / temperature)
-        order = np.argsort(codes, kind="stable")
-        seg = np.searchsorted(np.sort(codes), np.arange(n_groups))
         return pa.table({
             # preserve the input key type (the pre-rewrite map_groups
             # path accepted any conv-id dtype, not just string)
@@ -88,7 +94,7 @@ def pool_conversations(
                 uniques.get_level_values(1).to_numpy().astype(np.int64)),
             "_min": pa.array(
                 np.full(n_groups, np.inf) if n_groups == 0
-                else np.minimum.reduceat(s[order], seg)),
+                else _grouped_min(s, codes, n_groups)),
             "_sum": pa.array(np.bincount(codes, weights=s,
                                          minlength=n_groups)),
             "_n": pa.array(np.bincount(codes, minlength=n_groups)
@@ -174,10 +180,7 @@ def pool_conversations_fast(
                 "_min": pa.array(
                     np.full(n_groups, np.inf)
                     if n_groups == 0
-                    else np.minimum.reduceat(
-                        s[np.argsort(codes, kind="stable")],
-                        np.searchsorted(np.sort(codes), np.arange(n_groups)),
-                    )
+                    else _grouped_min(s, codes, n_groups)
                 ),
                 "_sum": pa.array(np.bincount(codes, weights=s, minlength=n_groups)),
                 "_n": pa.array(np.bincount(codes, minlength=n_groups).astype(np.int64)),

@@ -12,7 +12,11 @@ assumption is that hyperplane buckets keep near neighbors together
 (same assumption as stages/ann.ann_lsh).
 
 Per datalab's issue manager the exported score is ``0.5 * (1 + value)``
-(rescaled to [0, 1]) with low-score rows flagged.
+(rescaled to [0, 1]) with low-score rows flagged via ``score <
+threshold`` UNIFORMLY (data_valuation.py issue manager line 142) — a
+singleton bucket has no neighbors, gets the neutral score 0.5, and is
+flagged iff ``0.5 < threshold``, exactly like any other neutral row
+(no special-case False: the reference applies one threshold rule).
 """
 
 from __future__ import annotations

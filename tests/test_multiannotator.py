@@ -135,3 +135,44 @@ def test_detailed_label_quality_long_format(ray_session):
         np.testing.assert_allclose(
             r["quality_annotator"], pp.loc[r["conv_id"]][int(r["label"])],
             atol=1e-12)
+
+
+def test_null_labels_excluded_from_other_agreement_denominators(ray_session):
+    """A null label is a MISSING annotation (reference wide-table NaN):
+    it must not count toward the agreement-with-others denominator
+    (w_total = n_valid - 1 per multi-annotated example, NOT run size -
+    1), matching the fused _crowdlab_run_state convention."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.stages.multiannotator import majority_vote_consensus
+
+    tbl = pa.table({
+        "conv_id": pa.array(
+            ["e1", "e1", "e1", "e2", "e2", "e3", "e3"], type=pa.string()),
+        "turn_idx": pa.array([0] * 7, type=pa.int32()),
+        "annotator_id": pa.array(
+            ["a0", "a1", "a2", "a0", "a1", "a0", "a1"], type=pa.string()),
+        # e1: a0=0, a1=1, a2=NULL (2 valid); e2: a0=1, a1=NULL (1 valid
+        # -> NOT multi-annotated); e3: a0=2, a1=2 (2 valid, agreeing)
+        "label": pa.array([0, 1, None, 1, None, 2, 2], type=pa.int32()),
+    })
+    consensus, stats = majority_vote_consensus(
+        rd.from_arrow(tbl), num_classes=3)
+    cons = consensus.to_pandas().set_index("conv_id")
+    # num_annotations counts VALID labels only
+    assert int(cons.loc["e1", "num_annotations"]) == 2
+    assert int(cons.loc["e2", "num_annotations"]) == 1
+    sdf = stats.to_pandas().set_index("annotator_id")
+    # a2 labeled nothing valid -> absent entirely
+    assert "a2" not in sdf.index
+    # a0: e1 multi (denom 1, 0 matches), e2 single-valid (denom 0),
+    #     e3 multi (denom 1, 1 match)
+    assert float(sdf.loc["a0", "w_total"]) == 2.0
+    assert float(sdf.loc["a0", "w_sum"]) == 1.0
+    assert int(sdf.loc["a0", "num_labeled"]) == 3
+    # a1: e1 multi (denom 1, 0 matches), e3 multi (denom 1, 1 match);
+    #     the null on e2 contributes nothing
+    assert float(sdf.loc["a1", "w_total"]) == 2.0
+    assert float(sdf.loc["a1", "w_sum"]) == 1.0
+    assert int(sdf.loc["a1", "num_labeled"]) == 2

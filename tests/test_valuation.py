@@ -41,3 +41,21 @@ def test_valuation_flags_mislabeled(ray_session):
     flagged = out["is_data_valuation_issue"].to_numpy()
     assert flagged.sum() > 0
     assert flip[flagged].mean() > 0.5  # flagged rows mostly actual flips
+
+
+def test_singleton_bucket_uniform_threshold(ray_session):
+    """A singleton bucket has no neighbors -> neutral score 0.5, and the
+    issue flag applies the reference's UNIFORM ``score < threshold``
+    rule (data_valuation.py issue manager line 142) — no special-cased
+    False: flagged iff 0.5 < threshold."""
+    import ray.data as rd
+
+    from cleanlab_ray.stages.valuation import data_valuation
+
+    rows = [{"vec_id": 0, "embedding": [1.0, 0.0, 0.0], "label": 1}]
+    out = data_valuation(rd.from_items(rows)).to_pandas()
+    assert float(out["data_valuation_score"].iloc[0]) == 0.5
+    assert not bool(out["is_data_valuation_issue"].iloc[0])  # 0.5 < 0.5 is False
+
+    out6 = data_valuation(rd.from_items(rows), threshold=0.6).to_pandas()
+    assert bool(out6["is_data_valuation_issue"].iloc[0])  # 0.5 < 0.6
