@@ -146,10 +146,14 @@ def sorted_group_agg(ds, key_col, ops: dict):
                 if op == "count":
                     ot = pa.int64()
                 elif op == "sum":
-                    # numpy cumsum widens sub-word ints to int64; floats
-                    # keep their type — mirror that so empty and
-                    # non-empty blocks agree on schema
-                    ot = pa.int64() if pa.types.is_integer(t) else t
+                    # the non-empty path widens int/uint/bool to int64
+                    # (numpy reduceat after astype); floats keep their
+                    # type — mirror that so empty and non-empty blocks
+                    # agree on schema (bool included: is_integer alone
+                    # would leave an empty block typed bool)
+                    ot = (pa.int64()
+                          if pa.types.is_integer(t) or pa.types.is_boolean(t)
+                          else t)
                 else:
                     ot = t
                 out[f"{op}({c})"] = pa.array([], type=ot)

@@ -268,3 +268,25 @@ def test_global_top_k_matches_sort_limit():
     # empty input
     got = global_top_k(rd.from_arrow(tbl.slice(0, 0)), "v", 5).to_pandas()
     assert len(got) == 0
+
+
+def test_sorted_group_agg_bool_sum_schema_stable(ray_session):
+    """sum over a BOOLEAN column must widen to int64 on empty and
+    non-empty blocks alike (numpy reduceat widens; the empty-block
+    schema must match or block concat fails)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.stages.topk import sorted_group_agg
+
+    tbl = pa.table({
+        "g": pa.array(["a", "a", "b", "b", "b", "c"]),
+        "flag": pa.array([True, False, True, True, False, False]),
+    })
+    # repartition to force empty blocks through the kernel
+    ds = rd.from_arrow(tbl).repartition(8)
+    out = sorted_group_agg(ds, "g", {"flag": "sum"}).to_pandas()
+    out = out.sort_values("g").reset_index(drop=True)
+    assert out["sum(flag)"].dtype == np.int64
+    assert out["sum(flag)"].tolist() == [1, 2, 0]
