@@ -147,7 +147,8 @@ def _cmd_dedup_state(args) -> dict:
                              columns=[args.key_col, args.text_col])
         inc.build_dedup_state(ds, args.state, text_col=args.text_col,
                               num_perm=args.num_perm, bands=args.bands,
-                              shingle_k=args.shingle_k)
+                              shingle_k=args.shingle_k,
+                              overwrite=args.overwrite)
         payload["docs"] = ds.count()
     elif args.action == "update":
         ds = rd.read_parquet(args.input,
@@ -263,6 +264,10 @@ def build_parser() -> argparse.ArgumentParser:
     dd.add_argument("--and-update", action="store_true",
                     help="after flagging, append the delta's keys to the "
                          "state (the daily-ingest one-liner)")
+    dd.add_argument("--overwrite", action="store_true",
+                    help="build: replace an existing keys/ dir instead of "
+                         "refusing (appending into stale state is never "
+                         "done silently)")
     dd.add_argument("--text-col", default="text")
     dd.add_argument("--key-col", default="doc_id")
     dd.add_argument("--num-perm", type=int, default=64)

@@ -119,10 +119,8 @@ def connected_components(edges, src_col: str = "src", dst_col: str = "dst",
                 batch_format="pyarrow",
             )
         )
-        from cleanlab_ray.stages.topk import sorted_group_agg
-
         labels = _drop_empty_blocks(
-            sorted_group_agg(offered.union(labels), "node", {"label": "min"})
+            _sga(offered.union(labels), "node", {"label": "min"})
             .map_batches(
                 lambda b: pa.table({"node": b["node"], "label": b["min(label)"]}),
                 batch_format="pyarrow",

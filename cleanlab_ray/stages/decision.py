@@ -85,6 +85,15 @@ def make_histogram_aggfn(score_col: str, num_bins: int = DEFAULT_BINS):
 
     def accumulate_block(acc, block: pa.Table):
         s = block[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if len(s) and (np.isnan(s).any() or s.min() < 0.0 or s.max() > 1.0):
+            # loud, not silently wrong: a NaN would be counted into bin 0
+            # by the clip below yet is invisible to the `s < bin_lo` mask
+            # kernel and the boundary pull, so fewer than T rows would be
+            # flagged; out-of-range scores skew the cutoff analogously
+            raise ValueError(
+                f"resolve_bottom_t: score column {score_col!r} must be "
+                "NaN-free and within [0, 1]"
+            )
         idx = np.clip((s * num_bins).astype(np.int64), 0, num_bins)
         return np.asarray(acc, dtype=np.float64) + np.bincount(idx, minlength=num_bins + 1)
 
@@ -163,12 +172,20 @@ def resolve_bottom_t_from_hist(
         return batch.filter(mask)
 
     # batch_size=None: whole-block batches — the default 1024-row batches
-    # turn this cheap filter scan into thousands of kernel invocations
-    boundary = ds.map_batches(
+    # turn this cheap filter scan into thousands of kernel invocations.
+    # global_top_k (bottom-`need` by (score, keys)) prunes map-side to
+    # <= need rows per block, so a boundary bin dominated by one exact
+    # tied score value — which sub-bin refinement cannot split — pulls
+    # O(blocks x need) survivors to the driver, never the whole bin.
+    # (`need` itself bounds the broadcast boundary-key set either way.)
+    from cleanlab_ray.stages.topk import global_top_k
+
+    boundary_ds = ds.map_batches(
         filter_bin, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
+    )
+    chosen = global_top_k(
+        boundary_ds, [score_col, *key_cols], need
     ).to_pandas()
-    boundary = boundary.sort_values([score_col, *key_cols], kind="mergesort")
-    chosen = boundary.head(need)
     boundary_keys = set(zip(chosen[key_cols[0]], chosen[key_cols[1]]))
     return bin_lo, boundary_keys
 

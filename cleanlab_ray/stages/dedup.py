@@ -355,6 +355,30 @@ def minhash_signatures_column(col, a: np.ndarray, b: np.ndarray, k: int = 5) -> 
     return sigs
 
 
+def make_band_bucket_fn(num_perm: int, bands: int, shingle_k: int):
+    """Returns fn(string column) -> (n, bands) int64 LSH band-bucket
+    keys: per-band FNV fold of the minhash signature, salted per band
+    so band id rides inside the single int64 sort key. The SAME bucket
+    values make_minhash_kernel emits (incremental.py's persisted state
+    depends on that equality)."""
+    a, b = _minhash_params(num_perm)
+    rows_per_band = num_perm // bands
+    band_salt = (np.arange(bands, dtype=np.uint64) + np.uint64(1)) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+
+    def buckets(col) -> np.ndarray:
+        sigs = minhash_signatures_column(col, a, b, shingle_k)
+        n = len(sigs)
+        band_view = sigs.reshape(n, bands, rows_per_band)
+        band_hash = np.zeros((n, bands), dtype=np.uint64)
+        for j in range(rows_per_band):
+            band_hash = band_hash * _FNV_P + band_view[:, :, j]
+        return (band_hash ^ band_salt[None, :]).astype(np.int64)
+
+    return buckets
+
+
 def make_minhash_kernel(
     text_col: str = "text",
     num_perm: int = 64,
@@ -366,26 +390,18 @@ def make_minhash_kernel(
     (key cols..., _ekey, bucket) for the LSH bucket sort. The text
     column never leaves the kernel; band id is mixed into the single
     int64 ``bucket`` key so downstream needs only one sort column."""
-    a, b = _minhash_params(num_perm)
-    rows_per_band = num_perm // bands
-    band_salt = (np.arange(bands, dtype=np.uint64) + np.uint64(1)) * np.uint64(
-        0x9E3779B97F4A7C15
-    )
+    bucket_fn = make_band_bucket_fn(num_perm, bands, shingle_k)
+    bands = int(bands)
 
     def kernel(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        sigs = minhash_signatures_column(batch[text_col], a, b, shingle_k)
-        band_view = sigs.reshape(n, bands, rows_per_band)
-        band_hash = np.zeros((n, bands), dtype=np.uint64)
-        for j in range(rows_per_band):
-            band_hash = band_hash * _FNV_P + band_view[:, :, j]
-        bucket = band_hash ^ band_salt[None, :]
+        bucket = bucket_fn(batch[text_col])
         ekey = _encode_keys(batch, key_cols)
         keep = batch.select(list(key_cols)).append_column("_ekey", ekey)
         idx = np.repeat(np.arange(n, dtype=np.int64), bands)
         tiled = keep.take(pa.array(idx))
         return tiled.append_column(
-            "bucket", pa.array(bucket.reshape(-1).astype(np.int64))
+            "bucket", pa.array(bucket.reshape(-1))
         )
 
     return kernel

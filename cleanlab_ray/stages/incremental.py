@@ -79,37 +79,42 @@ def _write_keys(ds, keys_dir: str, **write_kwargs) -> None:
 def _key_rows(ds, text_col: str, key_col: str | None,
               num_perm: int, bands: int, shingle_k: int):
     """One text pass → (d, k[, key]) rows: d=0 content hash (one per
-    doc), d=1 LSH band buckets (``bands`` per doc)."""
+    doc), d=1 LSH band buckets (``bands`` per doc). The band buckets
+    come straight from make_band_bucket_fn — no _ekey string encoding
+    or key-table tiling on this hottest-of-all ingest map pass."""
     from cleanlab_ray.stages.dedup import (
-        make_minhash_kernel,
+        make_band_bucket_fn,
         polynomial_string_hashes,
     )
 
-    kern = make_minhash_kernel(
-        text_col=text_col, num_perm=num_perm, bands=bands,
-        shingle_k=shingle_k, key_cols=("doc_id",),
-    )
+    bucket_fn = make_band_bucket_fn(num_perm, bands, shingle_k)
 
     def kernel(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         h = polynomial_string_hashes(batch[text_col]).astype(np.int64)
         if key_col is not None:
-            keys = batch[key_col].to_numpy(zero_copy_only=False).astype(
-                np.int64)
+            kcol = batch[key_col]
+            ktype = kcol.type
+            if not pa.types.is_integer(ktype):
+                # loud, not a deep-numpy crash (string keys) or a silent
+                # truncating merge (float keys): the flag protocol keys
+                # its two exchanges on int64
+                raise ValueError(
+                    f"incremental ingest: key_col {key_col!r} must be an "
+                    f"integer column, got {ktype}"
+                )
+            keys = kcol.to_numpy(zero_copy_only=False).astype(np.int64)
         else:
             keys = np.zeros(n, dtype=np.int64)
-        tmp = batch.select([text_col]).append_column(
-            "doc_id", pa.array(np.arange(n, dtype=np.int64)))
-        bk = kern(tmp)
-        # kern emits rows as repeat(row_idx, bands) — recover the key
-        bkeys = keys[bk["doc_id"].to_numpy(zero_copy_only=False)]
+        buckets = bucket_fn(batch[text_col])  # (n, bands) int64
         d = np.concatenate([np.zeros(n, dtype=np.int8),
-                            np.ones(len(bkeys), dtype=np.int8)])
-        k = np.concatenate([h, bk["bucket"].to_numpy(zero_copy_only=False)])
+                            np.ones(buckets.size, dtype=np.int8)])
+        k = np.concatenate([h, buckets.reshape(-1)])
         cols = {"d": pa.array(d), "k": pa.array(k, type=pa.int64())}
         if key_col is not None:
             cols[key_col] = pa.array(
-                np.concatenate([keys, bkeys]), type=pa.int64())
+                np.concatenate([keys, np.repeat(keys, bands)]),
+                type=pa.int64())
         return pa.table(cols)
 
     return ds.map_batches(kernel, batch_format="pyarrow",
@@ -146,10 +151,28 @@ def build_dedup_state(
     num_perm: int = 64,
     bands: int = 8,
     shingle_k: int = 5,
+    overwrite: bool = False,
 ) -> dict:
     """Write the corpus dedup state under ``out_dir`` and return its
-    manifest. ONE map-only pass over the corpus text — no exchange."""
+    manifest. ONE map-only pass over the corpus text — no exchange.
+
+    Refuses a non-empty existing ``keys/`` unless ``overwrite=True``:
+    write_parquet APPENDS uniquely-named files, so silently building
+    into an old state would union stale keys (possibly from a different
+    hash family) with the new corpus. ``update_dedup_state`` is the
+    append path; build means build-from-scratch."""
     os.makedirs(out_dir, exist_ok=True)
+    keys_dir = os.path.join(out_dir, "keys")
+    if os.path.isdir(keys_dir) and os.listdir(keys_dir):
+        if not overwrite:
+            raise ValueError(
+                f"build_dedup_state: {keys_dir} already holds state files; "
+                "pass overwrite=True to rebuild from scratch, or use "
+                "update_dedup_state to append a delta"
+            )
+        import shutil
+
+        shutil.rmtree(keys_dir)
     rows = _key_rows(ds, text_col, None, num_perm, bands, shingle_k)
     _write_keys(_block_unique_keys(rows), os.path.join(out_dir, "keys"))
     manifest = {
@@ -313,9 +336,17 @@ def compact_dedup_state(state_dir: str, *,
 
     path = os.path.join(state_dir, "keys")
     tmp = path + ".compact"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # half-written leftover from a prior crash
     distinct = sorted_group_agg(
         _block_unique_keys(rd.read_parquet(path)), ["d", "k"], {"k": "count"}
     ).select_columns(["d", "k"])
     _write_keys(distinct, tmp, min_rows_per_file=rows_per_file)
-    shutil.rmtree(path)
+    # two atomic renames keep a readable keys/ at every instant (a crash
+    # between the old rmtree and rename left NO state behind)
+    old = path + ".old"
+    if os.path.isdir(old):
+        shutil.rmtree(old)  # leftover from a prior crash after swap
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)

@@ -166,12 +166,17 @@ def remove_dup_substrings(
             "h": pa.array(np.zeros(n, dtype=np.int64)),
         })
 
+    # the placeholder text must match the INPUT column's string type
+    # (string vs large_string) or the union's two branches disagree on
+    # schema and the doc-key sort fails at execution
+    text_type = ds.schema().base_schema.field(text_col).type
+
     def tag_dups(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.table({
             key_col: batch[key_col],
             "kind": pa.array(np.ones(n, dtype=np.int8)),
-            text_col: pa.array([""] * n, type=pa.string()),
+            text_col: pa.array([""] * n, type=text_type),
             "h": batch["h"],
         })
 
@@ -274,14 +279,12 @@ def remove_dup_substrings(
             prev = np.searchsorted(ch, ive, side="right") - 1
             e_snap = np.where(at_boundary, ive, ch[np.maximum(prev, 0)])
             keep_iv = s_snap < e_snap
-            covered = np.zeros(total, dtype=bool)
             d2 = np.zeros(total + 1, dtype=np.int32)
             np.add.at(d2, s_snap[keep_iv], 1)
             np.add.at(d2, e_snap[keep_iv], -1)
             covered = np.cumsum(d2[:-1]) > 0
         # padding bytes are never part of the doc: mask them out of both
         # the keep set and the removed-byte accounting
-        in_row = np.zeros(total, dtype=bool)
         row_of = np.repeat(np.arange(nt), np.diff(offsets))
         in_row = (np.arange(total) - offsets[row_of]) < true_lens[row_of]
         keep = ~covered & in_row

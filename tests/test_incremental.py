@@ -243,3 +243,67 @@ def test_manifest_version_guard(ray_session, tmp_path, corpus_and_delta):
         json.dump(m, f)
     with pytest.raises(ValueError, match="version"):
         incremental_flags(rd.from_arrow(delta), state)
+
+
+def test_build_refuses_nonempty_state_unless_overwrite(
+        ray_session, tmp_path, corpus_and_delta):
+    """write_parquet appends into keys/, so a silent rebuild would union
+    stale keys (possibly a different hash family) with the new corpus —
+    build must refuse unless overwrite=True."""
+    import os
+
+    import ray.data as rd
+
+    corpus, delta = corpus_and_delta
+    state = str(tmp_path / "state_rebuild")
+    build_dedup_state(rd.from_arrow(corpus), state)
+    n_files = len(os.listdir(os.path.join(state, "keys")))
+    with pytest.raises(ValueError, match="overwrite"):
+        build_dedup_state(rd.from_arrow(corpus), state)
+    # overwrite replaces, never appends
+    build_dedup_state(rd.from_arrow(corpus), state, overwrite=True)
+    flags = incremental_flags(
+        rd.from_arrow(delta), state).to_pandas().set_index("doc_id")
+    assert bool(flags.loc[1000, "exact_dup_corpus"])  # still a valid state
+    assert len(os.listdir(os.path.join(state, "keys"))) <= n_files + 1
+
+
+def test_flags_reject_non_integer_key(ray_session, tmp_path, corpus_and_delta):
+    import pyarrow as pa
+    import ray.data as rd
+
+    corpus, _ = corpus_and_delta
+    state = str(tmp_path / "state_strkey")
+    build_dedup_state(rd.from_arrow(corpus), state)
+    bad = pa.table({
+        "doc_id": pa.array(["u-1", "u-2"]),
+        "text": pa.array(["some text here", "other text here"]),
+    })
+    with pytest.raises(Exception, match="integer column"):
+        incremental_flags(rd.from_arrow(bad), state).to_pandas()
+
+
+def test_compact_tolerates_crash_leftovers(
+        ray_session, tmp_path, corpus_and_delta):
+    """A half-written keys.compact (crash mid-compact) and a keys.old
+    (crash mid-swap) must not corrupt the next compact."""
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    corpus, delta = corpus_and_delta
+    state = str(tmp_path / "state_crashy")
+    build_dedup_state(rd.from_arrow(corpus), state)
+    before = incremental_flags(rd.from_arrow(delta), state).to_pandas()
+    # simulate both crash leftovers
+    keys = os.path.join(state, "keys")
+    shutil.copytree(keys, keys + ".compact")
+    os.makedirs(keys + ".old", exist_ok=True)
+    compact_dedup_state(state)
+    assert not os.path.isdir(keys + ".compact")
+    assert not os.path.isdir(keys + ".old")
+    after = incremental_flags(rd.from_arrow(delta), state).to_pandas()
+    pd_before = before.sort_values("doc_id").reset_index(drop=True)
+    pd_after = after.sort_values("doc_id").reset_index(drop=True)
+    assert pd_before.equals(pd_after)

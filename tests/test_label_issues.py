@@ -134,3 +134,67 @@ def test_bottom_t_refinement_is_byte_identical(ray_session, monkeypatch):
     order = np.lexsort((np.zeros(n), np.array([f"c{i:05d}" for i in range(n)]), scores))
     expect = {f"c{i:05d}" for i in order[:t]}
     assert f0 == expect
+
+
+def test_bottom_t_rejects_nan_and_out_of_range(ray_session):
+    """NaN scores would be histogram-counted (clip sends them to bin 0)
+    yet invisible to the mask kernel and the boundary pull — silently
+    flagging fewer than T rows. The histogram pass must refuse loudly."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    import cleanlab_ray.stages.decision as dec
+
+    def mk(scores):
+        n = len(scores)
+        return rd.from_arrow(pa.table({
+            "conv_id": pa.array([f"c{i}" for i in range(n)]),
+            "turn_idx": pa.array(np.zeros(n, dtype=np.int32)),
+            "score_self_confidence": pa.array(np.asarray(scores, dtype=np.float64)),
+        }))
+
+    with pytest.raises(Exception, match="NaN-free"):
+        dec.resolve_bottom_t(mk([0.2, np.nan, 0.9]), 1)
+    with pytest.raises(Exception, match="NaN-free"):
+        dec.resolve_bottom_t(mk([0.2, -0.5, 0.9]), 1)
+    with pytest.raises(Exception, match="NaN-free"):
+        dec.resolve_bottom_t(mk([0.2, 1.5, 0.9]), 1)
+
+
+def test_bottom_t_exact_under_boundary_tie_mass(ray_session):
+    """A massive exact-tie mass at the cutoff score (which sub-bin
+    refinement cannot split) must still produce exactly T flags with the
+    deterministic (score, key) tie-break — via the map-side-pruned
+    global_top_k pull, not a whole-bin driver pull."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    import cleanlab_ray.stages.decision as dec
+
+    n_low, n_tie, n_high = 100, 20_000, 500
+    scores = np.concatenate([
+        np.linspace(0.01, 0.09, n_low),       # clearly below
+        np.full(n_tie, 0.25),                 # one exact tied value
+        np.linspace(0.7, 0.99, n_high),       # clearly above
+    ])
+    n = len(scores)
+    conv = np.array([f"c{i:06d}" for i in range(n)])
+    ds = rd.from_arrow(pa.table({
+        "conv_id": pa.array(conv, type=pa.string()),
+        "turn_idx": pa.array(np.zeros(n, dtype=np.int32)),
+        "score_self_confidence": pa.array(scores),
+    })).repartition(16).materialize()
+
+    t = n_low + 1234  # cutoff lands INSIDE the tie mass
+    bin_lo, keys = dec.resolve_bottom_t(ds, t)
+    kern = dec.make_issue_mask_kernel(bin_lo, keys)
+    out = ds.map_batches(kern, batch_format="pyarrow").to_pandas()
+    flagged = set(out.loc[out["is_label_issue"], "conv_id"])
+    assert len(flagged) == t
+    # tie-break: smallest (score, conv_id, turn_idx) — i.e. the FIRST
+    # 1234 tied conv_ids in lexicographic order
+    order = np.lexsort((np.zeros(n), conv, scores))
+    assert flagged == set(conv[order[:t]])

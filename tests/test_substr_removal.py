@@ -151,3 +151,27 @@ def test_keep_first_rejects_string_key(ray_session):
     out = (remove_dup_substrings(rd.from_arrow(t), span_k=K)
            .to_pandas().set_index("doc_id").sort_index())
     assert out["text"].tolist() == ["", ""]
+
+
+def test_large_string_input(ray_session):
+    """A large_string text column (big-writer parquet) must produce the
+    same cuts — the union's dup-side placeholder must match the input's
+    string type or the doc sort fails on schema mismatch."""
+    import ray.data as rd
+
+    texts = [
+        "the shared duplicated span appears here verbatim, plus tail one",
+        "the shared duplicated span appears here verbatim, plus tail two",
+        "a totally different document with no overlap at all in it",
+    ]
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts, type=pa.large_string()),
+    })
+    out = (
+        remove_dup_substrings(rd.from_arrow(t).repartition(2), span_k=K)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    exp_texts, exp_removed = _oracle(texts)
+    assert list(out["text"]) == exp_texts
+    assert list(out["n_removed_bytes"]) == exp_removed
