@@ -6522,7 +6522,8 @@ ORACLE_SQL["remove_dup_substrings"] = _make_remove_dup_substrings_sql()
 # embedding_pca are iterative learners with no SQL twin — the driver
 # records their weaker rows-only check, which is still their first
 # driver artifact ever). Then EVERY operator whose code changed this
-# round (20, counting all three rewritten ANN variants — none escapes
+# round (21, counting all three rewritten ANN variants and the ingest
+# hot-path rewrite — none escapes
 # the gate), then the flagship core, then as
 # many of the oldest-green (r03) unchanged entries as the remaining
 # slots hold. Everything displaced has a green row in r03 or r04 and
@@ -6551,7 +6552,7 @@ _PRIORITY_WINDOW = [
     "data_valuation", "crowdlab_ensemble", "crowdlab_consensus",
     "annotator_consensus", "annotator_quality", "active_learning",
     "top_orders", "top_issues", "vocab_topk", "perplexity_buckets",
-    "dup_components", "kmeans_clusters",
+    "dup_components", "kmeans_clusters", "incremental_ingest",
     # (c) flagship core (always in the gate)
     "flagship_quality_filter", "confident_joint", "self_confidence",
     # (d) oldest standing greens (last green r03, unchanged since)
@@ -6559,7 +6560,7 @@ _PRIORITY_WINDOW = [
     "prune_by_class", "near_dup_documents", "langid_documents",
     "segment_revenue", "underperforming_groups",
     "spurious_correlations", "drift_windows",
-    "asof_join", "range_join", "sessionization",
+    "asof_join", "range_join",
 ]
 
 _missing = [k for k in _PRIORITY_WINDOW if k not in QUERIES]
