@@ -21,12 +21,36 @@ import pyarrow as pa
 def _matrix_from_list_col(col) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if len(col) == 0:
+        # reshape(0, -1) raises on a zero-size buffer; emit (0, 0) so
+        # empty blocks pass through guards instead of crashing
+        return np.empty((0, 0), dtype=np.float64)
     flat = np.asarray(col.values, dtype=np.float64)
     return flat.reshape(len(col), -1)
 
 
 def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-300)
+
+
+_EMPTY_TOPK = pa.table({
+    "query_id": pa.array([], type=pa.int64()),
+    "vec_id": pa.array([], type=pa.int64()),
+    "cos_sim": pa.array([], type=pa.float64()),
+})
+
+
+def _select_topk(sims: np.ndarray, ids: np.ndarray, kk: int):
+    """Per-query bottom-kk row selection by (cos_sim DESC, id ASC) —
+    a per-column lexsort, NOT bare argpartition, so rows tied at the
+    kk-th score keep the SMALLEST ids (the merge's documented total
+    order; an arbitrary tie subset here could drop rows the global
+    top-k needs). Returns (qid, sel) flat index arrays."""
+    ids_b = np.broadcast_to(ids[:, None], sims.shape)
+    order = np.lexsort((ids_b, -sims), axis=0)[:kk]  # (kk, Q)
+    nq = sims.shape[1]
+    qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
+    return qid, order.T.reshape(-1)
 
 
 def ann_brute_force(
@@ -44,19 +68,17 @@ def ann_brute_force(
     qref = ray.put(qn)
 
     def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_TOPK
         q = ray.get(qref)  # (Q, D)
         mat = _normalize(_matrix_from_list_col(batch[embedding_col]))
         sims = mat @ q.T  # (B, Q)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        kk = min(k, sims.shape[0])
-        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
-        nq = q.shape[0]
-        qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
-        sel = top.T.reshape(-1)  # row indices, one flatten — no per-query loop
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        qid, sel = _select_topk(sims, ids, min(k, sims.shape[0]))
         return pa.table(
             {
                 "query_id": pa.array(qid),
-                "vec_id": pa.array(ids[sel].astype(np.int64)),
+                "vec_id": pa.array(ids[sel]),
                 "cos_sim": pa.array(sims[sel, qid]),
             }
         )
@@ -93,41 +115,44 @@ def ann_lsh(
     def bucket_of(m: np.ndarray) -> np.ndarray:
         return ((m @ planes.T) > 0).dot(1 << np.arange(num_planes)).astype(np.int64)
 
+    from itertools import combinations
+
     q_buckets = bucket_of(qn)
     candidate_buckets: set[int] = set()
+    # all buckets within `multiprobe` bit flips (true hamming-ball
+    # probing — previously only 1-bit flips were generated, so
+    # multiprobe > 1 was silently a no-op)
+    flip_masks = [0]
+    for r in range(1, min(int(multiprobe), num_planes) + 1):
+        for bits in combinations(range(num_planes), r):
+            m = 0
+            for bit in bits:
+                m |= 1 << bit
+            flip_masks.append(m)
     for b in q_buckets:
-        candidate_buckets.add(int(b))
-        if multiprobe >= 1:
-            for bit in range(num_planes):
-                candidate_buckets.add(int(b) ^ (1 << bit))
-    qref = ray.put((qn, candidate_buckets))
+        for m in flip_masks:
+            candidate_buckets.add(int(b) ^ m)
+    cand_arr = np.fromiter(candidate_buckets, dtype=np.int64,
+                           count=len(candidate_buckets))
+    qref = ray.put((qn, cand_arr))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_TOPK
         q, cand = ray.get(qref)
         mat = _matrix_from_list_col(batch[embedding_col])
         buckets = bucket_of(_normalize(mat))
-        keep = np.fromiter((int(b) in cand for b in buckets), dtype=bool, count=len(buckets))
-        idx = np.nonzero(keep)[0]
+        idx = np.flatnonzero(np.isin(buckets, cand))
         if len(idx) == 0:
-            return pa.table(
-                {
-                    "query_id": pa.array([], type=pa.int64()),
-                    "vec_id": pa.array([], type=pa.int64()),
-                    "cos_sim": pa.array([], type=pa.float64()),
-                }
-            )
+            return _EMPTY_TOPK
         sub = _normalize(mat[idx])
         sims = sub @ q.T
-        ids = batch[id_col].to_numpy(zero_copy_only=False)[idx]
-        kk = min(k, sims.shape[0])
-        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
-        nq = q.shape[0]
-        qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
-        sel = top.T.reshape(-1)  # one flatten — no per-query loop
+        ids = batch[id_col].to_numpy(zero_copy_only=False)[idx].astype(np.int64)
+        qid, sel = _select_topk(sims, ids, min(k, sims.shape[0]))
         return pa.table(
             {
                 "query_id": pa.array(qid),
-                "vec_id": pa.array(ids[sel].astype(np.int64)),
+                "vec_id": pa.array(ids[sel]),
                 "cos_sim": pa.array(sims[sel, qid]),
             }
         )
@@ -187,29 +212,21 @@ def ann_ivf(
     bref = ray.put((qn, cents, probe_mask))
 
     def partial_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _EMPTY_TOPK
         qmat, cmat, pmask = ray.get(bref)
         mat = _matrix_from_list_col(batch[embedding_col])
-        if len(mat) == 0:
-            return pa.table({
-                "query_id": pa.array([], type=pa.int64()),
-                "vec_id": pa.array([], type=pa.int64()),
-                "cos_sim": pa.array([], type=pa.float64()),
-            })
         cell = _assign(mat, cmat)                       # (B,)
         cand = pmask[cell]                              # (B, Q) bool
         sims = _normalize(mat) @ qmat.T                 # (B, Q)
         sims = np.where(cand, sims, -np.inf)
-        ids = batch[id_col].to_numpy(zero_copy_only=False)
-        kk = min(k, sims.shape[0])
-        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]   # (kk, Q)
-        nq = qmat.shape[0]
-        qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
-        sel = top.T.reshape(-1)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        qid, sel = _select_topk(sims, ids, min(k, sims.shape[0]))
         vals = sims[sel, qid]
         ok = np.isfinite(vals)                          # drop non-candidates
         return pa.table({
             "query_id": pa.array(qid[ok]),
-            "vec_id": pa.array(ids[sel[ok]].astype(np.int64)),
+            "vec_id": pa.array(ids[sel[ok]]),
             "cos_sim": pa.array(vals[ok]),
         })
 

@@ -110,6 +110,11 @@ def bloom_semijoin(
     from cleanlab_ray.functions.joins import attach_flags_by_key
 
     right_key = right_key or left_key
+    # project to the key column and materialize ONCE: the bloom
+    # aggregate, the count and the key collection / join below each
+    # consume the right side — without this, a right built from
+    # upstream stages re-runs its whole lineage three times
+    right = right.select_columns([right_key]).materialize()
     bitmap = np.asarray(
         right.aggregate(make_bloom_aggfn(right_key, m_bits, n_hashes))["bloom"]
     )
@@ -121,9 +126,7 @@ def bloom_semijoin(
         # (the same collision-free-by-construction _key_hashes space the
         # bloom uses would NOT be exact for strings — broadcast the raw
         # keys and compare values)
-        keys_tbl = pa.concat_tables(
-            ray.get(right.select_columns([right_key]).to_arrow_refs())
-        )
+        keys_tbl = pa.concat_tables(ray.get(right.to_arrow_refs()))
         kc = keys_tbl[right_key]
         kc = kc.combine_chunks() if isinstance(kc, pa.ChunkedArray) else kc
         keys_ref = ray.put(kc)
@@ -166,9 +169,7 @@ def bloom_semijoin(
     # duplicate-safe). One sorted-run pass keeps this O(rows), not
     # O(groups).
     flags = sorted_group_agg(
-        right.select_columns([right_key]).map_batches(
-            right_flags, batch_format="pyarrow"
-        ),
+        right.map_batches(right_flags, batch_format="pyarrow"),
         left_key,
         {"_member": "max"},
     ).map_batches(

@@ -32,6 +32,10 @@ def _matrix(batch: pa.Table, col: str) -> np.ndarray:
     c = batch[col]
     if isinstance(c, pa.ChunkedArray):
         c = c.combine_chunks()
+    if batch.num_rows == 0:
+        # reshape(0, -1) raises on a zero-size buffer; emit (0, 0) so
+        # empty blocks pass through callers' guards instead of crashing
+        return np.empty((0, 0), dtype=np.float64)
     flat = np.asarray(c.values, dtype=np.float64)
     return flat.reshape(batch.num_rows, -1)
 

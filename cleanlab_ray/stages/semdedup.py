@@ -41,19 +41,19 @@ def semdedup(
     """Returns (key, cluster, cos_cent_e6, is_semdup) per input row."""
     import ray
 
+    from cleanlab_ray.stages.ann import _normalize
     from cleanlab_ray.stages.dedup import _sorted_block_map
     from cleanlab_ray.stages.kmeans import _matrix, kmeans_cluster
 
     assigned, cents = kmeans_cluster(ds, embedding_col, key_col, k, n_iter)
-    cn = np.asarray(cents, dtype=np.float64)
-    cn = cn / np.maximum(np.linalg.norm(cn, axis=1, keepdims=True), 1e-300)
+    cn = _normalize(np.asarray(cents, dtype=np.float64))
     cents_ref = ray.put(cn)
 
     def add_cos_cent(batch: pa.Table) -> pa.Table:
         c = ray.get(cents_ref)
         mat = _matrix(batch, embedding_col)
         cl = batch["cluster"].to_numpy(zero_copy_only=False).astype(np.int64)
-        en = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        en = _normalize(mat)
         cc = np.einsum("ij,ij->i", en, c[cl]) if len(cl) else np.empty(0)
         return batch.append_column("cos_cent", pa.array(cc, type=pa.float64()))
 
@@ -74,7 +74,7 @@ def semdedup(
         keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
         cc = batch["cos_cent"].to_numpy(zero_copy_only=False)
         mat = _matrix(batch, embedding_col)
-        en = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-300)
+        en = _normalize(mat)
 
         change = np.ones(n, dtype=bool)
         change[1:] = cl[1:] != cl[:-1]

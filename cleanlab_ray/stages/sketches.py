@@ -60,9 +60,15 @@ def _kmv_from_tokens(block: pa.Table, text_col: str, k: int) -> np.ndarray:
     from cleanlab_ray.stages.dedup import polynomial_string_hashes
     from cleanlab_ray.stages.quality_signals import _tokens
 
-    _codes, _rows, _lens, vocab, _n = _tokens(block, text_col)
-    if len(vocab) == 0:
+    codes, _rows, _lens, vocab, _n = _tokens(block, text_col)
+    if len(vocab) == 0 or len(codes) == 0:
         return np.empty(0, dtype=np.uint64)
+    # the dictionary can hold zero-count entries (the empty pseudo-token
+    # from repeated/leading/trailing whitespace) — hash only tokens that
+    # actually occur, same cnt>0 filter as heavy_hitters, or the
+    # distinct count overcounts by one vs a count(DISTINCT word) oracle
+    cnt = np.bincount(codes, minlength=len(vocab))
+    vocab = vocab.filter(pa.array(cnt > 0))
     h = np.unique(_mix64(polynomial_string_hashes(vocab)))
     return h[:k]
 
@@ -117,6 +123,12 @@ def distinct_tokens_by(ds, group_col: str, k: int = 16384,
     import pandas as pd
 
     def partials(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:
+            return pa.table({
+                group_col: pa.array(
+                    [], type=block.schema.field(group_col).type),
+                "kmv_summary": pa.array([], type=pa.large_binary()),
+            })
         groups = block[group_col]
         enc = (groups.combine_chunks() if isinstance(groups, pa.ChunkedArray)
                else groups).dictionary_encode()

@@ -83,3 +83,49 @@ def test_ivf_probed_exactness(emb_ds):
         )
         assert g["vec_id"].tolist() == expected
         assert qi in set(g["vec_id"])
+
+
+def test_ann_handles_empty_blocks_and_duplicate_ties(ray_session):
+    """(a) Zero-row blocks must pass through all three partial kernels
+    (reshape(0,-1) crashed them); (b) >k rows with IDENTICAL embeddings
+    must keep the SMALLEST vec_ids — bare argpartition kept an arbitrary
+    tie subset, breaking the (cos_sim DESC, vec_id ASC) total order."""
+    import ray.data as rd
+
+    from cleanlab_ray.stages.ann import ann_brute_force, ann_ivf, ann_lsh
+
+    base = np.ones(8)
+    rows = [{"vec_id": i, "embedding": base.tolist()} for i in range(40)]
+    # a couple of decoys so the dataset isn't ALL ties
+    rng = np.random.default_rng(3)
+    rows += [{"vec_id": 100 + j, "embedding": rng.standard_normal(8).tolist()}
+             for j in range(10)]
+    # tiny blocks + many partitions -> some empty blocks after split
+    ds = rd.from_items(rows).repartition(16).materialize()
+    q = base[None, :]
+
+    k = 10
+    expect = list(range(k))  # smallest vec_ids among the 40 exact ties
+    bf = ann_brute_force(ds, q, k=k).to_pandas().sort_values("vec_id")
+    assert list(bf["vec_id"]) == expect
+    lsh = ann_lsh(ds, q, k=k).to_pandas().sort_values("vec_id")
+    assert list(lsh["vec_id"]) == expect
+    ivf = ann_ivf(ds, q, k=k, nlist=4, nprobe=4).to_pandas().sort_values("vec_id")
+    assert list(ivf["vec_id"]) == expect
+
+
+def test_lsh_multiprobe_full_ball_equals_brute_force(emb_ds):
+    """multiprobe=num_planes probes the entire hamming ball (all 2^p
+    buckets), so LSH must return exactly the brute-force result —
+    previously multiprobe>1 silently generated only 1-bit flips."""
+    from cleanlab_ray.stages.ann import ann_brute_force, ann_lsh
+
+    ds, vecs = emb_ds
+    rng = np.random.default_rng(21)
+    q = rng.standard_normal((3, 16))
+    k = 7
+    bf = ann_brute_force(ds, q, k=k).to_pandas()
+    full = ann_lsh(ds, q, k=k, num_planes=6, multiprobe=6).to_pandas()
+    bf_s = bf.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    full_s = full.sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    assert bf_s[["query_id", "vec_id"]].equals(full_s[["query_id", "vec_id"]])

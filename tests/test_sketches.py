@@ -80,3 +80,35 @@ def test_merge_is_order_independent():
         rev = _kmv_merge(rev, p, k)
     assert np.array_equal(fwd, rev)
     assert kmv_estimate(fwd, k) == kmv_estimate(rev, k)
+
+
+def test_distinct_tokens_ignores_empty_pseudo_token(ray_session):
+    """Trailing/repeated whitespace puts an empty pseudo-token in the
+    Arrow dictionary; it must not count toward DISTINCT words."""
+    import ray.data as rd
+
+    from cleanlab_ray.stages.sketches import distinct_tokens
+
+    ds = rd.from_items([
+        {"text": "hello world"},
+        {"text": "hello  world "},   # double + trailing space
+        {"text": ""},                 # empty doc
+    ])
+    assert distinct_tokens(ds, k=1 << 10) == 2
+
+    all_empty = rd.from_items([{"text": ""}, {"text": "   "}])
+    assert distinct_tokens(all_empty, k=1 << 10) == 0
+
+
+def test_distinct_tokens_by_handles_empty_blocks(ray_session):
+    import ray.data as rd
+
+    from cleanlab_ray.stages.sketches import distinct_tokens_by
+
+    ds = rd.from_items([
+        {"g": "a", "text": "x y z"},
+        {"g": "b", "text": "x x"},
+    ]).repartition(8)  # force empty blocks
+    out = distinct_tokens_by(ds, "g", k=1 << 10).to_pandas()
+    got = dict(zip(out["g"], out["distinct_tokens"]))
+    assert got == {"a": 3, "b": 1}
