@@ -6553,13 +6553,13 @@ _PRIORITY_WINDOW = [
     "annotator_consensus", "annotator_quality", "active_learning",
     "top_orders", "top_issues", "vocab_topk", "perplexity_buckets",
     "dup_components", "kmeans_clusters", "incremental_ingest",
+    "semdedup", "bloom_semijoin", "approx_distinct_words",
     # (c) flagship core (always in the gate)
     "flagship_quality_filter", "confident_joint", "self_confidence",
     # (d) oldest standing greens (last green r03, unchanged since)
     # rotated back in with the remaining slots
     "prune_by_class", "near_dup_documents", "langid_documents",
-    "segment_revenue", "underperforming_groups",
-    "spurious_correlations", "drift_windows",
+    "underperforming_groups",
     "asof_join", "range_join",
 ]
 
