@@ -3467,10 +3467,12 @@ scores AS (
          -- tanh(-u)+1 == 2/(1+exp(2u)); DuckDB 1.0 has no tanh()
          2.0 / (1.0 + exp(2.0 * sum(c) / greatest(own, {n} - own))) AS s
   FROM contrib GROUP BY vec_id, own),
-mn AS (SELECT min(s) AS ms FROM scores)
+mn AS (SELECT s AS ms, own AS mo FROM scores ORDER BY s, own LIMIT 1)
 SELECT sc.vec_id,
        CAST(round(sc.s * 1000000) AS BIGINT) AS noniid_e6,
-       (pv.p < 0.05 AND sc.s = mn.ms) AS is_noniid_issue
+       -- single argmin row (smallest dataset index among exact ties),
+       -- matching reference noniid.py:198-200
+       (pv.p < 0.05 AND sc.s = mn.ms AND sc.own = mn.mo) AS is_noniid_issue
 FROM scores sc CROSS JOIN pval pv CROSS JOIN mn
 """
 

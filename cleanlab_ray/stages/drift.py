@@ -52,9 +52,10 @@ def drift_by_window(
     from ray.data.aggregate import AggregateFn, Max, Min
 
     if lo is None or hi is None:
-        row = ds.aggregate(Min(value_col), Max(value_col))
-        lo = float(row[f"min({value_col})"]) if lo is None else lo
-        hi = float(row[f"max({value_col})"]) if hi is None else hi
+        row = ds.aggregate(Min(value_col), Max(value_col)) or {}
+        vmin, vmax = row.get(f"min({value_col})"), row.get(f"max({value_col})")
+        lo = float(vmin) if lo is None and vmin is not None else (lo or 0.0)
+        hi = float(vmax) if hi is None and vmax is not None else (hi or 1.0)
     span = max(hi - lo, 1e-300)
 
     def accumulate_block(acc, block: pa.Table):
@@ -64,6 +65,15 @@ def drift_by_window(
             zero_copy_only=False
         )
         vals = block[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        # rows with a null timestamp (NaN after the int64->float64
+        # promotion) or a null/NaN value can be assigned to no window /
+        # no bin: drop them instead of crashing on int(NaN) or silently
+        # bincounting INT64_MIN-casts into bin 0
+        ok = ~(np.isnan(win.astype(np.float64)) | np.isnan(vals))
+        if not ok.all():
+            win, vals = win[ok], vals[ok]
+        if len(vals) == 0:
+            return acc
         bins = np.clip(((vals - lo) / span * num_bins).astype(np.int64), 0, num_bins - 1)
         for w in np.unique(win):
             m = win == w
@@ -89,8 +99,9 @@ def drift_by_window(
         merge=merge,
         name="window_hists",
     )
-    hists = ds.aggregate(agg)["window_hists"]
-    global_hist = np.asarray(hists.pop("__global__"), dtype=np.float64)
+    hists = dict((ds.aggregate(agg) or {}).get("window_hists") or {})
+    global_hist = np.asarray(
+        hists.pop("__global__", np.zeros(num_bins)), dtype=np.float64)
 
     rows = []
     for w, h in hists.items():
@@ -102,6 +113,7 @@ def drift_by_window(
                 "ks_statistic": simplified_ks_statistic(h, global_hist),
             }
         )
-    out = pd.DataFrame(rows).sort_values("ks_statistic", ascending=False).reset_index(drop=True)
+    out = pd.DataFrame(rows, columns=["window_us", "n", "ks_statistic"])
+    out = out.sort_values("ks_statistic", ascending=False).reset_index(drop=True)
     out.attrs["dataset_score"] = 1.0 - (out["ks_statistic"].max() if len(out) else 0.0)
     return out

@@ -190,9 +190,18 @@ class MediaDecoder:
         if self.decoder == "bytes":
             feats = byte_histogram_features(col)
         else:  # real raster decode; header parse per row, pixels vectorized
-            feats = np.stack(
-                [raster_features(decode_raster(v.as_py() or b"")) for v in col]
-            ) if len(col) else np.zeros((0, FEATURE_DIM), dtype=np.float32)
+
+            def _feat(v):
+                b = v.as_py()
+                if not b:
+                    # null/empty payload -> zero features, matching the
+                    # bytes mode (whose empty histogram is all-zero)
+                    # instead of killing the whole map task
+                    return np.zeros(FEATURE_DIM, dtype=np.float32)
+                return raster_features(decode_raster(b))
+
+            feats = np.stack([_feat(v) for v in col]) if len(col) else (
+                np.zeros((0, FEATURE_DIM), dtype=np.float32))
         return batch.append_column(
             "features",
             pa.FixedSizeListArray.from_arrays(

@@ -43,17 +43,25 @@ MAX_EXACT_ROWS = 2_000_000
 
 
 def knn_index_graph(ds, embedding_col: str = "embedding", key_col: str = "vec_id",
-                    k: int = 10, max_rows: int = MAX_EXACT_ROWS):
+                    k: int = 10, max_rows: int = MAX_EXACT_ROWS,
+                    n_total: int | None = None):
     """Dataset[(key, neighbor indices fixed_size_list<int64>[k])] — exact
     broadcast kNN with (distance, id) tie order. Row 'index' = the rank
-    of its key in ascending key order (collection order).
+    of its key in ascending key order (collection order). ``k`` is
+    clamped to n-1 (the reference's features_to_knn does the same), so
+    tiny inputs work; returns (graph, n, k_effective).
 
     Raises ValueError past ``max_rows`` — this path broadcasts the full
     embedding matrix (documented exact-only design); the scale path is
-    noniid_issues_windowed."""
+    noniid_issues_windowed. Pass ``n_total`` when the caller already
+    counted (avoids re-executing the upstream lineage)."""
     import ray
 
-    n_total = ds.count()
+    if n_total is None:
+        n_total = ds.count()
+    if n_total < 2:
+        raise ValueError(
+            f"knn_index_graph needs >= 2 rows, got {n_total}")
     if n_total > max_rows:
         raise ValueError(
             f"knn_index_graph exact path materializes the full embedding "
@@ -66,6 +74,7 @@ def knn_index_graph(ds, embedding_col: str = "embedding", key_col: str = "vec_id
     ref_mat = np.stack(ref[embedding_col].to_numpy()).astype(np.float64)
     handle = ray.put((ref_ids, ref_mat))
     n = len(ref_ids)
+    k = min(k, n - 1)  # self is masked, so at most n-1 neighbors exist
 
     def kernel(batch: pa.Table) -> pa.Table:
         r_ids, r_mat = ray.get(handle)
@@ -97,7 +106,7 @@ def knn_index_graph(ds, embedding_col: str = "embedding", key_col: str = "vec_id
             }
         )
 
-    return ds.map_batches(kernel, batch_format="pyarrow"), n
+    return ds.map_batches(kernel, batch_format="pyarrow"), n, k
 
 
 def _background_cdf(n: int) -> np.ndarray:
@@ -140,11 +149,16 @@ def _kde_tail_pvalue(samples: np.ndarray, observed: float) -> float:
 
 def _index_distance_hist_aggfn(n: int, perms: np.ndarray | None, k: int):
     """Flat aggregate: [observed hist (n-1) | perm hists (P, n-1)] of
-    neighbor index distances."""
+    neighbor index distances. The (P, n) permutation matrix is shipped
+    via ray.put (400 MB at the 2M-row cap with P=25 — far too large for
+    a task-spec closure), fetched zero-copy per accumulate call."""
+    import ray
     from ray.data.aggregate import AggregateFn
 
     p = 0 if perms is None else len(perms)
     size = (p + 1) * (n - 1)
+    perms_ref = None if perms is None else ray.put(
+        np.asarray(perms, dtype=np.int64))
 
     def accumulate_block(acc, block):
         a = np.asarray(acc, dtype=np.float64).copy()
@@ -161,7 +175,8 @@ def _index_distance_hist_aggfn(n: int, perms: np.ndarray | None, k: int):
             own = np.asarray(block["row_index"], dtype=np.int64)
         dist = np.abs(own[:, None] - nbrs).reshape(-1)
         a[: n - 1] += np.bincount(dist, minlength=n)[1:n]
-        if perms is not None:
+        if perms_ref is not None:
+            perms = ray.get(perms_ref)
             for pi in range(p):
                 perm = perms[pi]
                 pd_ = np.abs(perm[own][:, None] - perm[nbrs]).reshape(-1)
@@ -260,7 +275,8 @@ def noniid_issues(
         info = {"mode": "windowed", "num_windows": num_windows,
                 "n": int(n_total), "p_value": None, "ks": None}
         return out, info
-    graph, n = knn_index_graph(ds, embedding_col, key_col, k)
+    graph, n, k = knn_index_graph(ds, embedding_col, key_col, k,
+                                  n_total=n_total)
     graph = graph.materialize()
 
     np.random.seed(seed)
@@ -278,19 +294,30 @@ def noniid_issues(
     flag = bool(p_value < significance_threshold)
 
     if flag:
-        # flag the single minimum-score row (noniid.py:198-200);
-        # exact distributed min + key pull
+        # flag the SINGLE minimum-score row (noniid.py:198-200 uses
+        # argmin, i.e. the smallest dataset index among exact ties) —
+        # exact distributed min, then min row_index within the tie set
         from ray.data.aggregate import Min
 
         min_score = float(scored.aggregate(Min("noniid_score"))["min(noniid_score)"])
+
+        def only_min(batch: pa.Table) -> pa.Table:
+            s = batch["noniid_score"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(s == min_score))
+
+        min_row = int(
+            scored.map_batches(only_min, batch_format="pyarrow")
+            .aggregate(Min("row_index"))["min(row_index)"]
+        )
     else:
-        min_score = None
+        min_score, min_row = None, None
 
     def flag_kernel(batch: pa.Table) -> pa.Table:
         s = batch["noniid_score"].to_numpy(zero_copy_only=False)
         mask = np.zeros(len(s), dtype=bool)
         if flag and min_score is not None:
-            mask = s == min_score
+            rows = batch["row_index"].to_numpy(zero_copy_only=False)
+            mask = (s == min_score) & (rows == min_row)
         return batch.append_column("is_noniid_issue", pa.array(mask))
 
     out = scored.map_batches(flag_kernel, batch_format="pyarrow")
@@ -460,6 +487,9 @@ def noniid_issues_windowed(
             "is_noniid_issue": pa.array(np.concatenate([o["flag"] for o in outs])),
         })
 
-    return windowed.sort("window_id").map_batches(
-        per_window, batch_size=None, batch_format="pyarrow", zero_copy_batch=True
-    )
+    # the shared sorted-block helper (one sort exchange + per-block
+    # kernel) also asserts block-internal sortedness, so a run-colocation
+    # violation fails loudly instead of testing window fragments
+    from cleanlab_ray.stages.dedup import _sorted_block_map
+
+    return _sorted_block_map(windowed, "window_id", per_window)

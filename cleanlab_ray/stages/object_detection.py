@@ -64,11 +64,13 @@ def greedy_tp_fp(pred_boxes: np.ndarray, pred_scores: np.ndarray,
 
 
 def average_precision(recalls: np.ndarray, precisions: np.ndarray) -> float:
-    """Right-envelope interpolated AP (filter.py:361-386)."""
+    """Right-envelope interpolated AP (filter.py:361-386). The envelope
+    (suffix running max) is one reversed np.maximum.accumulate — the
+    reference's backward Python loop costs seconds per million-row
+    class."""
     r = np.concatenate([[0.0], recalls, [1.0]])
     p = np.concatenate([[0.0], precisions, [0.0]])
-    for i in range(len(p) - 1, 0, -1):
-        p[i - 1] = max(p[i - 1], p[i])
+    p = np.maximum.accumulate(p[::-1])[::-1]
     idx = np.nonzero(r[1:] != r[:-1])[0]
     return float(np.sum((r[idx + 1] - r[idx]) * p[idx + 1]))
 
@@ -95,23 +97,30 @@ def per_class_ap(ds, num_classes: int, iou_threshold: float = 0.5):
             p_boxes = np.asarray(pdb[i], dtype=np.float64).reshape(-1, 4)
             p_labels = np.asarray(pdl[i], dtype=np.int64)
             p_scores = np.asarray(pds[i], dtype=np.float64)
-            for c in range(num_classes):
+            # only classes PRESENT in this image emit rows (at 1000
+            # classes x 1M images the old range(num_classes) loop made
+            # 1e9 empty greedy calls and shuffled 1e9 zero gt rows); the
+            # num_classes-row seed table below keeps absent-everywhere
+            # classes in the output
+            present = np.unique(np.concatenate([gt_labels, p_labels]))
+            for c in present[(present >= 0) & (present < num_classes)]:
                 gsel = gt_labels == c
                 psel = p_labels == c
                 tp, _fp = greedy_tp_fp(
                     p_boxes[psel], p_scores[psel], gt_boxes[gsel], iou_threshold
                 )
                 for s, t in zip(p_scores[psel], tp):
-                    out["class_idx"].append(c)
+                    out["class_idx"].append(int(c))
                     out["score"].append(float(s))
                     out["tp"].append(float(t))
                     out["n_gt"].append(0)
                     out["is_gt_row"].append(False)
-                out["class_idx"].append(c)
-                out["score"].append(0.0)
-                out["tp"].append(0.0)
-                out["n_gt"].append(int(gsel.sum()))
-                out["is_gt_row"].append(True)
+                if gsel.any():
+                    out["class_idx"].append(int(c))
+                    out["score"].append(0.0)
+                    out["tp"].append(0.0)
+                    out["n_gt"].append(int(gsel.sum()))
+                    out["is_gt_row"].append(True)
         return pa.table(
             {
                 "class_idx": pa.array(out["class_idx"], type=pa.int64()),
@@ -166,10 +175,23 @@ def per_class_ap(ds, num_classes: int, iou_threshold: float = 0.5):
             "n_pred": pa.array(out_np, type=pa.int64()),
         })
 
+    import ray.data as rd
+
     from cleanlab_ray.stages.dedup import _sorted_block_map
 
+    # one row per class (num_classes total, NOT per image): guarantees
+    # every class 0..num_classes-1 appears in the output (ap=0, n_gt=0,
+    # n_pred=0 when absent everywhere), contributing nothing to sums
+    seed = rd.from_arrow(pa.table({
+        "class_idx": pa.array(np.arange(num_classes, dtype=np.int64)),
+        "score": pa.array(np.zeros(num_classes)),
+        "tp": pa.array(np.zeros(num_classes)),
+        "n_gt": pa.array(np.zeros(num_classes, dtype=np.int64)),
+        "is_gt_row": pa.array(np.ones(num_classes, dtype=bool)),
+    }))
+
     return _sorted_block_map(
-        ds.map_batches(per_image, batch_format="pyarrow"),
+        ds.map_batches(per_image, batch_format="pyarrow").union(seed),
         "class_idx", per_class_block)
 
 

@@ -63,3 +63,28 @@ def test_spurious_correlations(ray_session):
     ).set_index("property")
     assert out.loc["leaky", "score"] < 0.1    # strongly predictive -> low score
     assert out.loc["noise", "score"] > 0.8    # uninformative -> near 1
+
+
+def test_drift_tolerates_null_ts_and_empty_input(ray_session):
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.stages.drift import drift_by_window
+
+    t0 = datetime.datetime(2024, 1, 1)
+    ts = [t0, t0, None, t0 + datetime.timedelta(hours=1)]
+    vals = [1.0, 2.0, 3.0, None]
+    tbl = pa.table({
+        "ts": pa.array(ts, type=pa.timestamp("us")),
+        "value": pa.array(vals, type=pa.float64()),
+    })
+    out = drift_by_window(rd.from_arrow(tbl))
+    # null-ts and null-value rows are dropped: window 0 has 2 rows,
+    # window 1 has 0 surviving rows (its only value was null)
+    assert int(out.loc[out["n"] > 0, "n"].sum()) == 2
+
+    empty = drift_by_window(rd.from_arrow(tbl.slice(0, 0)))
+    assert len(empty) == 0
+    assert empty.attrs["dataset_score"] == 1.0

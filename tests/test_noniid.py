@@ -156,3 +156,49 @@ def test_noniid_auto_delegates_to_windowed(ray_session, monkeypatch):
     df = out.to_pandas()
     assert len(df) == n
     assert {"noniid_score", "p_value", "is_noniid_issue"} <= set(df.columns)
+
+
+def test_exact_path_clamps_k_to_n_minus_1(ray_session):
+    """n <= k used to crash FixedSizeListArray.from_arrays (or silently
+    build a wrong-width graph); k is clamped to n-1 like the reference's
+    features_to_knn."""
+    import numpy as np
+    import ray.data as rd
+
+    from cleanlab_ray.stages.noniid import knn_index_graph, noniid_issues
+
+    rng = np.random.default_rng(5)
+    rows = [{"vec_id": i, "embedding": rng.standard_normal(4).tolist()}
+            for i in range(7)]
+    ds = rd.from_items(rows)
+    graph, n, k_eff = knn_index_graph(ds, k=10)
+    assert (n, k_eff) == (7, 6)
+    g = graph.to_pandas()
+    assert all(len(v) == 6 for v in g["neighbor_indices"])
+
+    out, info = noniid_issues(ds, k=10, num_permutations=5, seed=0)
+    assert len(out.to_pandas()) == 7
+    assert info["k"] == 6  # info reports the EFFECTIVE (clamped) k
+
+
+def test_flag_is_single_row_under_score_ties(ray_session):
+    """Two rows with identical embeddings tie at the minimum score; the
+    reference argmin flags exactly ONE (the smaller dataset index)."""
+    import numpy as np
+    import ray.data as rd
+
+    from cleanlab_ray.stages.noniid import noniid_issues
+
+    rng = np.random.default_rng(2)
+    # strongly index-correlated embeddings so p < 0.05 (drifting mean),
+    # with rows 0 and 1 identical -> tied minimum
+    emb = [(np.array([0.0, 0.0]) if i < 2
+            else np.array([i * 1.0, i * 1.0]) + rng.standard_normal(2) * .01)
+           for i in range(60)]
+    rows = [{"vec_id": i, "embedding": emb[i].tolist()} for i in range(60)]
+    out, info = noniid_issues(rd.from_items(rows), k=5,
+                              num_permutations=25, seed=0)
+    df = out.to_pandas()
+    if info["p_value"] < 0.05:
+        flagged = df.loc[df["is_noniid_issue"]]
+        assert len(flagged) == 1
