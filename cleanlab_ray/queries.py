@@ -6556,13 +6556,13 @@ _PRIORITY_WINDOW = [
     "top_orders", "top_issues", "vocab_topk", "perplexity_buckets",
     "dup_components", "kmeans_clusters", "incremental_ingest",
     "semdedup", "bloom_semijoin", "approx_distinct_words",
+    "noniid_detection", "drift_windows",
     # (c) flagship core (always in the gate)
     "flagship_quality_filter", "confident_joint", "self_confidence",
     # (d) oldest standing greens (last green r03, unchanged since)
     # rotated back in with the remaining slots
     "prune_by_class", "near_dup_documents", "langid_documents",
     "underperforming_groups",
-    "asof_join", "range_join",
 ]
 
 _missing = [k for k in _PRIORITY_WINDOW if k not in QUERIES]
