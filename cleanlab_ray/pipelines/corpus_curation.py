@@ -82,7 +82,7 @@ def curate_documents(
         lang_ok = pc.equal(scored["lang"], "en").to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
-        q = quality_signals_kernel(batch, text_col)
+        q = quality_signals_kernel(batch, text_col, id_col=key_col)
         nw = q["n_words"].to_numpy(zero_copy_only=False)
         twf = q["top_word_frac"].to_numpy(zero_copy_only=False)
         quality_ok = ((nw >= min_words) & (twf <= top_word_frac_max)).astype(np.int64)

@@ -2071,48 +2071,6 @@ FROM pooled
 ORACLE_SQL["conv_pooling"] = _make_conv_pooling_sql()
 
 
-def q_crowdlab_consensus(sf_dir: str):
-    """CROWDLAB model-weighted consensus (rows-only: iterative weighted
-    posterior) over derived annotations + derived model priors."""
-    from cleanlab_ray.stages.multiannotator import crowdlab_consensus
-
-    ds = _read(sf_dir, "embeddings", ["vec_id", "label", "embedding"])
-
-    def derive_ann(batch: pa.Table) -> pa.Table:
-        vec_id = batch["vec_id"].to_numpy(zero_copy_only=False)
-        label = batch["label"].to_numpy(zero_copy_only=False).astype(np.int64) % 3
-        return pa.table(
-            {
-                "conv_id": pa.array((vec_id // 4).astype(str), type=pa.string()),
-                "turn_idx": pa.array(np.zeros(len(vec_id), dtype=np.int32)),
-                "annotator_id": pa.array((vec_id % 4).astype(str), type=pa.string()),
-                "label": pa.array(label, type=pa.int32()),
-            }
-        )
-
-    def derive_examples(batch: pa.Table) -> pa.Table:
-        _, probs = _derived_label_probs(batch)
-        vec_id = batch["vec_id"].to_numpy(zero_copy_only=False)
-        keep = vec_id % 4 == 0  # one prior row per example (vec_id//4)
-        probs = probs[keep]
-        ex = (vec_id[keep] // 4).astype(str)
-        return pa.table(
-            {
-                "conv_id": pa.array(ex, type=pa.string()),
-                "turn_idx": pa.array(np.zeros(keep.sum(), dtype=np.int32)),
-                "pred_probs": pa.FixedSizeListArray.from_arrays(
-                    pa.array(probs.reshape(-1).astype(np.float32)), 3
-                ),
-            }
-        )
-
-    ann = ds.map_batches(derive_ann, batch_format="pyarrow")
-    examples = ds.map_batches(derive_examples, batch_format="pyarrow")
-    out, _info = crowdlab_consensus(ann, examples, num_classes=3)
-    return out.select_columns(["conv_id", "turn_idx", "crowdlab_label", "consensus_quality"])
-
-
-QUERIES["crowdlab_consensus"] = q_crowdlab_consensus
 
 
 def q_sessionization(sf_dir: str):

@@ -116,7 +116,11 @@ class ContaminationScorer:
                  bench_mod: int = BENCH_MOD):
         import ray
 
-        self.bench = gram_ref if isinstance(gram_ref, frozenset) else ray.get(gram_ref)
+        bench = gram_ref if isinstance(gram_ref, frozenset) else ray.get(gram_ref)
+        # sorted array ONCE per actor: per-batch membership is then a
+        # vectorized searchsorted, not a Python set probe per distinct
+        # gram (same pattern as ImportanceScorer._weights)
+        self.bench_sorted = np.sort(np.asarray(list(bench), dtype=object))
         self.text_col = text_col
         self.n = n
         self.bench_mod = bench_mod
@@ -131,8 +135,13 @@ class ContaminationScorer:
             if isinstance(enc, pa.ChunkedArray):
                 enc = enc.combine_chunks()
             codes = np.asarray(enc.indices)
-            vocab = enc.dictionary.to_pylist()
-            hit = np.fromiter((w in self.bench for w in vocab), bool, len(vocab))
+            vocab = np.asarray(enc.dictionary.to_numpy(zero_copy_only=False))
+            if len(self.bench_sorted):
+                pos = np.searchsorted(self.bench_sorted, vocab)
+                pos_c = np.minimum(pos, len(self.bench_sorted) - 1)
+                hit = self.bench_sorted[pos_c] == vocab
+            else:
+                hit = np.zeros(len(vocab), dtype=bool)
             n_matched = np.bincount(row_ids[hit[codes]], minlength=nr).astype(np.int64)
         else:
             n_matched = np.zeros(nr, dtype=np.int64)

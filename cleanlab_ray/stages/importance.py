@@ -111,6 +111,33 @@ def collect_unigram_llr(ds, target_col: str, target_value, text_col: str = "text
     return words, logratio
 
 
+def _llr_score_table(batch: pa.Table, text_col: str, id_col: str,
+                     weight_of) -> pa.Table:
+    """Shared scorer body for ImportanceScorer / HashedImportanceScorer:
+    tokenize, dictionary-encode, per-word weight lookup via
+    ``weight_of(vocab) -> (V,) float64``, weighted per-row bincount."""
+    flat, row_ids, nr = _flat_tokens(batch, text_col, lower=True)
+    n_tokens = np.bincount(row_ids, minlength=nr).astype(np.int64)
+    llr = np.zeros(nr, dtype=np.float64)
+    if len(flat):
+        enc = flat.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        vocab = np.asarray(enc.dictionary.to_numpy(zero_copy_only=False))
+        per_word = np.asarray(weight_of(vocab), dtype=np.float64)
+        llr = np.bincount(row_ids, weights=per_word[codes], minlength=nr)
+    return pa.table(
+        {
+            id_col: batch[id_col],
+            "n_tokens": pa.array(n_tokens, type=pa.int64()),
+            "llr_e6": pa.array(
+                np.floor(llr * 1e6 + 0.5).astype(np.int64), type=pa.int64()
+            ),
+        }
+    )
+
+
 class ImportanceScorer:
     """Actor-pool / task stage: broadcast (words, logratio) held once
     per worker, per-batch vectorized lookup + per-doc sum."""
@@ -126,30 +153,17 @@ class ImportanceScorer:
         self.text_col = text_col
         self.id_col = id_col
 
+    def _weights(self, vocab: np.ndarray) -> np.ndarray:
+        if len(self.words) == 0:  # empty LLR table: every word unknown
+            return np.zeros(len(vocab), dtype=np.float64)
+        pos = np.searchsorted(self.words, vocab)
+        pos_c = np.minimum(pos, len(self.words) - 1)
+        known = self.words[pos_c] == vocab
+        return np.where(known, self.logratio[pos_c], 0.0)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        flat, row_ids, nr = _flat_tokens(batch, self.text_col, lower=True)
-        n_tokens = np.bincount(row_ids, minlength=nr).astype(np.int64)
-        llr = np.zeros(nr, dtype=np.float64)
-        if len(flat):
-            enc = flat.dictionary_encode()
-            if isinstance(enc, pa.ChunkedArray):
-                enc = enc.combine_chunks()
-            codes = np.asarray(enc.indices, dtype=np.int64)
-            vocab = np.asarray(enc.dictionary.to_numpy(zero_copy_only=False))
-            pos = np.searchsorted(self.words, vocab)
-            pos_c = np.minimum(pos, len(self.words) - 1)
-            known = self.words[pos_c] == vocab
-            per_word = np.where(known, self.logratio[pos_c], 0.0)
-            llr = np.bincount(row_ids, weights=per_word[codes], minlength=nr)
-        return pa.table(
-            {
-                self.id_col: batch[self.id_col],
-                "n_tokens": pa.array(n_tokens, type=pa.int64()),
-                "llr_e6": pa.array(
-                    np.floor(llr * 1e6 + 0.5).astype(np.int64), type=pa.int64()
-                ),
-            }
-        )
+        return _llr_score_table(batch, self.text_col, self.id_col,
+                                self._weights)
 
 
 def dsir_weights(ds, target_col: str, target_value, text_col: str = "text",
@@ -239,23 +253,6 @@ class HashedImportanceScorer:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        flat, row_ids, nr = _flat_tokens(batch, self.text_col, lower=True)
-        n_tokens = np.bincount(row_ids, minlength=nr).astype(np.int64)
-        llr = np.zeros(nr, dtype=np.float64)
-        if len(flat):
-            enc = flat.dictionary_encode()
-            if isinstance(enc, pa.ChunkedArray):
-                enc = enc.combine_chunks()
-            codes = np.asarray(enc.indices, dtype=np.int64)
-            vocab = np.asarray(enc.dictionary.to_numpy(zero_copy_only=False))
-            per_word = self.logratio[_fnv1a_bucket(vocab, self.n_buckets)]
-            llr = np.bincount(row_ids, weights=per_word[codes], minlength=nr)
-        return pa.table(
-            {
-                self.id_col: batch[self.id_col],
-                "n_tokens": pa.array(n_tokens, type=pa.int64()),
-                "llr_e6": pa.array(
-                    np.floor(llr * 1e6 + 0.5).astype(np.int64), type=pa.int64()
-                ),
-            }
-        )
+        return _llr_score_table(
+            batch, self.text_col, self.id_col,
+            lambda vocab: self.logratio[_fnv1a_bucket(vocab, self.n_buckets)])

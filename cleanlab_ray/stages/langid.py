@@ -53,6 +53,15 @@ def langid_probs_arrow(table, col) -> np.ndarray:
     return langid_probs_from_loglik(loglik, counts)
 
 
+def _replace_column(batch: pa.Table, name: str, arr) -> pa.Table:
+    """append_column that OVERWRITES an existing column of the same name
+    (an input that already carries e.g. ``lang`` would otherwise gain a
+    duplicate field, making every later batch[name] lookup raise)."""
+    if name in batch.column_names:
+        return batch.set_column(batch.column_names.index(name), name, arr)
+    return batch.append_column(name, arr)
+
+
 class LangIdScorer:
     """Actor-pool callable: appends ``lang`` + per-language prob columns."""
 
@@ -65,11 +74,12 @@ class LangIdScorer:
         probs = langid_probs_arrow(self.table, lowered)
         top = np.argmax(probs, axis=1)
         lang_codes = np.array(LANGS, dtype=object)
-        batch = batch.append_column("lang", pa.array(lang_codes[top], type=pa.string()))
+        batch = _replace_column(
+            batch, "lang", pa.array(lang_codes[top], type=pa.string()))
         for j, code in enumerate(LANGS):
-            batch = batch.append_column(
-                f"lang_prob_{code}", pa.array(probs[:, j], type=pa.float32())
-            )
+            batch = _replace_column(
+                batch, f"lang_prob_{code}",
+                pa.array(probs[:, j], type=pa.float32()))
         return batch
 
 
@@ -93,5 +103,6 @@ class PplScorer:
         lang_codes = np.array(LANGS, dtype=object)
         ppl = np.exp(-loglik[:, 0] / np.maximum(counts, 1.0))
         ppl[counts == 0] = float(np.exp(-self.table.oov[0]))
-        batch = batch.append_column("lang", pa.array(lang_codes[top], type=pa.string()))
-        return batch.append_column("ppl", pa.array(ppl, type=pa.float32()))
+        batch = _replace_column(
+            batch, "lang", pa.array(lang_codes[top], type=pa.string()))
+        return _replace_column(batch, "ppl", pa.array(ppl, type=pa.float32()))

@@ -40,13 +40,24 @@ def exclusive_prefix_sum(ds, key_col: str, value_col: str, out_col: str = "prefi
     """
     sds = ds.sort(key_col).materialize()
 
+    def _int_vals(batch: pa.Table) -> np.ndarray:
+        col = batch[value_col]
+        if col.null_count:
+            # a null would surface as NaN and cast to INT64_MIN,
+            # silently corrupting every downstream prefix — refuse
+            raise ValueError(
+                f"exclusive_prefix_sum: value column {value_col!r} "
+                f"contains {col.null_count} null(s)"
+            )
+        return np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.int64)
+
     def block_total(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table(
                 {"first_key": pa.array([], type=batch[key_col].type),
                  "total": pa.array([], type=pa.int64())}
             )
-        vals = np.asarray(batch[value_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        vals = _int_vals(batch)
         return pa.table(
             {"first_key": batch[key_col].take(pa.array([0])),
              "total": pa.array([int(vals.sum())], type=pa.int64())}
@@ -61,7 +72,7 @@ def exclusive_prefix_sum(ds, key_col: str, value_col: str, out_col: str = "prefi
     def add_prefix(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return batch.append_column(out_col, pa.array([], type=pa.int64()))
-        vals = np.asarray(batch[value_col].to_numpy(zero_copy_only=False), dtype=np.int64)
+        vals = _int_vals(batch)
         base = offset_by_first[batch[key_col][0].as_py()]
         prefix = base + np.concatenate([[0], vals.cumsum()[:-1]]).astype(np.int64)
         return batch.append_column(out_col, pa.array(prefix, type=pa.int64()))

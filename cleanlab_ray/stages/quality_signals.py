@@ -61,43 +61,58 @@ def _tokens(batch: pa.Table, text_col: str):
     return codes, row_ids, lens, vocab, n
 
 
-def quality_signals_kernel(batch: pa.Table, text_col: str = "text") -> pa.Table:
+def quality_signals_kernel(batch: pa.Table, text_col: str = "text",
+                           id_col: str = "doc_id") -> pa.Table:
     codes, row_ids, lens, vocab, n = _tokens(batch, text_col)
-    v = len(vocab)
     n_words = np.bincount(row_ids, minlength=n).astype(np.int64)
     char_sum = np.bincount(row_ids, weights=lens, minlength=n)
     safe = np.maximum(n_words, 1).astype(np.float64)
     mean_word_len = np.where(n_words > 0, char_sum / safe, 0.0)
 
-    stop_mask = np.isin(
-        np.arange(v), [i for i, w in enumerate(vocab.to_pylist()) if w in STOPWORDS]
+    stop_mask = (
+        pc.is_in(vocab, value_set=pa.array(list(STOPWORDS)))
+        .to_numpy(zero_copy_only=False)
+        if len(vocab) else np.zeros(0, dtype=bool)
     )
     stop_cnt = np.bincount(row_ids[stop_mask[codes]], minlength=n)
     stopword_frac = np.where(n_words > 0, stop_cnt / safe, 0.0)
 
-    # per-row word histogram: unique (row, code) pairs carry counts
-    pair = row_ids * max(v, 1) + codes
-    uniq, cnt = np.unique(pair, return_counts=True)
-    urow = (uniq // max(v, 1)).astype(np.int64)
-    top_cnt = np.zeros(n, dtype=np.int64)
-    np.maximum.at(top_cnt, urow, cnt)
+    # per-row word histogram: sort (row, code) once, count runs (NO
+    # composite row*v+code keys anywhere in this kernel — they overflow
+    # int64 at large block x vocab sizes and corrupt silently)
+    if len(codes):
+        order = np.lexsort((codes, row_ids))
+        rr, cc = row_ids[order], codes[order]
+        first = np.ones(len(rr), dtype=bool)
+        first[1:] = (rr[1:] != rr[:-1]) | (cc[1:] != cc[:-1])
+        starts = np.flatnonzero(first)
+        run_cnt = np.diff(np.append(starts, len(rr)))
+        top_cnt = np.zeros(n, dtype=np.int64)
+        np.maximum.at(top_cnt, rr[starts], run_cnt)
+    else:
+        top_cnt = np.zeros(n, dtype=np.int64)
     top_word_frac = np.where(n_words > 0, top_cnt / safe, 0.0)
 
-    # adjacent 2-grams within a row: positions j, j+1 with equal row id
+    # adjacent 2-grams within a row: positions j, j+1 with equal row id;
+    # distinct pairs per row via one lexsort + first-occurrence mask
     adj = row_ids[:-1] == row_ids[1:] if len(row_ids) else np.zeros(0, bool)
     prow = row_ids[:-1][adj]
-    pcode = codes[:-1][adj] * max(v, 1) + codes[1:][adj]
+    pa_, pb = codes[:-1][adj], codes[1:][adj]
     n_pairs = np.bincount(prow, minlength=n).astype(np.int64)
-    distinct = np.bincount(
-        (np.unique(prow * (v * v if v else 1) + pcode) // (v * v if v else 1)).astype(np.int64),
-        minlength=n,
-    )
+    if len(prow):
+        order = np.lexsort((pb, pa_, prow))
+        pr, x, y = prow[order], pa_[order], pb[order]
+        first = np.ones(len(pr), dtype=bool)
+        first[1:] = (pr[1:] != pr[:-1]) | (x[1:] != x[:-1]) | (y[1:] != y[:-1])
+        distinct = np.bincount(pr[first], minlength=n)
+    else:
+        distinct = np.zeros(n, dtype=np.int64)
     psafe = np.maximum(n_pairs, 1).astype(np.float64)
     dup_2gram_frac = np.where(n_pairs > 0, (n_pairs - distinct) / psafe, 0.0)
 
     return pa.table(
         {
-            "doc_id": batch["doc_id"],
+            id_col: batch[id_col],
             "n_words": pa.array(n_words, type=pa.int64()),
             "mean_word_len": pa.array(mean_word_len, type=pa.float64()),
             "stopword_frac": pa.array(stopword_frac, type=pa.float64()),

@@ -105,3 +105,19 @@ def test_chunk_exact_multiple_boundary():
         (0, "a b c", 3),
         (1, "d e f", 3),
     ]
+
+
+def test_prefix_sum_rejects_nulls(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from cleanlab_ray.stages.prefix import exclusive_prefix_sum
+
+    tbl = pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "n": pa.array([5, None, 7], type=pa.int64()),
+    })
+    with pytest.raises(Exception, match="null"):
+        ds, _total = exclusive_prefix_sum(rd.from_arrow(tbl), "doc_id", "n")
+        ds.to_pandas()

@@ -131,3 +131,21 @@ def test_label_inspector_matches_distributed(ray_session, corpus_dir):
     np.testing.assert_array_equal(
         finalize_confident_joint(insp.get_confident_joint()), stats.confident_joint
     )
+
+
+def test_langid_scorer_overwrites_existing_lang_column(ray_session):
+    """An input that already carries a lang column must not gain a
+    duplicate field (later batch['lang'] lookups would raise)."""
+    import pyarrow as pa
+
+    from cleanlab_ray.stages.langid import LangIdScorer, PplScorer
+
+    batch = pa.table({
+        "text": pa.array(["the quick brown fox jumps over the lazy dog"]),
+        "lang": pa.array(["xx"]),
+    })
+    out = LangIdScorer()(batch)
+    assert out.column_names.count("lang") == 1
+    assert out["lang"][0].as_py() != "xx"  # recomputed, not passed through
+    out2 = PplScorer()(batch)
+    assert out2.column_names.count("lang") == 1

@@ -60,3 +60,17 @@ def test_quality_signals_all_empty_batch():
     out = quality_signals_kernel(batch).to_pydict()
     assert out["n_words"] == [0, 0]
     assert out["dup_2gram_frac"] == [0.0, 0.0]
+
+
+def test_kernel_honors_id_col(ray_session):
+    """quality_signals_kernel hardcoded doc_id; curate_documents'
+    key_col parameter must reach it."""
+    import pyarrow as pa
+
+    batch = pa.table({
+        "my_id": pa.array([7, 8], type=pa.int64()),
+        "text": pa.array(["a b c", "x x x x"]),
+    })
+    out = quality_signals_kernel(batch, "text", id_col="my_id").to_pydict()
+    assert out["my_id"] == [7, 8]
+    assert out["n_words"] == [3, 4]
