@@ -6515,12 +6515,18 @@ _PRIORITY_WINDOW = [
     "dup_components", "kmeans_clusters", "incremental_ingest",
     "semdedup", "bloom_semijoin", "approx_distinct_words",
     "noniid_detection", "drift_windows",
+    "doc_quality_signals", "curate_documents",
+    # (b-note) four more final-session refactors (dsir_weights,
+    # decontaminate_docs, chunk_documents, pack_sequences) are
+    # behavior-identical on valid inputs (shared-helper reuse + loud
+    # null guards only) and were locally replayed hash-exact at sf0.01
+    # (BASELINE.md final-session log); with the window full at 50 the
+    # never-driver-checked section (a) outranks them for slots
     # (c) flagship core (always in the gate)
     "flagship_quality_filter", "confident_joint", "self_confidence",
     # (d) oldest standing greens (last green r03, unchanged since)
     # rotated back in with the remaining slots
-    "prune_by_class", "near_dup_documents", "langid_documents",
-    "underperforming_groups",
+    "near_dup_documents", "langid_documents",
 ]
 
 _missing = [k for k in _PRIORITY_WINDOW if k not in QUERIES]
