@@ -39,9 +39,15 @@ def _list_col_meta(schema: pa.Schema) -> dict:
     meta = {}
     for f in schema:
         t = f.type
-        if pa.types.is_list(t) or pa.types.is_large_list(t):
+        if pa.types.is_list(t):
             if pa.types.is_primitive(t.value_type):
                 meta[f.name] = ("list", t.value_type)
+        elif pa.types.is_large_list(t):
+            if pa.types.is_primitive(t.value_type):
+                # distinct kind so unpack rebuilds the SAME type (a
+                # large_list silently downgraded to list both changes
+                # the schema and risks int32 offset overflow)
+                meta[f.name] = ("large", t.value_type)
         elif pa.types.is_fixed_size_list(t):
             if pa.types.is_primitive(t.value_type):
                 meta[f.name] = ("fixed", t.value_type, t.list_size)
@@ -56,9 +62,29 @@ def make_list_packer(meta: dict):
             col = batch[name]
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            flat = col.flatten()  # slice-safe, nulls -> skipped (empty)
+            if m[0] == "fixed" and col.null_count:
+                # a null fixed-size-list ROW flattens to zero slots, so
+                # the unpacked column would be shorter than the batch
+                # ("empty list" is not representable at fixed size)
+                raise ValueError(
+                    f"attach_flags_by_key: fixed_size_list column "
+                    f"{name!r} has {col.null_count} null row(s); fill "
+                    "them before the join"
+                )
+            flat = col.flatten()  # slice-safe, null ROWS -> skipped (empty)
+            if flat.null_count:
+                # a null ELEMENT would upcast the value buffer to
+                # float64 and the raw bytes would be reinterpreted as
+                # the integer dtype on unpack — silent garbage
+                raise ValueError(
+                    f"attach_flags_by_key: list column {name!r} has "
+                    f"{flat.null_count} null element(s); fill them "
+                    "before the join"
+                )
             vals = flat.to_numpy(zero_copy_only=False)
-            itemsize = vals.dtype.itemsize
+            itemsize = np.dtype(m[1].to_pandas_dtype()).itemsize
+            vals = np.ascontiguousarray(
+                vals, dtype=np.dtype(m[1].to_pandas_dtype()))
             lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
             lens = np.nan_to_num(lens.astype(np.float64), nan=0.0).astype(np.int64)
             bin_offsets = np.zeros(len(col) + 1, dtype=np.int64)
@@ -99,9 +125,19 @@ def make_list_unpacker(meta: dict):
             vals = pa.array(data.view(np_dtype), type=value_type)
             if m[0] == "fixed":
                 rebuilt = pa.FixedSizeListArray.from_arrays(vals, m[2])
+            elif m[0] == "large":
+                rebuilt = pa.LargeListArray.from_arrays(
+                    pa.array(offs // np_dtype.itemsize, type=pa.int64()), vals)
             else:
-                value_offsets = pa.array((offs // np_dtype.itemsize).astype(np.int32))
-                rebuilt = pa.ListArray.from_arrays(value_offsets, vals)
+                elem_offs = offs // np_dtype.itemsize
+                if len(elem_offs) and elem_offs[-1] > np.iinfo(np.int32).max:
+                    raise ValueError(
+                        f"attach_flags_by_key: list column {name!r} has "
+                        f"{elem_offs[-1]} elements in one batch — exceeds "
+                        "int32 list offsets; use large_list upstream"
+                    )
+                rebuilt = pa.ListArray.from_arrays(
+                    pa.array(elem_offs.astype(np.int32)), vals)
             i = batch.column_names.index(name)
             batch = batch.set_column(i, name, rebuilt)
         return batch

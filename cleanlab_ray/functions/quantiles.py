@@ -60,38 +60,44 @@ def _hist_aggfn(col: str, lo: float, hi: float, num_bins: int):
     )
 
 
-def exact_values_at_ranks(ds, col: str, ranks: list[int], num_bins: int = DEFAULT_BINS):
-    """Exact values of ``col`` at the given 0-based ascending ranks.
+def exact_values_at_ranks(ds, col: str, ranks: list[int],
+                          num_bins: int = DEFAULT_BINS, _range=None):
+    """Exact values of ``col`` at the given 0-based ascending ranks
+    (keyed by the REQUESTED rank; out-of-range requests clamp to the
+    nearest finite-value rank internally but keep their key).
 
     Two compact aggregates + one filtered pull of only the bins that
-    contain the requested ranks."""
-    import pyarrow.compute as _pc  # noqa: F401
-
-    rng = ds.aggregate(_range_aggfn(col))["range_stats"]
+    contain the requested ranks. ``_range``: precomputed
+    ``_range_aggfn`` result, to skip the first scan."""
+    rng = (_range if _range is not None
+           else ds.aggregate(_range_aggfn(col))["range_stats"])
     lo, hi, n = float(rng[0]), float(rng[1]), int(rng[2])
     if n == 0:
         raise ValueError(f"no finite values in column {col!r}")
-    ranks = [min(max(r, 0), n - 1) for r in ranks]
+    clipped = {int(r): min(max(int(r), 0), n - 1) for r in ranks}
     if lo == hi:
-        return {r: lo for r in ranks}
+        return {r: lo for r in clipped}
     hist = ds.aggregate(_hist_aggfn(col, lo, hi, num_bins))["value_histogram"]
     cum = np.concatenate([[0], np.cumsum(hist)])
     width = hi - lo
     out = {}
-    needed_bins = {}
-    for r in ranks:
-        b = int(np.searchsorted(cum, r + 1, side="left")) - 1
-        needed_bins.setdefault(b, []).append(r)
+    needed_bins: dict[int, list] = {}
+    for r, rc in clipped.items():
+        b = int(np.searchsorted(cum, rc + 1, side="left")) - 1
+        needed_bins.setdefault(b, []).append((r, rc))
     for b, rs in needed_bins.items():
-        b_lo = lo + b * width / num_bins
-        b_hi = lo + (b + 1) * width / num_bins
-        if b == num_bins - 1:
-            b_hi = np.inf
-
-        def in_bin(batch: pa.Table, b_lo=b_lo, b_hi=b_hi) -> pa.Table:
+        # membership uses the SAME rounding as the histogram kernel —
+        # a >= b_lo float-edge predicate disagrees with the bincount's
+        # astype(int64) at computed bin edges (off-by-one pulls /
+        # IndexError); decision.py avoids this only because its [0,1]
+        # power-of-two scaling is bit-exact, which arbitrary data
+        # ranges are not
+        def in_bin(batch: pa.Table, b=b) -> pa.Table:
             s = batch[col].to_numpy(zero_copy_only=False).astype(np.float64)
-            m = (s >= b_lo) & (s < b_hi) & np.isfinite(s)
-            return pa.table({col: pa.array(s[m])})
+            s = s[np.isfinite(s)]
+            idx = np.clip(((s - lo) / width * num_bins).astype(np.int64),
+                          0, num_bins - 1)
+            return pa.table({col: pa.array(s[idx == b])})
 
         vals = np.sort(
             ds.map_batches(in_bin, batch_format="pyarrow")
@@ -100,8 +106,8 @@ def exact_values_at_ranks(ds, col: str, ranks: list[int], num_bins: int = DEFAUL
             .astype(np.float64)
         )
         base = int(cum[b])
-        for r in rs:
-            out[r] = float(vals[r - base])
+        for r, rc in rs:
+            out[r] = float(vals[rc - base])
     return out
 
 
@@ -113,5 +119,5 @@ def exact_median(ds, col: str, num_bins: int = DEFAULT_BINS) -> float:
     if n == 0:
         raise ValueError(f"no finite values in column {col!r}")
     r_lo, r_hi = (n - 1) // 2, n // 2
-    vals = exact_values_at_ranks(ds, col, [r_lo, r_hi], num_bins)
+    vals = exact_values_at_ranks(ds, col, [r_lo, r_hi], num_bins, _range=rng)
     return 0.5 * (vals[r_lo] + vals[r_hi])

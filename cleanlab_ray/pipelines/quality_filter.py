@@ -175,6 +175,7 @@ def _make_fused_pass2_aggfn(k: int, thresholds, num_bins: int, score_col: str):
     import numpy as np
     from ray.data.aggregate import AggregateFn
 
+    from cleanlab_ray.stages.decision import check_scores as _check_scores
     from cleanlab_ray.state.confident import cj_partials, labels_to_numpy, pred_probs_to_numpy
 
     thresholds = np.asarray(thresholds, dtype=np.float64)
@@ -185,6 +186,7 @@ def _make_fused_pass2_aggfn(k: int, thresholds, num_bins: int, score_col: str):
         probs = pred_probs_to_numpy(block["pred_probs"]).astype(np.float64)
         cj, n_issues, label_counts = cj_partials(labels, probs, thresholds, k)
         s = block[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        _check_scores(s, score_col)  # same loud guard as decision.py
         idx = np.clip((s * num_bins).astype(np.int64), 0, num_bins)
         hist = np.bincount(idx, minlength=num_bins + 1)
         partial = np.concatenate([cj.reshape(-1), [n_issues], label_counts, hist]).astype(
@@ -204,6 +206,7 @@ def _pass2_block(thresholds: np.ndarray, k: int, num_bins: int, score_col: str,
                  *blocks) -> np.ndarray:
     """Per-block pass-2 partial [cj | n_issues | label_counts | hist] —
     the same math as _make_fused_pass2_aggfn.accumulate_block."""
+    from cleanlab_ray.stages.decision import check_scores as _check_scores
     from cleanlab_ray.state.confident import cj_partials, labels_to_numpy, pred_probs_to_numpy
 
     acc = np.zeros(k * k + 1 + k + num_bins + 1, dtype=np.float64)
@@ -212,6 +215,7 @@ def _pass2_block(thresholds: np.ndarray, k: int, num_bins: int, score_col: str,
         probs = pred_probs_to_numpy(block["pred_probs"]).astype(np.float64)
         cj, n_issues, label_counts = cj_partials(labels, probs, thresholds, k)
         s = block[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        _check_scores(s, score_col)  # same loud guard as decision.py
         idx = np.clip((s * num_bins).astype(np.int64), 0, num_bins)
         hist = np.bincount(idx, minlength=num_bins + 1)
         acc += np.concatenate([cj.reshape(-1), [n_issues], label_counts, hist])
@@ -230,7 +234,7 @@ def _subhist_block(b: int, num_bins: int, score_col: str, *blocks) -> np.ndarray
     return acc
 
 
-def _boundary_block(bin_lo: float, bin_hi: float, score_col: str,
+def _boundary_block(bin_lo: float, bin_hi: float, need: int, score_col: str,
                     key_cols: tuple, *blocks) -> "pa.Table":
     import pyarrow.compute as pc
 
@@ -240,7 +244,16 @@ def _boundary_block(bin_lo: float, bin_hi: float, score_col: str,
         s = pc.cast(block[score_col], pa.float64())
         mask = pc.and_(pc.greater_equal(s, bin_lo), pc.less(s, bin_hi))
         outs.append(block.filter(mask))
-    return pa.concat_tables(outs)
+    tb = pa.concat_tables(outs)
+    if tb.num_rows > need:
+        # map-side prune to the task's own bottom-`need` by (score,
+        # keys): a boundary bin dominated by one exact tied score —
+        # which refinement cannot split — returns O(tasks x need)
+        # survivors to the driver, never the whole bin (same guarantee
+        # decision.py gets from global_top_k)
+        keys = [(score_col, "ascending")] + [(c, "ascending") for c in key_cols]
+        tb = tb.take(pc.sort_indices(tb, sort_keys=keys)[:need])
+    return tb
 
 
 def _fanout_pass2(scored, k: int, thresholds, num_bins: int, score_col: str,
@@ -294,7 +307,8 @@ def _fanout_boundary(scored, hist: np.ndarray, t: int,
             return bin_lo, set()
     task = ray.remote(_boundary_block)
     tables = ray.get([
-        task.remote(bin_lo, bin_hi, score_col, key_cols, *refs[i : i + refs_per_task])
+        task.remote(bin_lo, bin_hi, need, score_col, key_cols,
+                    *refs[i : i + refs_per_task])
         for i in range(0, len(refs), refs_per_task)
     ])
     boundary = pa.concat_tables([tb for tb in tables if tb.num_rows]).to_pandas()
@@ -466,13 +480,15 @@ def _boundary_from_parquet(ckpt: str, hist: np.ndarray, t: int,
         s = pc.cast(batch[score_col], pa.float64())
         return batch.filter(pc.and_(pc.greater_equal(s, bin_lo), pc.less(s, bin_hi)))
 
-    boundary = (
+    from cleanlab_ray.stages.topk import global_top_k
+
+    # map-side pruned exact bottom-`need` (tie-mass-safe; see
+    # stages/decision.py resolve_bottom_t_from_hist)
+    chosen = global_top_k(
         rd.read_parquet(ckpt, columns=[*key_cols, score_col])
-        .map_batches(in_bin, batch_format="pyarrow")
-        .to_pandas()
-    )
-    boundary = boundary.sort_values([score_col, *key_cols], kind="mergesort")
-    chosen = boundary.head(need)
+        .map_batches(in_bin, batch_format="pyarrow"),
+        [score_col, *key_cols], need,
+    ).to_pandas()
     return bin_lo, set(zip(chosen[key_cols[0]], chosen[key_cols[1]]))
 
 

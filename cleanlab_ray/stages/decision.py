@@ -33,6 +33,19 @@ DEFAULT_BINS = 8192
 REFINE_PULL_THRESHOLD = 1 << 16
 
 
+def check_scores(s: np.ndarray, score_col: str = "score") -> None:
+    """Loud, not silently wrong: a NaN would be histogram-counted into
+    bin 0 by the clip yet is invisible to the ``s < bin_lo`` mask kernel
+    and the boundary pull, so fewer than T rows would be flagged;
+    out-of-range scores skew the cutoff analogously. Shared by the
+    standalone histogram aggregate and quality_filter's fused twins."""
+    if len(s) and (np.isnan(s).any() or s.min() < 0.0 or s.max() > 1.0):
+        raise ValueError(
+            f"bottom-T decision: score column {score_col!r} must be "
+            "NaN-free and within [0, 1]"
+        )
+
+
 def subhist_block_counts(scores: np.ndarray, b: int, num_bins: int) -> np.ndarray:
     """(num_bins,) counts of one block's scores over the sub-bins of
     coarse bin ``b``: sub-index = floor(s * num_bins^2) - b*num_bins.
@@ -85,15 +98,7 @@ def make_histogram_aggfn(score_col: str, num_bins: int = DEFAULT_BINS):
 
     def accumulate_block(acc, block: pa.Table):
         s = block[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
-        if len(s) and (np.isnan(s).any() or s.min() < 0.0 or s.max() > 1.0):
-            # loud, not silently wrong: a NaN would be counted into bin 0
-            # by the clip below yet is invisible to the `s < bin_lo` mask
-            # kernel and the boundary pull, so fewer than T rows would be
-            # flagged; out-of-range scores skew the cutoff analogously
-            raise ValueError(
-                f"resolve_bottom_t: score column {score_col!r} must be "
-                "NaN-free and within [0, 1]"
-            )
+        check_scores(s, score_col)
         idx = np.clip((s * num_bins).astype(np.int64), 0, num_bins)
         return np.asarray(acc, dtype=np.float64) + np.bincount(idx, minlength=num_bins + 1)
 

@@ -17,8 +17,11 @@ import pyarrow.compute as pc
 
 from cleanlab_ray.functions.rank import self_confidence
 from cleanlab_ray.stages.heuristics import heuristic_features
-from cleanlab_ray.stages.langid import LANGS, build_langid_table, langid_probs_arrow
-from cleanlab_ray.stages.perplexity import build_lm_table, perplexity_arrow
+from cleanlab_ray.stages.langid import (
+    LANGS,
+    build_langid_table,
+    langid_probs_from_loglik,
+)
 from cleanlab_ray.stages.scoring import K, fused_pred_probs
 from cleanlab_ray.stages.scrub import scrub_batch
 from cleanlab_ray.state.confident import labels_to_numpy
@@ -92,12 +95,8 @@ class TurnScorer:
         from cleanlab_ray.stages._chargram import score_arrow_column
 
         loglik, counts = score_arrow_column(self.langid_table, lowered)
+        probs_lang = langid_probs_from_loglik(loglik, counts)
         denom = np.maximum(counts, 1.0)[:, None]
-        z = loglik / denom
-        z[counts == 0] = 0.0
-        z = z - z.max(axis=1, keepdims=True)
-        e = np.exp(z / 0.1)
-        probs_lang = e / e.sum(axis=1, keepdims=True)
         top = np.argmax(probs_lang, axis=1)
         lang_codes = np.array(LANGS, dtype=object)
         batch = batch.append_column("lang", pa.array(lang_codes[top], type=pa.string()))

@@ -57,9 +57,25 @@ def pred_probs_to_numpy(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 
 def labels_to_numpy(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Class labels as an int ndarray — validated (reference
+    assert_valid_inputs semantics): a null would surface as NaN in a
+    float array and crash fancy indexing obscurely; a negative label
+    would silently index pred_probs from the END (wrong score, no
+    error)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    return np.asarray(col)
+    if col.null_count:
+        raise ValueError(
+            f"label column contains {col.null_count} null(s); labels "
+            "must be integers in [0, num_classes)"
+        )
+    arr = np.asarray(col)
+    if len(arr) and arr.min() < 0:
+        raise ValueError(
+            "label column contains negative value(s); labels must be "
+            "integers in [0, num_classes)"
+        )
+    return arr
 
 
 # ---------------------------------------------------------------------------
