@@ -6474,6 +6474,119 @@ ORACLE_SQL["remove_dup_substrings"] = _make_remove_dup_substrings_sql()
 
 
 # ---------------------------------------------------------------------------
+# Transcript-structure operators (stages/transcripts.py): cross-turn
+# repetition (stuck-agent signal), per-conversation structural audit,
+# and the corpus role-transition matrix — all over the derived
+# transcripts, all SQL-checked via the shared derivation CTE.
+# ---------------------------------------------------------------------------
+
+_SQL_TR_CTE = """
+tr AS (
+  SELECT doc_id,
+         'c' || lpad(CAST(doc_id // 8 AS VARCHAR), 8, '0') AS conv_id,
+         CAST(doc_id % 8 AS INT) AS turn_idx,
+         CASE CAST(doc_id % 8 AS INT) % 3 WHEN 0 THEN 'user'
+              WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         CASE WHEN CAST(doc_id % 8 AS INT) % 3 = 2
+              THEN 'search' END AS tool,
+         text,
+         1600000000000000 + doc_id * 1000000 AS ts_us
+  FROM documents)"""
+
+
+def q_turn_repetition(sf_dir: str):
+    """Cross-turn 3-gram repetition per turn over the derived
+    transcripts (stages/transcripts.turn_repetition): the stuck-agent /
+    looping-assistant signal. SQL-checked: DISTINCT per-turn grams,
+    min-turn-per-(conv, gram) window, per-turn re-aggregation."""
+    from cleanlab_ray.stages.transcripts import turn_repetition
+
+    ds = load_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "text"])
+    return turn_repetition(ds)
+
+
+SQL_TURN_REPETITION = rf"""
+WITH {_SQL_TR_CTE},
+toks AS (
+  SELECT conv_id, turn_idx,
+         unnest(regexp_extract_all(text, '[^\s]+')) AS w,
+         unnest(generate_series(1, len(regexp_extract_all(text, '[^\s]+')))) AS i
+  FROM tr),
+grams AS (
+  SELECT conv_id, turn_idx,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS g
+  FROM toks WINDOW win AS (PARTITION BY conv_id, turn_idx ORDER BY i)),
+ug AS (SELECT DISTINCT conv_id, turn_idx, g FROM grams WHERE g IS NOT NULL),
+mt AS (SELECT conv_id, g, min(turn_idx) AS mint FROM ug GROUP BY 1, 2)
+SELECT u.conv_id, u.turn_idx,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN u.turn_idx > m.mint THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_repeated,
+       CAST(floor(sum(CASE WHEN u.turn_idx > m.mint THEN 1 ELSE 0 END)
+                  * 1000000.0 / count(*) + 0.5) AS BIGINT) AS rep_frac_e6
+FROM ug u JOIN mt m ON m.conv_id = u.conv_id AND m.g = u.g
+GROUP BY 1, 2
+"""
+
+
+def q_conv_structure(sf_dir: str):
+    """Per-conversation structural audit (role mix, tool calls, char
+    volume by speaker, wall-clock span, turn-index contiguity) —
+    stages/transcripts.conv_structure_stats, one sorted-run exchange."""
+    from cleanlab_ray.stages.transcripts import conv_structure_stats
+
+    return conv_structure_stats(load_transcripts(sf_dir))
+
+
+SQL_CONV_STRUCTURE = f"""
+WITH {_SQL_TR_CTE}
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+       CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_assistant,
+       CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tool_calls,
+       CAST(sum(CASE WHEN role = 'user' THEN length(text) ELSE 0 END) AS BIGINT)
+         AS chars_user,
+       CAST(sum(CASE WHEN role = 'assistant' THEN length(text) ELSE 0 END)
+            AS BIGINT) AS chars_assistant,
+       CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS span_seconds,
+       (min(turn_idx) = 0 AND max(turn_idx) + 1 = count(*)) AS contiguous
+FROM tr GROUP BY 1
+"""
+
+
+def q_role_transitions(sf_dir: str):
+    """Corpus role-transition matrix over the derived transcripts
+    (stages/transcripts.role_transitions): conversation-colocated sort,
+    in-block turn ordering, per-block partial counts."""
+    from cleanlab_ray.stages.transcripts import role_transitions
+
+    return role_transitions(load_transcripts(sf_dir))
+
+
+SQL_ROLE_TRANSITIONS = f"""
+WITH {_SQL_TR_CTE},
+nx AS (
+  SELECT conv_id, role AS from_role,
+         lead(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS to_role
+  FROM tr)
+SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n
+FROM nx WHERE to_role IS NOT NULL GROUP BY 1, 2
+"""
+
+QUERIES["turn_repetition"] = q_turn_repetition
+ORACLE_SQL["turn_repetition"] = SQL_TURN_REPETITION
+QUERIES["conv_structure_audit"] = q_conv_structure
+ORACLE_SQL["conv_structure_audit"] = SQL_CONV_STRUCTURE
+QUERIES["role_transitions"] = q_role_transitions
+ORACLE_SQL["role_transitions"] = SQL_ROLE_TRANSITIONS
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks a fixed
 # window of the FIRST 50 queries() entries. Round-5 rotation policy
 # (VERDICT r4 item 1): lead with every query that has NEVER had a
@@ -6513,9 +6626,14 @@ _PRIORITY_WINDOW = [
     "annotator_consensus", "annotator_quality", "active_learning",
     "top_orders", "top_issues", "vocab_topk", "perplexity_buckets",
     "dup_components", "kmeans_clusters", "incremental_ingest",
-    "semdedup", "bloom_semijoin", "approx_distinct_words",
+    "semdedup", "bloom_semijoin",
     "noniid_detection", "drift_windows",
     "doc_quality_signals", "curate_documents",
+    # (b2) brand-new round-5 transcript-structure operators — first
+    # driver rows (displacing approx_distinct_words, whose round-5
+    # change was defensive-only — empty-block safety — with an r04
+    # green row and a local sf0.01 oracle replay at final HEAD)
+    "turn_repetition", "conv_structure_audit", "role_transitions",
     # (b-note) four more final-session refactors (dsir_weights,
     # decontaminate_docs, chunk_documents, pack_sequences) are
     # behavior-identical on valid inputs (shared-helper reuse + loud
@@ -6524,9 +6642,10 @@ _PRIORITY_WINDOW = [
     # never-driver-checked section (a) outranks them for slots
     # (c) flagship core (always in the gate)
     "flagship_quality_filter", "confident_joint", "self_confidence",
-    # (d) oldest standing greens (last green r03, unchanged since)
-    # rotated back in with the remaining slots
-    "near_dup_documents", "langid_documents",
+    # (d) near_dup_documents / langid_documents (green r03, unchanged,
+    # replay-validated at HEAD) gave up their slots to the new
+    # transcript-structure operators in (b2) — a first driver row for
+    # new code outranks a repeat row for unchanged code
 ]
 
 _missing = [k for k in _PRIORITY_WINDOW if k not in QUERIES]

@@ -1,0 +1,301 @@
+"""Transcript-structure operators: cross-turn repetition, per-conversation
+structural audit, and role-transition statistics.
+
+Agent / conversation transcripts need structural quality gates that the
+per-document signals (stages/quality_signals.py) can't express, because
+they depend on the CONVERSATION grouping and the turn order inside it:
+
+- ``turn_repetition``: for every turn, the fraction of its word
+  3-grams that already occurred in an EARLIER turn of the same
+  conversation — the "stuck agent" / looping-assistant signal. A turn
+  that mostly restates previous turns scores near 1.0. Semantics
+  mirror the duplicate-n-gram family of Rae et al. 2021 §A1.1 but
+  across turns rather than within one document.
+- ``conv_structure_stats``: one row per conversation with role mix,
+  tool-call count, per-role character volume, wall-clock span and a
+  turn-index contiguity flag (gaps/truncation detector).
+- ``role_transitions``: the corpus-level role-transition matrix
+  (user→assistant, assistant→tool, …) — drift in this matrix between
+  corpus snapshots is a cheap structural health check.
+
+Scale shapes (the part that matters at 10^12 turns):
+
+- ``turn_repetition`` never co-locates a whole conversation. Postings
+  are (conv_id, gram, turn_idx) rows deduplicated per turn; ONE sort
+  exchange on (conv_id, gram) makes "was this gram seen in an earlier
+  turn" a vectorized run-min comparison, and the kernel pre-combines
+  per (conv_id, turn_idx) inside each block so the second exchange
+  (the per-turn re-aggregation) moves ~one row per turn, not one per
+  gram. A conversation with 10^6 turns splits across many (conv, gram)
+  groups — no hot-conversation block.
+- ``conv_structure_stats`` is per-row feature extraction + ONE
+  sorted-run aggregate (stages/topk.sorted_group_agg) keyed on
+  conv_id: O(rows) numpy per block, one exchange total.
+- ``role_transitions`` sorts by conv_id only (whole conversation per
+  block — the same run-colocation guarantee dedup relies on; see
+  stages/dedup._sorted_block_map), orders turns in-block, and emits
+  per-block PARTIAL transition counts, so the global aggregate moves
+  at most (distinct role pairs) rows per block.
+
+Reference semantics anchor: the reference's conversation-level
+handling pools per-turn scores by conversation key with stable turn
+ordering (see SURVEY.md §2.5 conversation pooling); these operators
+apply the same grouping contract to structural signals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from cleanlab_ray.stages.dedup import _run_starts, _sorted_block_map
+from cleanlab_ray.stages.quality_signals import _tokens
+from cleanlab_ray.stages.topk import sorted_group_agg
+
+REP_NGRAM = 3  # word n-gram width for the cross-turn repetition signal
+
+
+def turn_gram_postings(batch: pa.Table, conv_col: str = "conv_id",
+                       turn_col: str = "turn_idx",
+                       text_col: str = "text",
+                       n: int = REP_NGRAM) -> pa.Table:
+    """Per-turn UNIQUE word n-grams as (conv_id, gram, turn_idx) rows.
+
+    One regex split + Arrow joins per batch; n-grams are adjacent-token
+    joins over the flattened token stream restricted to same-row spans,
+    then deduplicated per turn via dictionary codes + lexsort (a turn
+    repeating its own phrase is within-turn repetition — the
+    quality_signals dup_2gram_frac signal — not cross-turn looping, so
+    each turn contributes each gram once)."""
+    codes, row_ids, _lens, vocab, _n_rows = _tokens(batch, text_col)
+    m = len(codes)
+    empty = pa.table({
+        conv_col: pa.array([], batch[conv_col].type),
+        "gram": pa.array([], pa.string()),
+        turn_col: pa.array([], pa.int32()),
+    })
+    if m < n:
+        return empty
+    # positions i where tokens i..i+n-1 all come from the same row
+    same = row_ids[: m - n + 1] == row_ids[n - 1:]
+    idx = np.flatnonzero(same)
+    if len(idx) == 0:
+        return empty
+    # cast the (small) vocab, not the token stream: large_string tokens
+    # would not match binary_join_element_wise's string separator kernel
+    toks = pc.cast(vocab, pa.string()).take(pa.array(codes))
+    parts = [toks.take(pa.array(idx + j)) for j in range(n)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    rid = row_ids[idx]
+    # dedupe (turn, gram) pairs: dictionary codes keep the lexsort numeric
+    enc = grams.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    gcode = enc.indices.to_numpy(zero_copy_only=False)
+    order = np.lexsort((gcode, rid))
+    rs, gs = rid[order], gcode[order]
+    keep = np.ones(len(order), dtype=bool)
+    keep[1:] = (rs[1:] != rs[:-1]) | (gs[1:] != gs[:-1])
+    sel = order[keep]
+    sel_rows = pa.array(rid[sel])
+    return pa.table({
+        conv_col: batch[conv_col].take(sel_rows),
+        # cast: a large_string text column yields large_string grams,
+        # but empty batches emit string — keep the schema stable
+        "gram": pc.cast(grams.take(pa.array(sel)), pa.string()),
+        turn_col: pc.cast(batch[turn_col].take(sel_rows), pa.int32()),
+    })
+
+
+def turn_repetition(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
+                    text_col: str = "text", n: int = REP_NGRAM):
+    """Cross-turn n-gram repetition per turn.
+
+    Returns one row per turn that has at least one word n-gram:
+    (conv_id, turn_idx, n_grams, n_repeated, rep_frac_e6) where
+    n_repeated counts this turn's unique n-grams whose FIRST occurrence
+    in the conversation was an earlier turn. Turns shorter than ``n``
+    words emit no row (they have no n-gram to repeat)."""
+    postings = ds.map_batches(
+        lambda b: turn_gram_postings(b, conv_col, turn_col, text_col, n),
+        batch_format="pyarrow",
+    )
+
+    def flag_and_combine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                conv_col: pa.array([], batch[conv_col].type),
+                turn_col: pa.array([], pa.int32()),
+                "n_grams": pa.array([], pa.int64()),
+                "n_repeated": pa.array([], pa.int64()),
+            })
+        conv = batch[conv_col].to_numpy(zero_copy_only=False)
+        gram = batch["gram"].to_numpy(zero_copy_only=False)
+        turn = batch[turn_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = _run_starts(conv, gram)
+        sizes = np.diff(np.append(starts, len(conv)))
+        run_id = np.repeat(np.arange(len(starts)), sizes)
+        first_turn = np.minimum.reduceat(turn, starts)
+        rep = (turn > first_turn[run_id]).astype(np.int64)
+        # in-block partial combine by (conv, turn): the re-aggregation
+        # exchange then moves ~turns rows, not ~grams rows. The block
+        # arrives sorted by (conv, gram), so conv runs are contiguous —
+        # sort numerically on (conv run id, turn), never on strings.
+        cstarts = _run_starts(conv)
+        conv_rid = np.repeat(np.arange(len(cstarts)),
+                             np.diff(np.append(cstarts, len(conv))))
+        order = np.lexsort((turn, conv_rid))
+        c2, t2, r2 = conv[order], turn[order], rep[order]
+        s2 = _run_starts(conv_rid[order], t2)
+        return pa.table({
+            conv_col: pa.array(c2[s2], type=batch[conv_col].type),
+            turn_col: pa.array(t2[s2].astype(np.int32), type=pa.int32()),
+            "n_grams": pa.array(np.diff(np.append(s2, len(c2))).astype(np.int64)),
+            "n_repeated": pa.array(np.add.reduceat(r2, s2)),
+        })
+
+    flagged = _sorted_block_map(postings, [conv_col, "gram"], flag_and_combine)
+    agg = sorted_group_agg(flagged, [conv_col, turn_col],
+                           {"n_grams": "sum", "n_repeated": "sum"})
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ng = batch["sum(n_grams)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nr = batch["sum(n_repeated)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        frac = np.floor(nr * 1_000_000.0 / ng + 0.5).astype(np.int64)
+        return pa.table({
+            conv_col: batch[conv_col],
+            turn_col: batch[turn_col],
+            "n_grams": batch["sum(n_grams)"],
+            "n_repeated": batch["sum(n_repeated)"],
+            "rep_frac_e6": pa.array(frac),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def conv_structure_stats(ds, conv_col: str = "conv_id",
+                         turn_col: str = "turn_idx", role_col: str = "role",
+                         tool_col: str = "tool", text_col: str = "text",
+                         ts_col: str = "ts"):
+    """Per-conversation structural audit: one exchange.
+
+    Output per conversation: n_turns, n_user / n_assistant / n_tool
+    (role mix), n_tool_calls (tool column non-null), chars_user /
+    chars_assistant (character volume by speaker), span_seconds
+    (wall-clock from first to last turn timestamp) and ``contiguous``
+    (turn_idx runs 0..n_turns-1 with no gap — assumes turn_idx unique
+    within a conversation, the transcript contract)."""
+
+    def features(batch: pa.Table) -> pa.Table:
+        role = batch[role_col]
+        is_u = pc.cast(pc.equal(role, "user"), pa.int64())
+        is_a = pc.cast(pc.equal(role, "assistant"), pa.int64())
+        is_t = pc.cast(pc.equal(role, "tool"), pa.int64())
+        has_tool = pc.cast(pc.is_valid(batch[tool_col]), pa.int64())
+        nchars = pc.cast(pc.utf8_length(pc.fill_null(batch[text_col], "")),
+                         pa.int64())
+        turn = pc.cast(batch[turn_col], pa.int32())
+        ts_us = pc.cast(batch[ts_col], pa.int64())
+        zero = pa.array(np.zeros(batch.num_rows, dtype=np.int64))
+        return pa.table({
+            conv_col: batch[conv_col],
+            "u": pc.fill_null(is_u, 0), "a": pc.fill_null(is_a, 0),
+            "t": pc.fill_null(is_t, 0), "tc": has_tool,
+            "cu": pc.if_else(pc.equal(pc.fill_null(role, ""), "user"),
+                             nchars, zero),
+            "ca": pc.if_else(pc.equal(pc.fill_null(role, ""), "assistant"),
+                             nchars, zero),
+            "turn_min": turn, "turn_max": turn,
+            "ts_min": ts_us, "ts_max": ts_us,
+        })
+
+    agg = sorted_group_agg(
+        ds.map_batches(features, batch_format="pyarrow"),
+        conv_col,
+        {"u": "sum", "a": "sum", "t": "sum", "tc": "sum",
+         "cu": "sum", "ca": "sum",
+         "turn_min": "min", "turn_max": "max",
+         "ts_min": "min", "ts_max": "max", conv_col: "count"},
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch[f"count({conv_col})"].to_numpy(zero_copy_only=False)
+        tmin = batch["min(turn_min)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tmax = batch["max(turn_max)"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lo = batch["min(ts_min)"].to_numpy(zero_copy_only=False)
+        hi = batch["max(ts_max)"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            conv_col: batch[conv_col],
+            "n_turns": pa.array(n.astype(np.int64)),
+            "n_user": batch["sum(u)"], "n_assistant": batch["sum(a)"],
+            "n_tool": batch["sum(t)"], "n_tool_calls": batch["sum(tc)"],
+            "chars_user": batch["sum(cu)"],
+            "chars_assistant": batch["sum(ca)"],
+            "span_seconds": pa.array((hi - lo) // 1_000_000),
+            "contiguous": pa.array((tmin == 0) & (tmax + 1 == n)),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def role_transitions(ds, conv_col: str = "conv_id",
+                     turn_col: str = "turn_idx", role_col: str = "role"):
+    """Corpus role-transition matrix: (from_role, to_role, n) counting
+    adjacent-turn transitions inside each conversation in turn order.
+
+    Sorts by conv_id ONLY (whole conversation per block — the
+    run-colocation guarantee; a hot conversation yields one oversized
+    block, acceptable because transcripts bound conversation length),
+    orders turns in-block, and pre-combines transition counts per block
+    so the global aggregate moves at most (distinct role pairs) rows
+    per block."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "from_role": pa.array([], pa.string()),
+            "to_role": pa.array([], pa.string()),
+            "n": pa.array([], pa.int64()),
+        })
+        if batch.num_rows < 2:
+            return empty
+        conv = batch[conv_col].to_numpy(zero_copy_only=False)
+        turn = batch[turn_col].to_numpy(zero_copy_only=False)
+        role = batch[role_col].to_numpy(zero_copy_only=False)
+        # block arrives sorted by conv_id: numeric run ids, no string sort
+        cstarts = _run_starts(conv)
+        conv_rid = np.repeat(np.arange(len(cstarts)),
+                             np.diff(np.append(cstarts, len(conv))))
+        order = np.lexsort((turn, conv_rid))
+        c2, r2 = conv_rid[order], role[order]
+        adj = c2[:-1] == c2[1:]
+        if not adj.any():
+            return empty
+        roles_u, rcode = np.unique(role, return_inverse=True)
+        rc2 = rcode[order]
+        frc, toc = rc2[:-1][adj], rc2[1:][adj]
+        pair = frc * len(roles_u) + toc
+        pair_order = np.argsort(pair, kind="stable")
+        p2 = pair[pair_order]
+        s = _run_starts(p2)
+        heads = p2[s]
+        return pa.table({
+            "from_role": pa.array(roles_u[heads // len(roles_u)],
+                                  type=pa.string()),
+            "to_role": pa.array(roles_u[heads % len(roles_u)],
+                                type=pa.string()),
+            "n": pa.array(np.diff(np.append(s, len(p2))).astype(np.int64)),
+        })
+
+    partials = _sorted_block_map(ds.select_columns(
+        [conv_col, turn_col, role_col]), conv_col, partial)
+    agg = sorted_group_agg(partials, ["from_role", "to_role"], {"n": "sum"})
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "from_role": batch["from_role"],
+            "to_role": batch["to_role"],
+            "n": batch["sum(n)"],
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
