@@ -120,8 +120,6 @@ def distinct_tokens_by(ds, group_col: str, k: int = 16384,
     exchange; the per-group merge is a sorted-union over tiny rows.
     Returns a Dataset (group_col, distinct_tokens) sorted by group.
     """
-    import pandas as pd
-
     def partials(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
             return pa.table({
@@ -149,19 +147,38 @@ def distinct_tokens_by(ds, group_col: str, k: int = 16384,
         return pa.table({group_col: pa.array(out_g),
                          "kmv_summary": pa.array(out_s, type=pa.large_binary())})
 
-    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
-        acc = np.empty(0, dtype=np.uint64)
-        for raw in g["kmv_summary"]:
-            acc = _kmv_merge(acc, np.frombuffer(raw, dtype=np.uint64), k)
-        return pd.DataFrame(
-            {group_col: [g[group_col].iloc[0]],
-             "distinct_tokens": [kmv_estimate(acc, k)]}
-        )
+    def merge_runs(batch: pa.Table) -> pa.Table:
+        # sorted-run merge (see stages/topk.sorted_group_agg's rationale:
+        # the native per-group path costs ~0.3 ms/group) — one block pass,
+        # groups are contiguous runs after the sort exchange
+        if batch.num_rows == 0:
+            return pa.table({
+                group_col: pa.array(
+                    [], type=batch.schema.field(group_col).type),
+                "distinct_tokens": pa.array([], type=pa.int64()),
+            })
+        from cleanlab_ray.stages.dedup import _run_starts
 
-    return (
+        groups = batch[group_col]
+        if isinstance(groups, pa.ChunkedArray):
+            groups = groups.combine_chunks()
+        gv = groups.to_numpy(zero_copy_only=False)
+        starts = _run_starts(gv)
+        ends = np.append(starts[1:], len(gv))
+        raws = batch["kmv_summary"].to_pylist()
+        ests = np.empty(len(starts), dtype=np.int64)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            acc = np.frombuffer(raws[s], dtype=np.uint64)
+            for j in range(s + 1, e):
+                acc = _kmv_merge(acc, np.frombuffer(raws[j], dtype=np.uint64), k)
+            ests[i] = kmv_estimate(acc, k)
+        return pa.table({group_col: groups.take(pa.array(starts)),
+                         "distinct_tokens": pa.array(ests)})
+
+    from cleanlab_ray.stages.dedup import _sorted_block_map
+
+    return _sorted_block_map(
         ds.select_columns([group_col, text_col])
-        .map_batches(partials, batch_format="pyarrow")
-        .groupby(group_col)
-        .map_groups(merge_group, batch_format="pandas")
-        .sort(group_col)
+        .map_batches(partials, batch_format="pyarrow"),
+        group_col, merge_runs,
     )
