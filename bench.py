@@ -193,10 +193,11 @@ def run_bench() -> dict:
         "shuffle_export",
         "incremental_ingest",
         "remove_dup_substrings",
-        # round-5 transcript-structure additions
+        # round-5 transcript-structure + split additions
         "turn_repetition",
         "conv_structure_audit",
         "role_transitions",
+        "leakage_safe_split",
     ]
     # best-of-2 per query: the first run pays one-time per-worker kernel
     # warmups (numpy, regex, model tables) that aren't steady-state

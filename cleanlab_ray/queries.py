@@ -6578,6 +6578,30 @@ SELECT from_role, to_role, CAST(count(*) AS BIGINT) AS n
 FROM nx WHERE to_role IS NOT NULL GROUP BY 1, 2
 """
 
+def q_leakage_safe_split(sf_dir: str):
+    """Dedup-aware train/holdout split (stages/dedup.leakage_safe_split):
+    every exact-duplicate group lands on ONE side, killing train→eval
+    leakage through verbatim copies. SQL-checked: min-key-per-text
+    window + the salted Knuth hash inlined (HUGEINT product mod 2^32
+    — bit-identical to the engine's uint64 wrap, see stage docstring)."""
+    from cleanlab_ray.stages.dedup import leakage_safe_split
+
+    return leakage_safe_split(
+        _read(sf_dir, "documents", ["doc_id", "text"]), train_frac=0.9)
+
+
+SQL_LEAKAGE_SAFE_SPLIT = """
+SELECT doc_id,
+       CASE WHEN (xor(gmin, 605459861)::HUGEINT * 2654435761)
+                 % 4294967296 % 1000000 < 900000
+            THEN 'train' ELSE 'holdout' END AS split
+FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS gmin
+      FROM documents)
+"""
+
+QUERIES["leakage_safe_split"] = q_leakage_safe_split
+ORACLE_SQL["leakage_safe_split"] = SQL_LEAKAGE_SAFE_SPLIT
+
 QUERIES["turn_repetition"] = q_turn_repetition
 ORACLE_SQL["turn_repetition"] = SQL_TURN_REPETITION
 QUERIES["conv_structure_audit"] = q_conv_structure
@@ -6640,8 +6664,14 @@ _PRIORITY_WINDOW = [
     # null guards only) and were locally replayed hash-exact at sf0.01
     # (BASELINE.md final-session log); with the window full at 50 the
     # never-driver-checked section (a) outranks them for slots
-    # (c) flagship core (always in the gate)
-    "flagship_quality_filter", "confident_joint", "self_confidence",
+    # (b3) dedup-aware leakage-safe split — new this round, first row
+    "leakage_safe_split",
+    # (c) flagship core: flagship_quality_filter SQL-checks the whole
+    # scoring chain end-to-end (scrub + langid + ppl + softmax +
+    # self-confidence + confident joint + bottom-T decision), so
+    # self_confidence (green r01–r04, value-covered by the flagship
+    # row) ceded its slot to leakage_safe_split
+    "flagship_quality_filter", "confident_joint",
     # (d) near_dup_documents / langid_documents (green r03, unchanged,
     # replay-validated at HEAD) gave up their slots to the new
     # transcript-structure operators in (b2) — a first driver row for

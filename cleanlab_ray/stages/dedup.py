@@ -224,6 +224,81 @@ def first_per_distinct_text(h: np.ndarray, batch: pa.Table, text_col: str,
     return np.concatenate(keep)
 
 
+#: XOR salt for the leakage-safe split hash — distinct from the mixture
+#: salt (topk.MIXTURE_SALT = 805306457) and the unsalted CV-fold hash so
+#: the three partitions are pairwise decorrelated.
+LEAK_SPLIT_SALT = np.uint64(605459861)
+
+
+def leakage_safe_split(
+    ds,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    train_frac: float = 0.9,
+    hash_col: str = "content_hash",
+):
+    """Train/holdout split where every EXACT-duplicate group lands on
+    one side — the dedup-aware split that prevents train→eval leakage
+    through verbatim copies (the contamination mode test-set dedup
+    audits measure; reference semantics anchor: the duplicate-set
+    grouping of datalab/internal/issue_manager/duplicate.py applied to
+    split assignment).
+
+    Returns (key_col, split) with split ∈ {'train', 'holdout'}. The
+    side is a pure function of the group's MINIMUM key through a salted
+    Knuth multiplicative hash, so the assignment is coordination-free,
+    restart-stable, identical under any partitioning, and decorrelated
+    from the plain-key split/fold/mixture hashes. ONE content-hash sort
+    exchange (same shape as exact_dedup); within a hash run, groups are
+    resolved on the actual text so 64-bit collisions cannot co-assign
+    distinct contents."""
+    if not 0.0 <= train_frac <= 1.0:
+        raise ValueError(f"train_frac must be in [0, 1], got {train_frac}")
+    thr = int(round(train_frac * 1_000_000))
+
+    def add_keys(batch: pa.Table) -> pa.Table:
+        return add_content_hash(
+            batch.select([key_col, text_col]), text_col, hash_col)
+
+    def assign_block(batch: pa.Table) -> pa.Table:
+        h = batch[hash_col].to_numpy(zero_copy_only=False)
+        if len(h) == 0:
+            return pa.table({
+                key_col: pa.array([], batch.schema.field(key_col).type),
+                "split": pa.array([], pa.string()),
+            })
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # group-min key per row: hash runs of length 1 are their own
+        # group; only multi-row runs (true dups + rare collisions)
+        # materialize their strings (same split as first_per_distinct_text)
+        order = np.argsort(h, kind="stable")
+        hs = h[order]
+        change = np.ones(len(hs), dtype=bool)
+        change[1:] = hs[1:] != hs[:-1]
+        run_id = np.cumsum(change) - 1
+        run_len = np.bincount(run_id)
+        gmin = keys.copy()
+        multi_pos = np.flatnonzero(run_len[run_id] > 1)
+        if len(multi_pos):
+            idx = order[multi_pos]
+            sub = pd.DataFrame({
+                "run": run_id[multi_pos],
+                "text": batch[text_col].take(pa.array(idx)).to_pandas(),
+                "key": keys[idx],
+            })
+            gmin[idx] = sub.groupby(["run", "text"])["key"].transform("min").to_numpy()
+        u = ((gmin.astype(np.uint64) ^ LEAK_SPLIT_SALT)
+             * np.uint64(2654435761)) % np.uint64(1 << 32) % np.uint64(1_000_000)
+        split = np.where(u < np.uint64(thr), "train", "holdout")
+        return pa.table({
+            key_col: batch[key_col],
+            "split": pa.array(split, type=pa.string()),
+        })
+
+    with_hash = ds.map_batches(add_keys, batch_format="pyarrow")
+    return _sorted_block_map(with_hash, hash_col, assign_block)
+
+
 # ---------------------------------------------------------------------------
 # Columnar shingle machinery (shared by MinHash and SimHash)
 # ---------------------------------------------------------------------------

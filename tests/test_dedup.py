@@ -460,3 +460,53 @@ def test_connected_components_empty_edges(ray_session):
         "doc_b": pa.array([], type=pa.int64())}))
     out = connected_components(edges, src_col="doc_a", dst_col="doc_b")
     assert out.count() == 0
+
+
+def test_leakage_safe_split_groups_stay_together(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from cleanlab_ray.stages.dedup import leakage_safe_split
+
+    # 40 unique texts + two duplicate groups whose copies land in
+    # different input blocks
+    texts = [f"unique document number {i} with words" for i in range(40)]
+    texts += ["duplicated payload alpha"] * 3 + ["duplicated payload beta"] * 4
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts)})
+    out = leakage_safe_split(
+        rd.from_arrow(t).repartition(5), train_frac=0.5).to_pandas()
+    assert len(out) == len(texts)
+    by_text = {}
+    for did, tx in zip(ids, texts):
+        by_text.setdefault(tx, []).append(did)
+    side = dict(zip(out["doc_id"], out["split"]))
+    for tx, group in by_text.items():
+        assert len({side[d] for d in group}) == 1, tx
+    # split is a pure function of the group min key: repartitioning
+    # cannot change the assignment
+    out2 = leakage_safe_split(
+        rd.from_arrow(t).repartition(2), train_frac=0.5).to_pandas()
+    assert dict(zip(out2["doc_id"], out2["split"])) == side
+    # both sides populated at frac=0.5 over 42 groups
+    assert set(out["split"]) == {"train", "holdout"}
+
+    assert set(leakage_safe_split(rd.from_arrow(t), train_frac=1.0)
+               .to_pandas()["split"]) == {"train"}
+    assert set(leakage_safe_split(rd.from_arrow(t), train_frac=0.0)
+               .to_pandas()["split"]) == {"holdout"}
+    with pytest.raises(ValueError):
+        leakage_safe_split(rd.from_arrow(t), train_frac=1.5)
+
+
+def test_leakage_safe_split_empty(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.stages.dedup import leakage_safe_split
+
+    t = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                  "text": pa.array([], type=pa.string())})
+    assert leakage_safe_split(rd.from_arrow(t)).count() == 0
