@@ -189,3 +189,47 @@ def test_topk_block_prune_is_sound_under_split(tbl, k, n_parts):
     got_s = got.sort_values("key").reset_index(drop=True)
     exp_s = exp.sort_values("key").reset_index(drop=True)
     pd.testing.assert_frame_equal(got_s, exp_s)
+
+
+_GRAM_WORDS = ["a", "b", "cc", "d", "ee", "f"]
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),                                   # conv
+            st.integers(0, 7),                                   # turn
+            st.lists(st.sampled_from(_GRAM_WORDS), max_size=10), # words
+        ),
+        max_size=8,
+    ),
+    st.sampled_from([" ", "  ", " \t"]),
+)
+def test_turn_gram_postings_matches_python(rows, sep):
+    """Posting kernel = per-turn UNIQUE word 3-grams, for arbitrary
+    word sequences and messy whitespace."""
+    import pyarrow as pa
+
+    from cleanlab_ray.stages.transcripts import turn_gram_postings
+
+    batch = pa.table({
+        "conv_id": pa.array([f"c{c}" for c, _, _ in rows], pa.string()),
+        "turn_idx": pa.array([t for _, t, _ in rows], pa.int32()),
+        "text": pa.array([sep.join(ws) + sep for _, _, ws in rows],
+                         pa.string()),
+    })
+    out = turn_gram_postings(batch)
+    got = list(zip(out["conv_id"].to_pylist(), out["turn_idx"].to_pylist(),
+                   out["gram"].to_pylist()))
+    want = set()
+    for c, t, ws in rows:
+        for i in range(len(ws) - 2):
+            want.add((f"c{c}", t, " ".join(ws[i:i + 3])))
+    # exact set AND no duplicate postings for the same (row, gram)
+    assert set(got) == want
+    per_row = {}
+    for c, t, ws in rows:
+        key = len(per_row)  # rows are distinct batch rows even if
+        per_row[key] = {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+    assert len(got) == sum(len(g) for g in per_row.values())
