@@ -6602,6 +6602,25 @@ FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS gmin
 QUERIES["leakage_safe_split"] = q_leakage_safe_split
 ORACLE_SQL["leakage_safe_split"] = SQL_LEAKAGE_SAFE_SPLIT
 
+
+def q_near_dup_safe_split(sf_dir: str):
+    """Near-duplicate-aware split (stages/dedup.near_dup_safe_split):
+    every transitive MinHash-LSH candidate group lands on one side —
+    near-verbatim copies cannot straddle train/holdout. NO SQL oracle
+    (iterative component closure, like dup_components' propagation has
+    no SQL twin over arbitrary graphs): its constituents are hash-exact
+    driver-checked separately (banding via near_dup_documents /
+    incremental_ingest; closure via dup_components; the side hash via
+    leakage_safe_split) and the composition is pytest-checked against a
+    python union-find over the engine's own banding (test_dedup)."""
+    from cleanlab_ray.stages.dedup import near_dup_safe_split
+
+    return near_dup_safe_split(
+        _read(sf_dir, "documents", ["doc_id", "text"]), train_frac=0.9)
+
+
+QUERIES["near_dup_safe_split"] = q_near_dup_safe_split
+
 QUERIES["turn_repetition"] = q_turn_repetition
 ORACLE_SQL["turn_repetition"] = SQL_TURN_REPETITION
 QUERIES["conv_structure_audit"] = q_conv_structure

@@ -55,20 +55,68 @@ def _drop_empty_blocks(ds):
     return rd.from_arrow_refs(refs)
 
 
+#: Candidate-edge count below which the closure runs as ONE driver-local
+#: vectorized pass instead of the iterated distributed propagation. The
+#: edge list is the DUP graph, not the corpus — 2M edges ≈ 32 MB on the
+#: driver — so this is the common case even at 100-TB corpus scale;
+#: above it the distributed path takes over (same labels either way).
+LOCAL_CC_MAX_EDGES = 2_000_000
+
+
+def _local_components(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    """Driver-local min-label propagation with pointer doubling:
+    O(E) numpy per round, O(log diameter) rounds, same labels as the
+    distributed path (component = min reachable node id)."""
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a):]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        nxt = lab.copy()
+        np.minimum.at(nxt, ea, lab[eb])
+        np.minimum.at(nxt, eb, lab[ea])
+        nxt = nxt[nxt]  # pointer jump
+        if np.array_equal(nxt, lab):
+            break
+        lab = nxt
+    return pa.table({"node": pa.array(nodes, type=pa.int64()),
+                     "component": pa.array(nodes[lab], type=pa.int64())})
+
+
 def connected_components(edges, src_col: str = "src", dst_col: str = "dst",
-                         max_iters: int = 50, num_partitions: int | None = None):
+                         max_iters: int = 50, num_partitions: int | None = None,
+                         local_max_edges: int = LOCAL_CC_MAX_EDGES):
     """Component id (min reachable node id) for every node in ``edges``.
 
     ``edges`` is a Dataset with int64 endpoint columns. Returns a
     Dataset (node, component). Isolated nodes never appear in an edge
     list; union them in afterwards if the contract needs them.
-    """
+
+    Small edge lists (≤ ``local_max_edges``, the overwhelmingly common
+    case since edges cover only duplicate candidates) short-circuit to
+    one driver-local vectorized pass — the distributed propagation
+    costs ~6 Dataset executions PER ROUND in fixed overhead, which
+    dominates wall time when the graph is small. Labels are identical
+    on both paths, so the auto-delegation is invisible to callers
+    (same pattern as knn_outlier's EXACT_KNN_MAX_ROWS)."""
     import ray.data as rd
 
     if num_partitions is None:
         import ray
 
         num_partitions = max(int(ray.cluster_resources().get("CPU", 8)) // 2, 4)
+
+    mat_edges = edges.select_columns([src_col, dst_col]).materialize()
+    if mat_edges.count() <= local_max_edges:
+        df = mat_edges.to_pandas()
+        if len(df) == 0:
+            return rd.from_arrow(pa.table({
+                "node": pa.array([], type=pa.int64()),
+                "component": pa.array([], type=pa.int64()),
+            }))
+        a = df[src_col].to_numpy().astype(np.int64)
+        b = df[dst_col].to_numpy().astype(np.int64)
+        return rd.from_arrow(_local_components(a, b))
+    edges = mat_edges
 
     def symmetrize(batch: pa.Table) -> pa.Table:
         a = batch[src_col].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -299,6 +299,94 @@ def leakage_safe_split(
     return _sorted_block_map(with_hash, hash_col, assign_block)
 
 
+def near_dup_safe_split(
+    ds,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    train_frac: float = 0.9,
+    num_perm: int = 64,
+    bands: int = 8,
+    shingle_k: int = 5,
+):
+    """Near-duplicate-aware train/holdout split: every transitive
+    MinHash-LSH CANDIDATE group lands on one side.
+
+    Strictly stronger leak protection than :func:`leakage_safe_split`
+    (identical texts hash to identical signatures, so every exact-dup
+    group is contained in a candidate component) — near-verbatim copies
+    can no longer straddle the split. Candidate semantics BY DESIGN,
+    like the incremental state: a false-positive band collision only
+    merges MORE rows onto one side — conservative for leakage, never a
+    leak. Side = the same salted hash of the component-min key as
+    leakage_safe_split (singleton docs get identical sides under both
+    operators).
+
+    Exchange shape: one band sort over compact (key, bucket) int rows
+    (text never leaves the signature kernel), min-label propagation
+    over candidate edges only (stages/components.py — bounded by the
+    dup-graph diameter, not corpus size), then ONE node-keyed exchange
+    unioning component rows with identity rows so isolated docs assign
+    themselves — no driver-side or broadcast component map."""
+    if not 0.0 <= train_frac <= 1.0:
+        raise ValueError(f"train_frac must be in [0, 1], got {train_frac}")
+    from cleanlab_ray.stages.components import connected_components
+    from cleanlab_ray.stages.topk import sorted_group_agg
+
+    thr = int(round(train_frac * 1_000_000))
+    bucket_fn = make_band_bucket_fn(num_perm, bands, shingle_k)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        bucket = bucket_fn(batch[text_col])  # (n, bands) int64
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "k": pa.array(np.repeat(keys, bands)),
+            "bucket": pa.array(bucket.reshape(-1)),
+        })
+
+    def candidate_edges(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        empty = pa.table({"node_a": pa.array([], pa.int64()),
+                          "node_b": pa.array([], pa.int64())})
+        if len(b) == 0:
+            return empty
+        k = batch["k"].to_numpy(zero_copy_only=False)
+        starts = _run_starts(b)
+        sizes = np.diff(np.append(starts, len(b)))
+        run_id = np.repeat(np.arange(len(starts)), sizes)
+        rep = np.minimum.reduceat(k, starts)[run_id]
+        keep = (np.repeat(sizes, sizes) >= 2) & (k != rep)
+        if not keep.any():
+            return empty
+        return pa.table({"node_a": pa.array(k[keep]),
+                         "node_b": pa.array(rep[keep])})
+
+    banded = ds.select_columns([key_col, text_col]).map_batches(
+        band_rows, batch_format="pyarrow")
+    edges = _sorted_block_map(banded, "bucket", candidate_edges)
+    comp = connected_components(edges, src_col="node_a", dst_col="node_b")
+
+    def identity_rows(batch: pa.Table) -> pa.Table:
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"node": pa.array(keys), "component": pa.array(keys)})
+
+    ident = ds.select_columns([key_col]).map_batches(
+        identity_rows, batch_format="pyarrow")
+    roots = sorted_group_agg(comp.union(ident), "node", {"component": "min"})
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        root = batch["min(component)"].to_numpy(zero_copy_only=False)
+        u = ((root.astype(np.uint64) ^ LEAK_SPLIT_SALT)
+             * np.uint64(2654435761)) % np.uint64(1 << 32) % np.uint64(1_000_000)
+        return pa.table({
+            key_col: batch["node"],
+            "split": pa.array(np.where(u < np.uint64(thr), "train", "holdout"),
+                              type=pa.string()),
+        })
+
+    return roots.map_batches(finalize, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # Columnar shingle machinery (shared by MinHash and SimHash)
 # ---------------------------------------------------------------------------

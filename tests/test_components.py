@@ -56,3 +56,29 @@ def test_exact_values_at_ranks(ray_session):
     s = np.sort(vals)
     for r in ranks:
         assert got[r] == s[r], (r, got[r], s[r])
+
+
+def test_local_and_distributed_paths_identical(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.stages.components import connected_components
+
+    rng = np.random.default_rng(11)
+    # 3 chains + a clique + isolated pairs, shuffled ids
+    ids = rng.permutation(400)
+    edges = []
+    for s in range(0, 120, 40):       # three 40-node chains
+        edges += [(ids[i], ids[i + 1]) for i in range(s, s + 39)]
+    edges += [(ids[i], ids[j]) for i in range(120, 130)
+              for j in range(i + 1, 130)]                  # clique
+    edges += [(ids[i], ids[i + 1]) for i in range(130, 200, 2)]
+    t = pa.table({"src": pa.array([int(a) for a, _ in edges], pa.int64()),
+                  "dst": pa.array([int(b) for _, b in edges], pa.int64())})
+    ds = rd.from_arrow(t).repartition(4)
+    local = {r["node"]: r["component"]
+             for r in connected_components(ds).take_all()}
+    dist = {r["node"]: r["component"]
+            for r in connected_components(ds, local_max_edges=0).take_all()}
+    assert local == dist and len(local) > 0

@@ -510,3 +510,83 @@ def test_leakage_safe_split_empty(ray_session):
     t = pa.table({"doc_id": pa.array([], type=pa.int64()),
                   "text": pa.array([], type=pa.string())})
     assert leakage_safe_split(rd.from_arrow(t)).count() == 0
+
+
+def test_near_dup_safe_split_components_stay_together(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.stages.dedup import (
+        leakage_safe_split, make_band_bucket_fn, near_dup_safe_split)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark woods tonight")
+    texts = [f"unique number {i} document with several words {i}" for i in range(30)]
+    texts += [base, base, base + " extra", base.replace("quick", "swift")]
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                  "text": pa.array(texts)})
+
+    out = near_dup_safe_split(
+        rd.from_arrow(t).repartition(4), train_frac=0.5).to_pandas()
+    assert sorted(out["doc_id"]) == ids
+    side = dict(zip(out["doc_id"], out["split"]))
+
+    # derive the expected candidate components from the SAME banding
+    # kernel (itself oracle-checked via near_dup_documents /
+    # incremental_ingest) + a python union-find
+    buckets = make_band_bucket_fn(64, 8, 5)(pa.array(texts))
+    parent = list(ids)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    by_bucket = {}
+    for i in ids:
+        for bkt in buckets[i]:
+            by_bucket.setdefault(int(bkt), []).append(i)
+    for members in by_bucket.values():
+        for m in members[1:]:
+            parent[find(m)] = find(members[0])
+    comps = {}
+    for i in ids:
+        comps.setdefault(find(i), []).append(i)
+    # every candidate component on one side, singletons included
+    for members in comps.values():
+        assert len({side[m] for m in members}) == 1
+    # the planted near-dup family must actually be one component
+    fam = {find(i) for i in (30, 31, 32, 33)}
+    assert len(fam) == 1
+    # singleton docs agree with the exact-dup split (same salt, min=self)
+    exact = dict(zip(*[leakage_safe_split(
+        rd.from_arrow(t), train_frac=0.5).to_pandas()[c]
+        for c in ("doc_id", "split")]))
+    for members in comps.values():
+        if len(members) == 1:
+            assert side[members[0]] == exact[members[0]]
+    # partitioning invariance
+    out2 = near_dup_safe_split(
+        rd.from_arrow(t).repartition(7), train_frac=0.5).to_pandas()
+    assert dict(zip(out2["doc_id"], out2["split"])) == side
+
+
+def test_near_dup_safe_split_empty_and_frac(ray_session):
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from cleanlab_ray.stages.dedup import near_dup_safe_split
+
+    empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                      "text": pa.array([], type=pa.string())})
+    assert near_dup_safe_split(rd.from_arrow(empty)).count() == 0
+    with pytest.raises(ValueError):
+        near_dup_safe_split(rd.from_arrow(empty), train_frac=-0.1)
+    t = pa.table({"doc_id": pa.array([0, 1, 2], type=pa.int64()),
+                  "text": pa.array(["aaaa bbbb", "cccc dddd", "eeee ffff"])})
+    got = near_dup_safe_split(rd.from_arrow(t), train_frac=1.0).to_pandas()
+    assert set(got["split"]) == {"train"} and len(got) == 3
