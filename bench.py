@@ -198,6 +198,7 @@ def run_bench() -> dict:
         "conv_structure_audit",
         "role_transitions",
         "leakage_safe_split",
+        "near_dup_safe_split",
     ]
     # best-of-2 per query: the first run pays one-time per-worker kernel
     # warmups (numpy, regex, model tables) that aren't steady-state
