@@ -197,6 +197,8 @@ def run_bench() -> dict:
         "turn_repetition",
         "conv_structure_audit",
         "role_transitions",
+        "turn_echo",
+        "conv_exact_dedup",
         "leakage_safe_split",
         "near_dup_safe_split",
     ]

@@ -6621,6 +6621,93 @@ def q_near_dup_safe_split(sf_dir: str):
 
 QUERIES["near_dup_safe_split"] = q_near_dup_safe_split
 
+def q_turn_echo(sf_dir: str):
+    """Adjacent-turn 3-gram echo per turn (stages/transcripts.turn_echo):
+    the assistant-parrots-the-previous-turn signal. SQL-checked: DISTINCT
+    per-turn grams, LEFT JOIN against the previous turn index's grams,
+    per-turn re-aggregation."""
+    from cleanlab_ray.stages.transcripts import turn_echo
+
+    ds = load_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "text"])
+    return turn_echo(ds)
+
+
+SQL_TURN_ECHO = rf"""
+WITH {_SQL_TR_CTE},
+toks AS (
+  SELECT conv_id, turn_idx,
+         unnest(regexp_extract_all(text, '[^\s]+')) AS w,
+         unnest(generate_series(1, len(regexp_extract_all(text, '[^\s]+')))) AS i
+  FROM tr),
+grams AS (
+  SELECT conv_id, turn_idx,
+         w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS g
+  FROM toks WINDOW win AS (PARTITION BY conv_id, turn_idx ORDER BY i)),
+ug AS (SELECT DISTINCT conv_id, turn_idx, g FROM grams WHERE g IS NOT NULL)
+SELECT u.conv_id, u.turn_idx,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN p.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_echoed,
+       CAST(floor(sum(CASE WHEN p.g IS NOT NULL THEN 1 ELSE 0 END)
+                  * 1000000.0 / count(*) + 0.5) AS BIGINT) AS echo_frac_e6
+FROM ug u LEFT JOIN ug p
+  ON p.conv_id = u.conv_id AND p.g = u.g AND p.turn_idx = u.turn_idx - 1
+GROUP BY 1, 2
+"""
+
+
+def q_conv_exact_dedup(sf_dir: str):
+    """Exact duplicate-conversation detection
+    (stages/transcripts.conv_exact_dedup). The hashed per-turn content
+    channel here is the document ``lang`` tag rather than the full text:
+    8 turns over 3 languages gives ~3^8 distinct sequences, so the
+    sf-scale corpus contains REAL duplicate-conversation groups and the
+    oracle exercises grouping, canonical-min and is_dup with positives
+    (byte-level text as the channel finds no dups in the derived corpus
+    by construction — doc_id-aligned 8-tuples never repeat; that path
+    is pytest-checked in test_transcripts). SQL-checked: ordered
+    string_agg fingerprint, window min per group."""
+    from cleanlab_ray.stages.transcripts import conv_exact_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+
+    def with_lang_text(batch: pa.Table) -> pa.Table:
+        t = docs_to_transcripts_kernel(batch)
+        return t.set_column(t.schema.get_field_index("text"), "text",
+                            pc.cast(batch["lang"], pa.large_string()))
+
+    return conv_exact_dedup(ds.map_batches(with_lang_text,
+                                           batch_format="pyarrow"))
+
+
+SQL_CONV_EXACT_DEDUP = """
+WITH trl AS (
+  SELECT 'c' || lpad(CAST(doc_id // 8 AS VARCHAR), 8, '0') AS conv_id,
+         CAST(doc_id % 8 AS INT) AS turn_idx,
+         CASE CAST(doc_id % 8 AS INT) % 3 WHEN 0 THEN 'user'
+              WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+         CASE WHEN CAST(doc_id % 8 AS INT) % 3 = 2
+              THEN 'search' END AS tool,
+         lang AS text
+  FROM documents),
+fp AS (
+  SELECT conv_id,
+         string_agg(CAST(turn_idx AS VARCHAR) || chr(31) || role || chr(31)
+                    || COALESCE(tool, chr(4)) || chr(31) || COALESCE(text, ''),
+                    chr(30) ORDER BY turn_idx) AS content
+  FROM trl GROUP BY 1)
+SELECT conv_id,
+       min(conv_id) OVER (PARTITION BY content) AS canonical_conv_id,
+       conv_id <> min(conv_id) OVER (PARTITION BY content) AS is_dup
+FROM fp
+"""
+
+QUERIES["turn_echo"] = q_turn_echo
+ORACLE_SQL["turn_echo"] = SQL_TURN_ECHO
+QUERIES["conv_exact_dedup"] = q_conv_exact_dedup
+ORACLE_SQL["conv_exact_dedup"] = SQL_CONV_EXACT_DEDUP
+
 QUERIES["turn_repetition"] = q_turn_repetition
 ORACLE_SQL["turn_repetition"] = SQL_TURN_REPETITION
 QUERIES["conv_structure_audit"] = q_conv_structure
@@ -6667,16 +6754,22 @@ _PRIORITY_WINDOW = [
     "object_detection_ap", "od_label_quality",
     "data_valuation", "crowdlab_ensemble", "crowdlab_consensus",
     "annotator_consensus", "annotator_quality", "active_learning",
-    "top_orders", "top_issues", "vocab_topk", "perplexity_buckets",
+    "top_issues", "vocab_topk", "perplexity_buckets",
     "dup_components", "kmeans_clusters", "incremental_ingest",
     "semdedup", "bloom_semijoin",
-    "noniid_detection", "drift_windows",
+    "noniid_detection",
     "doc_quality_signals", "curate_documents",
     # (b2) brand-new round-5 transcript-structure operators — first
     # driver rows (displacing approx_distinct_words, whose round-5
     # change was defensive-only — empty-block safety — with an r04
-    # green row and a local sf0.01 oracle replay at final HEAD)
+    # green row and a local sf0.01 oracle replay at final HEAD;
+    # likewise drift_windows — r5 change defensive-only null/empty
+    # handling, r03 green row — and top_orders — its r5 change is the
+    # shared global_top_k rewire, which top_issues and vocab_topk
+    # still gate; both replayed hash-exact at sf0.01 at this HEAD —
+    # ceded their slots to turn_echo / conv_exact_dedup below)
     "turn_repetition", "conv_structure_audit", "role_transitions",
+    "turn_echo", "conv_exact_dedup",
     # (b-note) four more final-session refactors (dsir_weights,
     # decontaminate_docs, chunk_documents, pack_sequences) are
     # behavior-identical on valid inputs (shared-helper reuse + loud

@@ -122,13 +122,34 @@ def turn_repetition(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
         batch_format="pyarrow",
     )
 
+    def flag_fn(turn: np.ndarray, starts: np.ndarray,
+                run_id: np.ndarray) -> np.ndarray:
+        first_turn = np.minimum.reduceat(turn, starts)
+        return (turn > first_turn[run_id]).astype(np.int64)
+
+    return _per_turn_flag_rollup(postings, flag_fn, "n_repeated",
+                                 "rep_frac_e6", conv_col, turn_col)
+
+
+def _per_turn_flag_rollup(postings, flag_fn, count_name: str,
+                          frac_name: str, conv_col: str, turn_col: str):
+    """Shared tail of the cross-turn gram signals: ONE (conv, gram)
+    sort exchange over the postings, a per-block 0/1 flag kernel +
+    per-(conv, turn) partial combine, then a turn-keyed re-aggregate.
+
+    ``flag_fn(turn, starts, run_id) -> int64 0/1 per posting row``,
+    where runs are the block's (conv, gram) groups (``starts`` are run
+    start indices, ``run_id`` maps each row to its run). Output rows:
+    (conv, turn, n_grams, {count_name}, {frac_name}) with the frac in
+    floor(1e6·count/n_grams + 0.5) fixed-point."""
+
     def flag_and_combine(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return pa.table({
                 conv_col: pa.array([], batch[conv_col].type),
                 turn_col: pa.array([], pa.int32()),
                 "n_grams": pa.array([], pa.int64()),
-                "n_repeated": pa.array([], pa.int64()),
+                count_name: pa.array([], pa.int64()),
             })
         conv = batch[conv_col].to_numpy(zero_copy_only=False)
         gram = batch["gram"].to_numpy(zero_copy_only=False)
@@ -136,8 +157,7 @@ def turn_repetition(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
         starts = _run_starts(conv, gram)
         sizes = np.diff(np.append(starts, len(conv)))
         run_id = np.repeat(np.arange(len(starts)), sizes)
-        first_turn = np.minimum.reduceat(turn, starts)
-        rep = (turn > first_turn[run_id]).astype(np.int64)
+        flag = flag_fn(turn, starts, run_id)
         # in-block partial combine by (conv, turn): the re-aggregation
         # exchange then moves ~turns rows, not ~grams rows. The block
         # arrives sorted by (conv, gram), so conv runs are contiguous —
@@ -146,32 +166,150 @@ def turn_repetition(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
         conv_rid = np.repeat(np.arange(len(cstarts)),
                              np.diff(np.append(cstarts, len(conv))))
         order = np.lexsort((turn, conv_rid))
-        c2, t2, r2 = conv[order], turn[order], rep[order]
+        c2, t2, r2 = conv[order], turn[order], flag[order]
         s2 = _run_starts(conv_rid[order], t2)
         return pa.table({
             conv_col: pa.array(c2[s2], type=batch[conv_col].type),
             turn_col: pa.array(t2[s2].astype(np.int32), type=pa.int32()),
             "n_grams": pa.array(np.diff(np.append(s2, len(c2))).astype(np.int64)),
-            "n_repeated": pa.array(np.add.reduceat(r2, s2)),
+            count_name: pa.array(np.add.reduceat(r2, s2)),
         })
 
     flagged = _sorted_block_map(postings, [conv_col, "gram"], flag_and_combine)
     agg = sorted_group_agg(flagged, [conv_col, turn_col],
-                           {"n_grams": "sum", "n_repeated": "sum"})
+                           {"n_grams": "sum", count_name: "sum"})
 
     def finalize(batch: pa.Table) -> pa.Table:
         ng = batch["sum(n_grams)"].to_numpy(zero_copy_only=False).astype(np.float64)
-        nr = batch["sum(n_repeated)"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nr = batch[f"sum({count_name})"].to_numpy(zero_copy_only=False).astype(np.float64)
         frac = np.floor(nr * 1_000_000.0 / ng + 0.5).astype(np.int64)
         return pa.table({
             conv_col: batch[conv_col],
             turn_col: batch[turn_col],
             "n_grams": batch["sum(n_grams)"],
-            "n_repeated": batch["sum(n_repeated)"],
-            "rep_frac_e6": pa.array(frac),
+            count_name: batch[f"sum({count_name})"],
+            frac_name: pa.array(frac),
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def turn_echo(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
+              text_col: str = "text", n: int = REP_NGRAM):
+    """Adjacent-turn n-gram echo per turn — the "assistant parrots the
+    previous turn" signal, complementing :func:`turn_repetition`'s
+    anywhere-earlier looping signal.
+
+    Returns one row per turn with at least one word n-gram:
+    (conv_id, turn_idx, n_grams, n_echoed, echo_frac_e6) where
+    n_echoed counts this turn's unique n-grams that also occur in the
+    turn with index ``turn_idx - 1`` of the same conversation (echo is
+    against the immediately preceding turn INDEX; across a turn-index
+    gap nothing is adjacent, matching the transcript contract that
+    turn_idx encodes order). Same scale shape as turn_repetition: the
+    postings pre-deduplicate per turn, ONE (conv, gram) sort exchange,
+    and the flag is a vectorized sorted-run neighbor test — a
+    conversation never co-locates."""
+    postings = ds.map_batches(
+        lambda b: turn_gram_postings(b, conv_col, turn_col, text_col, n),
+        batch_format="pyarrow",
+    )
+
+    def flag_fn(turn: np.ndarray, starts: np.ndarray,
+                run_id: np.ndarray) -> np.ndarray:
+        # within each (conv, gram) run, sort the (unique) turn indices;
+        # a gram is echoed at turn t iff t-1 is also in the run
+        order = np.lexsort((turn, run_id))
+        t2, r2 = turn[order], run_id[order]
+        echo2 = np.zeros(len(turn), dtype=np.int64)
+        if len(turn) > 1:
+            echo2[1:] = ((r2[1:] == r2[:-1]) & (t2[1:] == t2[:-1] + 1))
+        flag = np.empty(len(turn), dtype=np.int64)
+        flag[order] = echo2
+        return flag
+
+    return _per_turn_flag_rollup(postings, flag_fn, "n_echoed",
+                                 "echo_frac_e6", conv_col, turn_col)
+
+
+#: Second independent 16-byte key for the conversation fingerprint's
+#: guard hash (pandas' default is "0123456789123456"); two independent
+#: 64-bit sums give a 128-bit fingerprint.
+_CONV_FP_KEY2 = "clray_conv_fp_k2"
+
+
+def conv_exact_dedup(ds, conv_col: str = "conv_id",
+                     turn_col: str = "turn_idx", role_col: str = "role",
+                     tool_col: str = "tool", text_col: str = "text"):
+    """Exact duplicate-CONVERSATION detection: conversations whose
+    ordered (turn_idx, role, tool, text) sequences are identical are
+    grouped, and each group's lexicographically minimal conv_id becomes
+    the canonical id (reference semantics anchor: the duplicate-set
+    grouping of datalab/internal/issue_manager/duplicate.py lifted from
+    row granularity to the conversation grouping contract of SURVEY.md
+    §2.5). Output: (conv_id, canonical_conv_id, is_dup), one row per
+    conversation.
+
+    Scale shape — TEXT NEVER SHUFFLES: each turn is hashed in the
+    scoring map into two independent salted 64-bit values with
+    turn_idx/role/tool baked into the hashed bytes, and the
+    conversation fingerprint is the pair of mod-2^64 SUMS of those
+    per-turn hashes (order-insensitive sum + order-carrying turn_idx
+    inside the hash = sequence-sensitive fingerprint that needs no
+    conversation co-location). Exchange 1 is turn-keyed on conv_id and
+    moves 3 ints per turn (sorted_group_agg partial-combines in-block);
+    exchange 2 is fingerprint-keyed and moves one 3-int row per
+    CONVERSATION. Grouping inside a fingerprint run compares the
+    second sum and the turn count, so merging two distinct
+    conversations requires a simultaneous 128-bit collision
+    (P ≈ n²/2^129 — unlike exact_dedup there is no byte-level verify,
+    the honest cost of never moving text; a paranoid caller can join
+    the emitted groups back against the corpus and byte-compare
+    within groups, which touches only the flagged conversations)."""
+    import pandas as pd
+
+    def turn_hashes(batch: pa.Table) -> pa.Table:
+        turn = pc.cast(batch[turn_col], pa.string())
+        role = pc.fill_null(pc.cast(batch[role_col], pa.string()), "\x04")
+        tool = pc.fill_null(pc.cast(batch[tool_col], pa.string()), "\x04")
+        text = pc.fill_null(pc.cast(batch[text_col], pa.large_string()), "")
+        s = pc.binary_join_element_wise(
+            turn, role, tool, pc.cast(text, pa.string()), "\x1f")
+        vals = s.to_pandas().to_numpy(dtype=object)
+        h1 = pd.util.hash_array(vals).astype(np.int64)
+        h2 = pd.util.hash_array(vals, hash_key=_CONV_FP_KEY2).astype(np.int64)
+        return pa.table({
+            conv_col: batch[conv_col],
+            "h1": pa.array(h1), "h2": pa.array(h2),
+        })
+
+    fp = sorted_group_agg(
+        ds.map_batches(turn_hashes, batch_format="pyarrow"),
+        conv_col, {"h1": "sum", "h2": "sum", conv_col: "count"})
+
+    def assign(batch: pa.Table) -> pa.Table:
+        conv_type = batch.schema.field(conv_col).type
+        if batch.num_rows == 0:
+            return pa.table({
+                conv_col: pa.array([], conv_type),
+                "canonical_conv_id": pa.array([], conv_type),
+                "is_dup": pa.array([], pa.bool_()),
+            })
+        df = pd.DataFrame({
+            "s1": batch["sum(h1)"].to_numpy(zero_copy_only=False),
+            "s2": batch["sum(h2)"].to_numpy(zero_copy_only=False),
+            "n": batch[f"count({conv_col})"].to_numpy(zero_copy_only=False),
+            "conv": batch[conv_col].to_pandas(),
+        })
+        canon = df.groupby(["s1", "s2", "n"])["conv"].transform("min")
+        return pa.table({
+            conv_col: batch[conv_col],
+            "canonical_conv_id": pa.array(canon.to_numpy(dtype=object),
+                                          type=conv_type),
+            "is_dup": pa.array((df["conv"] != canon).to_numpy()),
+        })
+
+    return _sorted_block_map(fp, "sum(h1)", assign)
 
 
 def conv_structure_stats(ds, conv_col: str = "conv_id",

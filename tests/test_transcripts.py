@@ -196,3 +196,155 @@ def test_transcripts_ops_on_fixture_corpus(ray_session, small_corpus):
 
     trans = role_transitions(ds).take_all()
     assert sum(r["n"] for r in trans) == small_corpus.num_rows - n_convs
+
+
+def _echo_oracle(rows, n=3):
+    """rows: (conv, turn, text). {(conv, turn): (n_grams, n_echoed)} —
+    echo = gram also present in the turn with index turn-1."""
+    per_turn = {}
+    for conv, turn, text in rows:
+        per_turn.setdefault((conv, turn), set()).update(_grams(text, n))
+    out = {}
+    for (conv, turn), gs in per_turn.items():
+        if not gs:
+            continue
+        prev = per_turn.get((conv, turn - 1), set())
+        out[(conv, turn)] = (len(gs), len(gs & prev))
+    return out
+
+
+def test_turn_echo_matches_oracle(ray_session):
+    from cleanlab_ray.stages.transcripts import turn_echo
+
+    rows = [
+        ("a", 0, "the cat sat on the mat"),
+        ("a", 1, "the cat sat on a hat"),          # echoes "the cat sat"
+        ("a", 2, "the cat sat on the mat again"),  # echoes turn 1 only
+        ("a", 4, "the cat sat on a hat"),          # turn 3 missing: gap, no echo
+        ("b", 0, "the cat sat on the mat"),        # other conv: fresh
+        ("b", 1, "completely new words here now"),
+        ("c", 0, "too short"),                     # <3 words: no row
+    ]
+    got = {(r["conv_id"], r["turn_idx"]): (r["n_grams"], r["n_echoed"])
+           for r in turn_echo(_ds(rows)).take_all()}
+    assert got == _echo_oracle(rows)
+    assert got[("a", 4)][1] == 0          # gap: turn 3 absent, no echo
+    assert got[("a", 1)][1] >= 1          # adjacent echo detected
+    fracs = {(r["conv_id"], r["turn_idx"]): r["echo_frac_e6"]
+             for r in turn_echo(_ds(rows)).take_all()}
+    ng, ne = got[("a", 1)]
+    assert fracs[("a", 1)] == round(ne / ng * 1e6)
+
+
+def test_turn_echo_vs_repetition_semantics(ray_session):
+    """Echo is adjacent-only: a gram repeated from turn 0 at turn 2
+    (but absent at turn 1) counts for repetition, not echo."""
+    from cleanlab_ray.stages.transcripts import turn_echo, turn_repetition
+
+    rows = [("z", 0, "p q r s"), ("z", 1, "x y z w"), ("z", 2, "p q r s")]
+    echo = {r["turn_idx"]: r["n_echoed"]
+            for r in turn_echo(_ds(rows, blocks=3)).take_all()}
+    rep = {r["turn_idx"]: r["n_repeated"]
+           for r in turn_repetition(_ds(rows, blocks=3)).take_all()}
+    assert echo == {0: 0, 1: 0, 2: 0}
+    assert rep == {0: 0, 1: 0, 2: 2}
+
+
+def test_turn_echo_fixture_corpus(ray_session, small_corpus):
+    import ray.data as rd
+
+    from cleanlab_ray.stages.transcripts import turn_echo
+
+    ds = rd.from_arrow(small_corpus).repartition(6)
+    tbl = small_corpus.to_pydict()
+    rows = list(zip(tbl["conv_id"], tbl["turn_idx"], tbl["text"]))
+    got = {(r["conv_id"], r["turn_idx"]): (r["n_grams"], r["n_echoed"])
+           for r in turn_echo(ds).take_all()}
+    assert got == _echo_oracle(rows)
+
+
+def test_conv_exact_dedup(ray_session):
+    from cleanlab_ray.stages.transcripts import conv_exact_dedup
+
+    rows = [
+        # a and d: identical ordered content -> one group, canon "a"
+        ("a", 0, "user", "hello", None, 0),
+        ("a", 1, "assistant", "hi there", None, 0),
+        ("d", 0, "user", "hello", None, 0),
+        ("d", 1, "assistant", "hi there", None, 0),
+        # b: same texts as a but swapped turn assignment -> distinct
+        ("b", 0, "user", "hi there", None, 0),
+        ("b", 1, "assistant", "hello", None, 0),
+        # c: differs from a only in tool -> distinct
+        ("c", 0, "user", "hello", "search", 0),
+        ("c", 1, "assistant", "hi there", None, 0),
+        # e: third copy of a, lexicographically before a? no: "a" < "e"
+        ("e", 1, "assistant", "hi there", None, 0),   # shuffled row order
+        ("e", 0, "user", "hello", None, 0),
+    ]
+    got = {r["conv_id"]: (r["canonical_conv_id"], r["is_dup"])
+           for r in conv_exact_dedup(_full_ds(rows, blocks=4)).take_all()}
+    assert got == {
+        "a": ("a", False), "d": ("a", True), "e": ("a", True),
+        "b": ("b", False), "c": ("c", False),
+    }
+
+
+def test_conv_exact_dedup_null_vs_empty_and_role(ray_session):
+    from cleanlab_ray.stages.transcripts import conv_exact_dedup
+
+    rows = [
+        ("a", 0, "user", "x", None, 0),
+        ("b", 0, "user", "x", "", 0),      # empty tool != null tool
+        ("c", 0, "tool", "x", None, 0),    # role differs
+        ("d", 0, "user", "x", None, 0),    # true dup of a
+    ]
+    got = {r["conv_id"]: (r["canonical_conv_id"], r["is_dup"])
+           for r in conv_exact_dedup(_full_ds(rows, blocks=2)).take_all()}
+    assert got == {"a": ("a", False), "b": ("b", False),
+                   "c": ("c", False), "d": ("a", True)}
+
+
+def test_conv_exact_dedup_prefix_not_dup(ray_session):
+    """A conversation that is a strict prefix of another must NOT group
+    with it (the turn-count guard)."""
+    from cleanlab_ray.stages.transcripts import conv_exact_dedup
+
+    rows = [
+        ("a", 0, "user", "one", None, 0),
+        ("a", 1, "assistant", "two", None, 0),
+        ("p", 0, "user", "one", None, 0),
+    ]
+    got = {r["conv_id"]: r["is_dup"]
+           for r in conv_exact_dedup(_full_ds(rows, blocks=2)).take_all()}
+    assert got == {"a": False, "p": False}
+
+
+def test_conv_exact_dedup_empty(ray_session):
+    from cleanlab_ray.stages.transcripts import conv_exact_dedup
+
+    assert conv_exact_dedup(_full_ds([], blocks=1)).count() == 0
+
+
+def test_conv_exact_dedup_fixture_corpus(ray_session, small_corpus):
+    """Oracle: group by the actual ordered (turn, role, tool, text)
+    tuple sequence over the fixture corpus."""
+    import ray.data as rd
+
+    from cleanlab_ray.stages.transcripts import conv_exact_dedup
+
+    ds = rd.from_arrow(small_corpus).repartition(6)
+    tbl = small_corpus.to_pydict()
+    content = {}
+    for conv, turn, role, tool, text in zip(
+            tbl["conv_id"], tbl["turn_idx"], tbl["role"],
+            tbl["tool"], tbl["text"]):
+        content.setdefault(conv, []).append((turn, role, tool, text))
+    fp2canon = {}
+    for conv in sorted(content):
+        key = tuple(sorted(content[conv]))
+        fp2canon.setdefault(key, conv)
+    want = {conv: fp2canon[tuple(sorted(content[conv]))] for conv in content}
+    got = {r["conv_id"]: r["canonical_conv_id"]
+           for r in conv_exact_dedup(ds).take_all()}
+    assert got == want
