@@ -199,6 +199,7 @@ def run_bench() -> dict:
         "role_transitions",
         "turn_echo",
         "conv_exact_dedup",
+        "conv_length_drift",
         "leakage_safe_split",
         "near_dup_safe_split",
     ]

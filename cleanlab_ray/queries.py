@@ -6703,6 +6703,41 @@ SELECT conv_id,
 FROM fp
 """
 
+def q_conv_length_drift(sf_dir: str):
+    """Per-conversation assistant-turn-length OLS slope
+    (stages/transcripts.conv_length_drift) as exact integer sufficient
+    statistics + fixed-point slope. SQL-checked: both engines compute
+    the numerator/denominator in exact integer arithmetic, so the
+    float64 division and floor(+0.5) fixed-point are bit-identical."""
+    from cleanlab_ray.stages.transcripts import conv_length_drift
+
+    ds = load_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "text"])
+    return conv_length_drift(ds)
+
+
+SQL_CONV_LENGTH_DRIFT = f"""
+WITH {_SQL_TR_CTE},
+t AS (SELECT conv_id, CAST(turn_idx AS BIGINT) AS x,
+             CAST(length(COALESCE(text, '')) AS BIGINT) AS y
+      FROM tr WHERE role = 'assistant'),
+s AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+             CAST(sum(x) AS BIGINT) AS sum_x,
+             CAST(sum(y) AS BIGINT) AS sum_y,
+             CAST(sum(x * y) AS BIGINT) AS sum_xy,
+             CAST(sum(x * x) AS BIGINT) AS sum_x2
+      FROM t GROUP BY 1)
+SELECT conv_id, n_turns, sum_x, sum_y, sum_xy, sum_x2,
+       CASE WHEN n_turns * sum_x2 - sum_x * sum_x = 0 THEN 0
+            ELSE CAST(floor((n_turns * sum_xy - sum_x * sum_y) * 1000000.0
+                 / (n_turns * sum_x2 - sum_x * sum_x) + 0.5) AS BIGINT)
+       END AS slope_e6
+FROM s
+"""
+
+QUERIES["conv_length_drift"] = q_conv_length_drift
+ORACLE_SQL["conv_length_drift"] = SQL_CONV_LENGTH_DRIFT
+
 QUERIES["turn_echo"] = q_turn_echo
 ORACLE_SQL["turn_echo"] = SQL_TURN_ECHO
 QUERIES["conv_exact_dedup"] = q_conv_exact_dedup
@@ -6752,8 +6787,12 @@ _PRIORITY_WINDOW = [
     "noisy_labels", "ngram_jaccard_pairs", "conv_pooling",
     "ann_ivf", "ann_topk", "ann_lsh",
     "object_detection_ap", "od_label_quality",
+    # (annotator_consensus — r04 green; the fused multiannotator path
+    # is still gated by crowdlab_consensus / crowdlab_ensemble /
+    # annotator_quality / active_learning; replayed hash-exact at
+    # sf0.01 at this HEAD — ceded its slot to conv_length_drift)
     "data_valuation", "crowdlab_ensemble", "crowdlab_consensus",
-    "annotator_consensus", "annotator_quality", "active_learning",
+    "annotator_quality", "active_learning",
     "top_issues", "vocab_topk", "perplexity_buckets",
     "dup_components", "kmeans_clusters", "incremental_ingest",
     "semdedup", "bloom_semijoin",
@@ -6769,7 +6808,7 @@ _PRIORITY_WINDOW = [
     # still gate; both replayed hash-exact at sf0.01 at this HEAD —
     # ceded their slots to turn_echo / conv_exact_dedup below)
     "turn_repetition", "conv_structure_audit", "role_transitions",
-    "turn_echo", "conv_exact_dedup",
+    "turn_echo", "conv_exact_dedup", "conv_length_drift",
     # (b-note) four more final-session refactors (dsir_weights,
     # decontaminate_docs, chunk_documents, pack_sequences) are
     # behavior-identical on valid inputs (shared-helper reuse + loud

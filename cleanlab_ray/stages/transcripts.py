@@ -232,6 +232,73 @@ def turn_echo(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
                                  "echo_frac_e6", conv_col, turn_col)
 
 
+def conv_length_drift(ds, conv_col: str = "conv_id",
+                      turn_col: str = "turn_idx", role_col: str = "role",
+                      text_col: str = "text",
+                      role: str | None = "assistant"):
+    """Per-conversation turn-length trend — the shrinking / ballooning
+    response degeneration signal: the OLS slope of text length (chars)
+    on turn_idx over the conversation's ``role`` turns (None = all
+    turns), emitted as EXACT integer sufficient statistics plus a
+    fixed-point slope.
+
+    Output per conversation (only conversations with ≥1 matching turn):
+    (conv_id, n_turns, sum_x, sum_y, sum_xy, sum_x2, slope_e6) with
+    x = turn_idx, y = UTF-8 char count, all sums exact int64, and
+    slope_e6 = floor(1e6·(n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) + 0.5),
+    0 when the denominator is 0 (a single matching turn). Both factors
+    of the division are exact int64 on both engines, so the float64
+    quotient — and hence the fixed-point value — is bit-identical to
+    the SQL twin (the same contract as turn_repetition's rep_frac_e6).
+
+    Scale shape: a per-row filter+project (5 ints per matching turn),
+    then ONE conv-keyed sorted-run aggregate; no text ever reaches the
+    exchange and a conversation never needs co-location (partial sums
+    combine)."""
+
+    def features(batch: pa.Table) -> pa.Table:
+        if role is not None:
+            batch = batch.filter(pc.equal(
+                pc.fill_null(batch[role_col], ""), role))
+        x = pc.cast(batch[turn_col], pa.int64())
+        y = pc.cast(pc.utf8_length(pc.fill_null(batch[text_col], "")),
+                    pa.int64())
+        return pa.table({
+            conv_col: batch[conv_col],
+            "x": x, "y": y,
+            "xy": pc.multiply_checked(x, y),
+            "x2": pc.multiply_checked(x, x),
+        })
+
+    agg = sorted_group_agg(
+        ds.map_batches(features, batch_format="pyarrow"),
+        conv_col,
+        {"x": "sum", "y": "sum", "xy": "sum", "x2": "sum",
+         conv_col: "count"},
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n = batch[f"count({conv_col})"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sx = batch["sum(x)"].to_numpy(zero_copy_only=False)
+        sy = batch["sum(y)"].to_numpy(zero_copy_only=False)
+        sxy = batch["sum(xy)"].to_numpy(zero_copy_only=False)
+        sx2 = batch["sum(x2)"].to_numpy(zero_copy_only=False)
+        num = n * sxy - sx * sy
+        den = n * sx2 - sx * sx
+        with np.errstate(divide="ignore", invalid="ignore"):
+            slope = np.floor(num * 1_000_000.0 / den + 0.5)
+        slope_e6 = np.where(den == 0, 0, slope).astype(np.int64)
+        return pa.table({
+            conv_col: batch[conv_col],
+            "n_turns": pa.array(n),
+            "sum_x": batch["sum(x)"], "sum_y": batch["sum(y)"],
+            "sum_xy": batch["sum(xy)"], "sum_x2": batch["sum(x2)"],
+            "slope_e6": pa.array(slope_e6),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
 #: Second independent 16-byte key for the conversation fingerprint's
 #: guard hash (pandas' default is "0123456789123456"); two independent
 #: 64-bit sums give a 128-bit fingerprint.

@@ -348,3 +348,61 @@ def test_conv_exact_dedup_fixture_corpus(ray_session, small_corpus):
     got = {r["conv_id"]: r["canonical_conv_id"]
            for r in conv_exact_dedup(ds).take_all()}
     assert got == want
+
+
+def _drift_oracle(rows, role="assistant"):
+    """rows: (conv, turn, role, text). {conv: (n, sx, sy, sxy, sx2, slope_e6)}"""
+    import math
+
+    per = {}
+    for conv, turn, r, text in rows:
+        if role is not None and r != role:
+            continue
+        x, y = turn, len(text)
+        n, sx, sy, sxy, sx2 = per.get(conv, (0, 0, 0, 0, 0))
+        per[conv] = (n + 1, sx + x, sy + y, sxy + x * y, sx2 + x * x)
+    out = {}
+    for conv, (n, sx, sy, sxy, sx2) in per.items():
+        den = n * sx2 - sx * sx
+        s = 0 if den == 0 else int(math.floor((n * sxy - sx * sy) * 1e6 / den + 0.5))
+        out[conv] = (n, sx, sy, sxy, sx2, s)
+    return out
+
+
+def test_conv_length_drift(ray_session):
+    from cleanlab_ray.stages.transcripts import conv_length_drift
+
+    rows = [
+        ("a", 0, "user", "ignored entirely by the role filter"),
+        ("a", 1, "assistant", "dddddddddd"),       # 10 chars at x=1
+        ("a", 3, "assistant", "dddd"),             # 4 chars at x=3: slope -3
+        ("b", 1, "assistant", "xx"),               # single turn: slope 0
+        ("c", 0, "user", "no assistant turn"),     # no row at all
+    ]
+    ds = _full_ds([(c, t, r, x, None, 0) for c, t, r, x in rows], blocks=3)
+    got = {r["conv_id"]: (r["n_turns"], r["sum_x"], r["sum_y"], r["sum_xy"],
+                          r["sum_x2"], r["slope_e6"])
+           for r in conv_length_drift(ds).take_all()}
+    assert got == _drift_oracle(rows)
+    assert got["a"][5] == -3_000_000
+    assert got["b"][5] == 0
+    assert "c" not in got
+
+
+def test_conv_length_drift_all_roles_fixture(ray_session, small_corpus):
+    import ray.data as rd
+
+    from cleanlab_ray.stages.transcripts import conv_length_drift
+
+    ds = rd.from_arrow(small_corpus).repartition(6)
+    tbl = small_corpus.to_pydict()
+    rows = list(zip(tbl["conv_id"], tbl["turn_idx"], tbl["role"], tbl["text"]))
+    got = {r["conv_id"]: (r["n_turns"], r["sum_x"], r["sum_y"], r["sum_xy"],
+                          r["sum_x2"], r["slope_e6"])
+           for r in conv_length_drift(ds, role=None).take_all()}
+    assert got == _drift_oracle(rows, role=None)
+    # and the filtered variant over the fixture's real role mix
+    got_a = {r["conv_id"]: r["slope_e6"]
+             for r in conv_length_drift(ds).take_all()}
+    want_a = {c: v[5] for c, v in _drift_oracle(rows).items()}
+    assert got_a == want_a
