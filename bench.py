@@ -88,9 +88,10 @@ def run_bench() -> dict:
     timings: dict[str, float] = {}
 
     # Headline: flagship quality filter (scoring + aggregates + decision)
-    # over the transcript corpus, fully consumed. Two timed runs, best
-    # reported — the first run in a fresh session pays actor-pool spin-up
-    # and page-cache effects that aren't steady-state throughput.
+    # over the transcript corpus, fully consumed. Several timed runs
+    # (GRAFT_BENCH_RUNS, default 5), best reported — early runs in a
+    # fresh session pay actor-pool spin-up and page-cache effects that
+    # aren't steady-state throughput.
     # Block count is the corpus file count — sized to the DATA (~4 MB
     # parquet per shard) at generation, not the cluster: post-scoring
     # passes pay a per-block fixed cost that anti-scales when blocks =
@@ -147,7 +148,11 @@ def run_bench() -> dict:
                 shutil.rmtree(ckpt, ignore_errors=True)
         return dt, n
 
-    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "3"))
+    # Best-of-5: measured warm-up curves on this VM reach their plateau
+    # at run 3-4 (e.g. 4.81/2.57/1.79 and 1.97/1.52/1.26/1.21/1.27/1.27),
+    # so best-of-3 can report a still-descending sample; two more runs
+    # (~+3 s) make the best-of capture the steady state.
+    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "5"))
     runs = []
     n_turns = 0
     for _ in range(n_runs):
