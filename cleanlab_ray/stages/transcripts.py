@@ -108,6 +108,34 @@ def turn_gram_postings(batch: pa.Table, conv_col: str = "conv_id",
     })
 
 
+def repetition_flags(turn: np.ndarray, starts: np.ndarray,
+                     run_id: np.ndarray) -> np.ndarray:
+    """0/1 per posting row: 1 iff the row's turn is LATER than the
+    minimum turn of its (conv, gram) run — i.e. the gram first occurred
+    in an earlier turn. Runs are contiguous; ``starts`` are run start
+    indices and ``run_id`` maps rows to runs (property-tested against a
+    python-set oracle in tests/test_properties.py)."""
+    first_turn = np.minimum.reduceat(turn, starts)
+    return (turn > first_turn[run_id]).astype(np.int64)
+
+
+def echo_flags(turn: np.ndarray, starts: np.ndarray,
+               run_id: np.ndarray) -> np.ndarray:
+    """0/1 per posting row: 1 iff turn-1 is also present in the row's
+    (conv, gram) run (turns are unique within a run — the postings are
+    per-turn deduplicated). In-run row order is arbitrary; the kernel
+    sorts per run and uses a sorted-neighbor test (property-tested in
+    tests/test_properties.py)."""
+    order = np.lexsort((turn, run_id))
+    t2, r2 = turn[order], run_id[order]
+    echo2 = np.zeros(len(turn), dtype=np.int64)
+    if len(turn) > 1:
+        echo2[1:] = ((r2[1:] == r2[:-1]) & (t2[1:] == t2[:-1] + 1))
+    flag = np.empty(len(turn), dtype=np.int64)
+    flag[order] = echo2
+    return flag
+
+
 def turn_repetition(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
                     text_col: str = "text", n: int = REP_NGRAM):
     """Cross-turn n-gram repetition per turn.
@@ -121,13 +149,7 @@ def turn_repetition(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
         lambda b: turn_gram_postings(b, conv_col, turn_col, text_col, n),
         batch_format="pyarrow",
     )
-
-    def flag_fn(turn: np.ndarray, starts: np.ndarray,
-                run_id: np.ndarray) -> np.ndarray:
-        first_turn = np.minimum.reduceat(turn, starts)
-        return (turn > first_turn[run_id]).astype(np.int64)
-
-    return _per_turn_flag_rollup(postings, flag_fn, "n_repeated",
+    return _per_turn_flag_rollup(postings, repetition_flags, "n_repeated",
                                  "rep_frac_e6", conv_col, turn_col)
 
 
@@ -214,21 +236,7 @@ def turn_echo(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
         lambda b: turn_gram_postings(b, conv_col, turn_col, text_col, n),
         batch_format="pyarrow",
     )
-
-    def flag_fn(turn: np.ndarray, starts: np.ndarray,
-                run_id: np.ndarray) -> np.ndarray:
-        # within each (conv, gram) run, sort the (unique) turn indices;
-        # a gram is echoed at turn t iff t-1 is also in the run
-        order = np.lexsort((turn, run_id))
-        t2, r2 = turn[order], run_id[order]
-        echo2 = np.zeros(len(turn), dtype=np.int64)
-        if len(turn) > 1:
-            echo2[1:] = ((r2[1:] == r2[:-1]) & (t2[1:] == t2[:-1] + 1))
-        flag = np.empty(len(turn), dtype=np.int64)
-        flag[order] = echo2
-        return flag
-
-    return _per_turn_flag_rollup(postings, flag_fn, "n_echoed",
+    return _per_turn_flag_rollup(postings, echo_flags, "n_echoed",
                                  "echo_frac_e6", conv_col, turn_col)
 
 

@@ -233,3 +233,55 @@ def test_turn_gram_postings_matches_python(rows, sep):
         key = len(per_row)  # rows are distinct batch rows even if
         per_row[key] = {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
     assert len(got) == sum(len(g) for g in per_row.values())
+
+
+@st.composite
+def _flag_runs(draw):
+    """Arbitrary (turn, starts, run_id) posting-run layout: a few runs,
+    each holding DISTINCT turn indices in arbitrary in-run order (the
+    posting kernel dedupes per turn), runs laid out contiguously."""
+    n_runs = draw(st.integers(1, 6))
+    turn_parts, run_parts, starts = [], [], []
+    pos = 0
+    for r in range(n_runs):
+        turns = draw(st.lists(st.integers(0, 12), min_size=1, max_size=6,
+                              unique=True))
+        starts.append(pos)
+        pos += len(turns)
+        turn_parts.extend(turns)
+        run_parts.extend([r] * len(turns))
+    return (np.array(turn_parts, dtype=np.int64),
+            np.array(starts, dtype=np.int64),
+            np.array(run_parts, dtype=np.int64))
+
+
+@settings(max_examples=80, deadline=None)
+@given(_flag_runs())
+def test_repetition_flags_match_python_oracle(layout):
+    """repetition_flags = "this turn is later than its run's min turn",
+    for arbitrary run layouts and in-run orders."""
+    from cleanlab_ray.stages.transcripts import repetition_flags
+
+    turn, starts, run_id = layout
+    got = repetition_flags(turn, starts, run_id)
+    run_min = {}
+    for t, r in zip(turn, run_id):
+        run_min[r] = min(run_min.get(r, t), t)
+    want = np.array([int(t > run_min[r]) for t, r in zip(turn, run_id)])
+    np.testing.assert_array_equal(got, want)
+
+
+@settings(max_examples=80, deadline=None)
+@given(_flag_runs())
+def test_echo_flags_match_python_oracle(layout):
+    """echo_flags = "turn-1 is present in the same run", for arbitrary
+    run layouts and in-run orders."""
+    from cleanlab_ray.stages.transcripts import echo_flags
+
+    turn, starts, run_id = layout
+    got = echo_flags(turn, starts, run_id)
+    members = {}
+    for t, r in zip(turn, run_id):
+        members.setdefault(r, set()).add(t)
+    want = np.array([int(t - 1 in members[r]) for t, r in zip(turn, run_id)])
+    np.testing.assert_array_equal(got, want)
