@@ -135,15 +135,25 @@ def interval_join(
         iv_abs = order[iv_rows_local]
         lo_v, hi_v = lo[iv_abs], hi[iv_abs]
         # pv is only sorted WITHIN runs — shift each run into its own
-        # disjoint numeric band so one global searchsorted probes all
-        # runs at once
+        # disjoint band so one global searchsorted probes all runs at
+        # once. The band key is built from integer RANKS, not raw
+        # floats: a float shift ((v - vmin) + run*span) loses low-order
+        # bits once run*span is large, and two values ~1 ulp apart can
+        # alias onto the band boundary, emitting a spurious pair (seen
+        # at sf0.1: point 17.19 vs hi 17.189999999999998 under ~1e4
+        # runs). Ranks preserve <, ==, > exactly, so the searchsorted
+        # sides keep [lo, hi] inclusivity bit-exactly.
         run_of_pt = run_id[is_pt]
-        finite = np.concatenate([pv, lo_v, hi_v])
-        vmin, vmax = np.min(finite), np.max(finite)
-        span = (vmax - vmin) * 1.0000001 + 1.0
-        pv_sh = (pv - vmin) + run_of_pt * span
-        s_idx = np.searchsorted(pv_sh, (lo_v - vmin) + iv_run * span, side="left")
-        e_idx = np.searchsorted(pv_sh, (hi_v - vmin) + iv_run * span, side="right")
+        uniq = np.unique(np.concatenate([pv, lo_v, hi_v]))
+        span_i = np.int64(len(uniq) + 1)
+        pv_sh = np.searchsorted(uniq, pv).astype(np.int64) + \
+            run_of_pt.astype(np.int64) * span_i
+        lo_sh = np.searchsorted(uniq, lo_v).astype(np.int64) + \
+            iv_run.astype(np.int64) * span_i
+        hi_sh = np.searchsorted(uniq, hi_v).astype(np.int64) + \
+            iv_run.astype(np.int64) * span_i
+        s_idx = np.searchsorted(pv_sh, lo_sh, side="left")
+        e_idx = np.searchsorted(pv_sh, hi_sh, side="right")
         counts = np.maximum(e_idx - s_idx, 0)
         total = int(counts.sum())
         if total == 0:

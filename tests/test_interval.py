@@ -110,3 +110,34 @@ def test_interval_join_salted_mega_key(ray_session):
     want = _oracle(pts, ivs)
     assert len(out) == len(want) and len(want) > n_p  # multi-match present
     assert out.equals(want.astype(out.dtypes.to_dict()))
+
+
+def test_interval_join_ulp_boundary_many_runs(ray_session):
+    """Regression: the per-run band shift must not alias values ~1 ulp
+    apart when run ids are large. With the old FLOAT shift
+    ((v - vmin) + run*span), a point 1 ulp above hi matched spuriously
+    once run*span grew past the values' precision (seen at sf0.1:
+    point 17.19 vs hi 17.189999999999998). The integer-rank shift is
+    exact at any run count."""
+    import pandas as pd
+
+    from cleanlab_ray.stages.interval import interval_join
+
+    n = 5000
+    v = 17.19 + np.arange(n)
+    pts = pd.DataFrame({"k": np.arange(n), "pid": np.arange(n), "v": v})
+    ivs = pd.DataFrame({
+        "k": np.repeat(np.arange(n), 2),
+        "iid": np.arange(2 * n),
+        # even iid: hi exactly v  -> must match (inclusive bound)
+        # odd iid:  hi 1 ulp BELOW v -> must not match
+        "lo": np.repeat(v - 5.0, 2),
+        "hi": np.stack([v, np.nextafter(v, -np.inf)], axis=1).reshape(-1),
+    })
+    out = interval_join(
+        rd.from_pandas(pts).repartition(4),
+        rd.from_pandas(ivs).repartition(4),
+        key_col="k", val_col="v", lo_col="lo", hi_col="hi",
+    ).to_pandas()
+    assert len(out) == n
+    assert (out["iid_iv"].to_numpy() % 2 == 0).all()
