@@ -23,11 +23,23 @@ def to_pandas(res):
         return res
     if isinstance(res, pa.Table):
         return res.to_pandas()
-    return res.to_pandas()  # ray Dataset
+    df = res.to_pandas()  # ray Dataset
+    if len(df.columns) == 0 and len(df) == 0:
+        # Ray's to_pandas drops columns for an all-empty Dataset even
+        # when ds.schema() is intact — rebuild the empty frame from the
+        # schema so empty results still schema-compare faithfully
+        try:
+            df = pd.DataFrame({n: pd.Series(dtype=object)
+                               for n in res.schema().names})
+        except Exception:
+            pass
+    return df
 
 
 def value_hash(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)]
+    if len(df) == 0:  # apply(axis=1) on 0 rows yields a DataFrame
+        return hashlib.sha256(b"").hexdigest()[:16]
     rows = df.astype(str).apply(lambda r: "|".join(r), axis=1).sort_values()
     return hashlib.sha256("\n".join(rows).encode()).hexdigest()[:16]
 
