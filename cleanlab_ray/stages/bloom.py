@@ -126,7 +126,16 @@ def bloom_semijoin(
         # (the same collision-free-by-construction _key_hashes space the
         # bloom uses would NOT be exact for strings — broadcast the raw
         # keys and compare values)
-        keys_tbl = pa.concat_tables(ray.get(right.to_arrow_refs()))
+        # drop Ray's zero-row blocks before concat: under fine
+        # partitioning they arrive with an EMPTY schema and
+        # concat_tables raises "Schema at index N was different"
+        blocks = [t for t in ray.get(right.to_arrow_refs()) if t.num_rows > 0]
+        if not blocks:
+            # empty right side: the semijoin is empty with left's schema
+            return left.map_batches(
+                lambda b: b.slice(0, 0), batch_format="pyarrow"
+            )
+        keys_tbl = pa.concat_tables(blocks)
         kc = keys_tbl[right_key]
         kc = kc.combine_chunks() if isinstance(kc, pa.ChunkedArray) else kc
         keys_ref = ray.put(kc)

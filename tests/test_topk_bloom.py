@@ -290,3 +290,37 @@ def test_sorted_group_agg_bool_sum_schema_stable(ray_session):
     out = out.sort_values("g").reset_index(drop=True)
     assert out["sum(flag)"].dtype == np.int64
     assert out["sum(flag)"].tolist() == [1, 2, 0]
+
+
+def test_bloom_semijoin_right_with_empty_blocks(ray_session):
+    """Regression: a finely-partitioned right side hands the broadcast
+    path zero-row blocks with an EMPTY schema; concat must skip them
+    (previously: ArrowInvalid "Schema at index N was different")."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.stages.bloom import bloom_semijoin
+
+    left = rd.from_arrow(pa.table({"k": pa.array(list(range(50)), pa.int64()),
+                                   "v": pa.array(list(range(50)))}))
+    right = rd.from_arrow(pa.table({"k": pa.array([3, 7, 7, 11], pa.int64())}))
+    out = bloom_semijoin(left.repartition(9), right.repartition(16),
+                         left_key="k").to_pandas()
+    assert sorted(out["k"].tolist()) == [3, 7, 11]
+
+
+def test_bloom_semijoin_empty_right(ray_session):
+    """A fully empty right side yields an empty result with the left
+    schema (no crash)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from cleanlab_ray.stages.bloom import bloom_semijoin
+
+    left = rd.from_arrow(pa.table({"k": pa.array([1, 2], pa.int64()),
+                                   "v": pa.array(["a", "b"])}))
+    right = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    out = bloom_semijoin(left, right.repartition(4), left_key="k")
+    df = out.to_pandas()
+    assert len(df) == 0
+    assert out.schema().names == ["k", "v"]
