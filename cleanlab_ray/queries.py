@@ -58,6 +58,24 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(path, columns=columns, override_num_blocks=blocks)
 
 
+def _query_vectors(emb, n: int = 4) -> np.ndarray:
+    """The vec_id < n embedding rows as a (n, D) query matrix, row i =
+    vec_id i. Derived by explicit FILTER, never ``take(n)``: "the first
+    n rows" is a property of block order, which parallel reads and
+    shuffles do not guarantee — the ANN oracles pin queries to
+    ``vec_id < n``, so the engine side must too (caught by the
+    round-5 row-order-invariance sweep: a shuffled read changed
+    take(4)'s rows and with them the whole ANN result)."""
+    rows = emb.map_batches(
+        lambda b: b.filter(pc.less(b["vec_id"], n)),
+        batch_format="pyarrow",
+    ).take_all()
+    rows.sort(key=lambda r: r["vec_id"])
+    if len(rows) != n:
+        raise ValueError(f"expected vec_ids 0..{n - 1}, got {len(rows)} rows")
+    return np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+
+
 def _scorer_concurrency():
     """Pool size when a bounded actor pool is explicitly requested:
     most of the cluster's CPUs, leaving headroom for read/aggregate
@@ -1099,8 +1117,7 @@ def q_ann_lsh(sf_dir: str):
     from cleanlab_ray.stages.ann import ann_lsh
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    first = emb.take(4)
-    queries = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in first])
+    queries = _query_vectors(emb, 4)
     out = ann_lsh(emb, queries, k=5)
 
     def finalize(batch: pa.Table) -> pa.Table:
@@ -4394,8 +4411,7 @@ def q_ann_ivf(sf_dir: str):
     from cleanlab_ray.stages.ann import ann_ivf
 
     emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    first = emb.take(4)
-    queries = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in first])
+    queries = _query_vectors(emb, 4)
     out = ann_ivf(emb, queries, k=5, nlist=8, nprobe=2, n_iter=3)
 
     def finalize(batch: pa.Table) -> pa.Table:
