@@ -256,6 +256,10 @@ def _prep_refs(ds, feature_col: str, label_col: str, id_col: str,
     prep_task = ray.remote(_prep_block)
     refs = ds.to_arrow_refs()
     total = ds.count()
+    if total == 0:
+        raise ValueError(
+            "clean_learning: empty input — cannot fit a model on zero rows"
+        )
     n_units = max(1, min(len(refs), -(-total // rows_per_unit)))
     per = -(-len(refs) // n_units)
     out = []

@@ -210,6 +210,11 @@ class RegressionCleanLearning:
         """Returns Dataset[key_col, given_label, predicted_label,
         label_quality, is_label_issue] (learn.py:362-517)."""
         schema = ds.schema()
+        if schema is None:
+            raise ValueError(
+                "regression find_label_issues: empty input — cannot fit "
+                "on zero rows"
+            )
         dim = None
         for name, typ in zip(schema.names, schema.types):
             if name == feature_col and isinstance(typ, pa.DataType):

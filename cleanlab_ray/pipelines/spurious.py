@@ -67,6 +67,10 @@ def spurious_correlations(
     if n > max_rows:
         sample = sample.random_sample(max_rows / n, seed=42)
     df = sample.to_pandas()
+    if len(df) == 0:
+        raise ValueError(
+            "spurious_correlations: empty input — nothing to cross-validate"
+        )
     y = df[label_col].to_numpy().astype(np.int64)
     ids = df[id_col].to_numpy().astype(np.int64) if id_col else np.arange(len(y))
     folds = stratified_hash_folds(ids, cv)

@@ -158,11 +158,23 @@ def token_common_label_issues(token_ds, top: int | None = None):
     )
 
     def keep_flagged(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # groupby emits schema-less empty blocks
+            return pa.table({
+                "token": pa.array([], pa.string()),
+                "given_label": pa.array([], pa.int64()),
+                "predicted_label": pa.array([], pa.int64()),
+                "num_label_issues": pa.array([], pa.int64()),
+            })
         n = batch["num_label_issues"].to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(n > 0))
 
+    from cleanlab_ray.functions.frames import typed_pandas
+
     out = counts.map_batches(keep_flagged, batch_format="pyarrow")
-    df = out.to_pandas().sort_values(
+    df = typed_pandas(out, {
+        "token": object, "given_label": "int64",
+        "predicted_label": "int64", "num_label_issues": "int64",
+    }).sort_values(
         ["num_label_issues", "token", "given_label", "predicted_label"],
         ascending=[False, True, True, True],
     ).reset_index(drop=True)

@@ -191,11 +191,12 @@ def q_segment_revenue(sf_dir: str):
     import ray
     from ray.data.aggregate import Count, Sum
 
-    cust = (
-        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-        .to_pandas()
-        .sort_values("c_custkey", kind="mergesort")
-    )
+    from cleanlab_ray.functions.frames import typed_pandas
+
+    cust = typed_pandas(
+        _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]),
+        {"c_custkey": "int64", "c_mktsegment": object},
+    ).sort_values("c_custkey", kind="mergesort")
     lookup_ref = ray.put(
         (cust["c_custkey"].to_numpy(np.int64), cust["c_mktsegment"].to_numpy(dtype=object))
     )
@@ -203,8 +204,11 @@ def q_segment_revenue(sf_dir: str):
     def attach_segment(batch: pa.Table) -> pa.Table:
         lk, lv = ray.get(lookup_ref)  # sorted key/value arrays, searchsorted gather
         q = batch["o_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
-        idx = np.clip(np.searchsorted(lk, q), 0, len(lk) - 1)
-        seg = np.where(lk[idx] == q, lv[idx], "UNKNOWN")
+        if len(lk) == 0:  # empty dimension: every key misses
+            seg = np.full(len(q), "UNKNOWN", dtype=object)
+        else:
+            idx = np.clip(np.searchsorted(lk, q), 0, len(lk) - 1)
+            seg = np.where(lk[idx] == q, lv[idx], "UNKNOWN")
         return batch.append_column("c_mktsegment", pa.array(seg, type=pa.string()))
 
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
@@ -305,6 +309,11 @@ def q_id_column_profile(sf_dir: str):
     import pandas as pd
 
     min_id, max_id = row["min(vec_id)"], row["max(vec_id)"]
+    if min_id is None or max_id is None:  # empty column: SQL yields NULLs
+        return pd.DataFrame(
+            {"min_id": [None], "max_id": [None],
+             "n_distinct": [0], "is_sequential_id": [False]}
+        )
     return pd.DataFrame(
         {
             "min_id": [min_id],
@@ -430,6 +439,8 @@ def q_ann_topk(sf_dir: str):
         if len(hit):
             query = np.asarray(batch["embedding"].combine_chunks()[hit[0]].as_py(), dtype=np.float64)
             break
+    if query is None:
+        raise ValueError("ann_topk: query row vec_id=0 not found (empty input?)")
     qn = query / np.linalg.norm(query)
     qref = ray.put(qn)
 
@@ -5318,9 +5329,13 @@ def q_ann_quantized(sf_dir: str):
     qds = qds.select_columns(["vec_id", "q"])
 
     # dequantized query = row vec_id 0 (batch filter, no per-row Python)
-    qrow = qds.map_batches(
+    qrows = qds.map_batches(
         lambda b: b.filter(pc.equal(b["vec_id"], 0)), batch_format="pyarrow"
-    ).take(1)[0]["q"]
+    ).take(1)
+    if not qrows:
+        raise ValueError(
+            "ann_quantized: query row vec_id=0 not found (empty input?)")
+    qrow = qrows[0]["q"]
     qv = (np.asarray(qrow, dtype=np.float64) + 128) * scale + mins
     qn = qv / np.linalg.norm(qv)
     qref = ray.put(qn)

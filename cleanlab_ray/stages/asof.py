@@ -53,8 +53,13 @@ def asof_join(
     """Left as-of join; returns left's columns + ``<col><suffix>`` for
     each of ``right_cols`` plus ``<ts_col><suffix>`` (null when no right
     row precedes the left row for that key)."""
-    left_names = left.schema().names
     _ls, _rs = left.schema(), right.schema()
+    if _ls is None or _rs is None:
+        raise ValueError(
+            "asof_join: empty input — cannot infer the join schema from "
+            "a dataset with no rows"
+        )
+    left_names = _ls.names
     left_schema = dict(zip(_ls.names, _ls.types))
     right_schema = dict(zip(_rs.names, _rs.types))
 

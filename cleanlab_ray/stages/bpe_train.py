@@ -100,12 +100,14 @@ def train_bpe_from_counts(words: list[str], counts: list[int],
 def train_bpe(ds, text_col: str = "text", num_merges: int = 50):
     """Distributed word count → driver merge loop. Returns the ordered
     merge list (the tokenizer)."""
-    wc = (
+    from cleanlab_ray.functions.frames import typed_pandas
+
+    wc = typed_pandas(
         ds.map_batches(lambda b: word_count_partials(b, text_col),
                        batch_format="pyarrow")
         .groupby("word")
-        .sum("cnt")
-        .to_pandas()
+        .sum("cnt"),
+        {"word": object, "sum(cnt)": "int64"},
     )
     wc = wc.sort_values("word")  # deterministic merge-loop input order
     return train_bpe_from_counts(

@@ -94,11 +94,13 @@ def collect_unigram_llr(ds, target_col: str, target_value, text_col: str = "text
             batch, np.asarray(mask.to_numpy(zero_copy_only=False), dtype=bool), text_col
         )
 
-    counts = (
+    from cleanlab_ray.functions.frames import typed_pandas
+
+    counts = typed_pandas(
         ds.map_batches(partials, batch_format="pyarrow")
         .groupby("word")
-        .sum(["raw_cnt", "target_cnt"])
-        .to_pandas()
+        .sum(["raw_cnt", "target_cnt"]),
+        {"word": object, "sum(raw_cnt)": "int64", "sum(target_cnt)": "int64"},
     )
     words = counts["word"].to_numpy()
     order = np.argsort(words)

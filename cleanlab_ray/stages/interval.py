@@ -49,6 +49,11 @@ def interval_join(
     """Returns point columns + every interval column suffixed, one output
     row per (point, containing interval) pair."""
     _ps, _is = points.schema(), intervals.schema()
+    if _ps is None or _is is None:
+        raise ValueError(
+            "interval_join: empty input — cannot infer the join schema "
+            "from a dataset with no rows"
+        )
     p_schema = dict(zip(_ps.names, _ps.types))
     i_schema = dict(zip(_is.names, _is.types))
     p_cols = [c for c in p_schema if c != key_col]

@@ -96,6 +96,10 @@ def kmeans_fit(
     seed_rows = global_top_k(
         ds.select_columns([key_col, embedding_col]), key_col, k
     ).to_pandas()
+    if len(seed_rows) == 0:
+        raise ValueError(
+            "kmeans_fit: empty input — cannot seed centroids from zero rows"
+        )
     cents = np.stack(seed_rows[embedding_col].to_numpy()).astype(np.float64)
     for _ in range(n_iter):
         agg = ds.aggregate(_moment_aggfn(embedding_col, cents))["kmeans_moments"]

@@ -106,6 +106,10 @@ def knn_outlier_scores(
         )
 
     ref = ds.select_columns([key, embedding_col]).to_pandas()
+    if len(ref) == 0:
+        raise ValueError(
+            "knn_outlier_scores: empty input — a kNN graph needs rows"
+        )
     ref = ref.sort_values(key, kind="mergesort")
     ref_ids = ref[key].to_numpy().astype(np.int64)
     ref_mat = np.stack(ref[embedding_col].to_numpy()).astype(np.float64)

@@ -770,6 +770,11 @@ def label_quality_multiannotator(annotations_ds, examples_ds, num_classes: int,
         )
         .to_pandas()
     )
+    if len(per_class) == 0:
+        raise ValueError(
+            "label_quality_multiannotator: empty input — no annotations "
+            "to score"
+        )
     per_ann = per_class.groupby("annotator_id", as_index=False).agg(
         num_examples_labeled=("cnt", "sum"),
         _lq_sum=("lq_sum", "sum"),

@@ -63,6 +63,11 @@ def embedding_covariance(ds, col: str = "embedding", dim: int | None = None):
         dim = len(np.asarray(first))
     acc = np.asarray(ds.aggregate(make_moments_aggfn(dim, col))["moments"])
     n = acc[0]
+    if n == 0:
+        raise ValueError(
+            "embedding_covariance: empty input — covariance is undefined "
+            "over zero rows"
+        )
     mean = acc[1 : 1 + dim] / n
     exx = acc[1 + dim :].reshape(dim, dim) / n
     cov = exx - np.outer(mean, mean)

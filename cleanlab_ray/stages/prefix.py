@@ -63,7 +63,12 @@ def exclusive_prefix_sum(ds, key_col: str, value_col: str, out_col: str = "prefi
              "total": pa.array([int(vals.sum())], type=pa.int64())}
         )
 
-    parts = sds.map_batches(block_total, batch_format="pyarrow", batch_size=None).to_pandas()
+    from cleanlab_ray.functions.frames import typed_pandas
+
+    parts = typed_pandas(
+        sds.map_batches(block_total, batch_format="pyarrow", batch_size=None),
+        {"first_key": "int64", "total": "int64"},
+    )
     parts = parts.sort_values("first_key")
     offs = np.concatenate([[0], parts["total"].to_numpy().cumsum()[:-1]]).astype(np.int64)
     offset_by_first = dict(zip(parts["first_key"].tolist(), offs.tolist()))

@@ -114,9 +114,15 @@ def shuffled_shard_positions(
              "cnt": pa.array(lens.astype(np.int64))}
         )
 
-    parts = sds.map_batches(
-        block_counts, batch_format="pyarrow", batch_size=None, zero_copy_batch=True
-    ).to_pandas()
+    from cleanlab_ray.functions.frames import typed_pandas
+
+    parts = typed_pandas(
+        sds.map_batches(
+            block_counts, batch_format="pyarrow", batch_size=None,
+            zero_copy_batch=True,
+        ),
+        {"run_id": "int64", "run_hv": "int64", "s": "int32", "cnt": "int64"},
+    )
     parts = parts.sort_values(["s", "run_hv", "run_id"], kind="mergesort")
     running: dict[int, int] = {}
     offsets: dict[int, int] = {}  # run-first id (unique) -> shard offset

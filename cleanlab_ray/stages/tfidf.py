@@ -120,12 +120,14 @@ def tfidf_topk(ds, k: int = 3, text_col: str = "text", id_col: str = "doc_id"):
     Dataset of (id, term, tf, df, rank, score_e6)."""
     import ray
 
+    from cleanlab_ray.functions.frames import typed_pandas
+
     n_docs = ds.count()
-    dft = (
+    dft = typed_pandas(
         ds.map_batches(lambda b: df_partials(b, text_col), batch_format="pyarrow")
         .groupby("word")
-        .sum("df")
-        .to_pandas()
+        .sum("df"),
+        {"word": object, "sum(df)": "int64"},
     )
     words = dft["word"].to_numpy()
     order = np.argsort(words)
