@@ -5,6 +5,23 @@ Column names match between the Ray pipelines and the SQL (the driver's
 compare hashes values under sorted column names). Float-valued results
 are rounded identically on both sides (ROUND_* constants) so reduction
 -order drift cannot flip the hash.
+
+ORACLE TEXT-DOMAIN SCOPE: the engine's text kernels operate on UTF-8
+BYTES (byte shingles, byte trigrams, byte histograms — the standard
+large-corpus design, e.g. Lee et al. dedup on bytes), while the SQL
+twins necessarily express the same recipes over CODEPOINTS (DuckDB
+substr/ord/length are character-based; byte indexing over VARCHAR is
+not expressible). The two domains coincide exactly on ASCII text —
+which the gate corpora are — and were verified hash-exact there; on
+multibyte text the oracles for the text-HASHING family
+(near_dup / simhash / fingerprint / jaccard / dup_spans /
+remove_dup_substrings / line-level derivations of token labels /
+langid–perplexity scoring and their downstreams) diverge BY
+CONVENTION, not by engine error: the round-5 unicode-stress campaign
+(BASELINE.md) measured 89 hash-exact + 15 convention-scoped queries on
+a heavily multibyte corpus, with the flagship's scrubbed_text still
+byte-exact (0/500 diffs) — the north rule's text-equality contract
+holds on full unicode.
 """
 
 from __future__ import annotations
@@ -3915,12 +3932,14 @@ WITH wt AS (
   FROM documents),
 h AS (
   SELECT w,
-         ord(substr(w, 1, 1)) * 65536 + ord(substr(w, length(w), 1)) * 256
+         ord(substr(w, 1, 1))::BIGINT * 65536
+           + ord(substr(w, length(w), 1))::BIGINT * 256
            + length(w) % 256 AS h
   FROM wt),
 lab AS (
   SELECT w, h, h % 3 AS tru,
-         CASE WHEN (h * 2654435761) % 97 < 12 THEN (h % 3 + 1) % 3 ELSE h % 3 END AS given,
+         CASE WHEN (h::HUGEINT * 2654435761) % 97 < 12
+              THEN (h % 3 + 1) % 3 ELSE h % 3 END AS given,
          (h // 9) % 3 AS m2
   FROM h),
 pr AS (

@@ -74,7 +74,12 @@ def main(sf_dir: str = "/root/testdata/sf0.01", *only: str):
         if name not in sqls:
             print(f"ROWS-ONLY {name}: {len(got)} rows, cols={sorted(got.columns)}")
             continue
-        exp = con.sql(sqls[name]).df()
+        try:
+            exp = con.sql(sqls[name]).df()
+        except Exception as ex:
+            print(f"FAIL {name}: ORACLE raised {type(ex).__name__}: {ex}")
+            failures += 1
+            continue
         ok_rows = len(got) == len(exp)
         ok_cols = sorted(got.columns) == sorted(exp.columns)
         ok_hash = ok_rows and ok_cols and value_hash(got) == value_hash(exp)
