@@ -4940,6 +4940,8 @@ def q_stratified_split(sf_dir: str, val_pct: int = 10):
     column is assignable in any task with no coordination -- the
     100-TB-safe way to hold out eval data."""
 
+    _null_lang = "\x00__null_lang__"
+
     def assign(batch: pa.Table) -> pa.Table:
         import numpy as np
 
@@ -4948,24 +4950,31 @@ def q_stratified_split(sf_dir: str, val_pct: int = 10):
         is_val = (h % np.uint64(100)) < np.uint64(val_pct)
         return pa.table(
             {
-                "lang": batch["lang"],
+                # null langs form their own stratum: sentinel through the
+                # sort-based groupby (Ray's sort cannot compare None with
+                # str), restored to null in the output
+                "lang": pc.fill_null(batch["lang"], _null_lang),
                 "split": pa.array(
                     np.where(is_val, "val", "train"), type=pa.string()
                 ),
             }
         )
 
+    def finalize(b: pa.Table) -> pa.Table:
+        lang = b["lang"]
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        if len(lang):
+            lang = pc.if_else(pc.equal(lang, _null_lang),
+                              pa.nulls(len(lang), lang.type), lang)
+        return pa.table({"lang": lang, "split": b["split"], "n": b["count()"]})
+
     return (
         _read(sf_dir, "documents", ["doc_id", "lang"])
         .map_batches(assign, batch_format="pyarrow")
         .groupby(["lang", "split"])
         .count()
-        .map_batches(
-            lambda b: pa.table(
-                {"lang": b["lang"], "split": b["split"], "n": b["count()"]}
-            ),
-            batch_format="pyarrow",
-        )
+        .map_batches(finalize, batch_format="pyarrow")
     )
 
 

@@ -29,6 +29,11 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+#: Sentinel standing in for a NULL group key inside sort exchanges
+#: (Ray's sort cannot compare None with str); restored to null on emit.
+_NULL_GROUP = "\x00__null_group__"
 
 #: hash space size as float (2^64) for the lossy-regime estimator
 _SPACE = float(1 << 64)
@@ -128,8 +133,16 @@ def distinct_tokens_by(ds, group_col: str, k: int = 16384,
                 "kmv_summary": pa.array([], type=pa.large_binary()),
             })
         groups = block[group_col]
-        enc = (groups.combine_chunks() if isinstance(groups, pa.ChunkedArray)
-               else groups).dictionary_encode()
+        if isinstance(groups, pa.ChunkedArray):
+            groups = groups.combine_chunks()
+        # null group keys form their own group: encode as a sentinel so
+        # dictionary codes stay dense ints (null indices would surface
+        # as NaN / -1 and break the sort-slice), restore None on emit.
+        # Ray's own sort exchange cannot compare None with str either,
+        # so the sentinel also rides the downstream groupby.
+        if groups.null_count:
+            groups = pc.fill_null(groups, _NULL_GROUP)
+        enc = groups.dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False)
         # one stable sort groups the block's rows; each group is then a
         # contiguous slice (no O(N) filter pass per group)
@@ -172,7 +185,11 @@ def distinct_tokens_by(ds, group_col: str, k: int = 16384,
             for j in range(s + 1, e):
                 acc = _kmv_merge(acc, np.frombuffer(raws[j], dtype=np.uint64), k)
             ests[i] = kmv_estimate(acc, k)
-        return pa.table({group_col: groups.take(pa.array(starts)),
+        heads = groups.take(pa.array(starts))
+        if pa.types.is_string(heads.type) or pa.types.is_large_string(heads.type):
+            is_sent = pc.equal(heads, _NULL_GROUP)  # restore the null group
+            heads = pc.if_else(is_sent, pa.nulls(len(heads), heads.type), heads)
+        return pa.table({group_col: heads,
                          "distinct_tokens": pa.array(ests)})
 
     from cleanlab_ray.stages.dedup import _sorted_block_map

@@ -51,3 +51,24 @@ def test_all_queries_empty_input_contract(ray_session, empty_sf_dir):
         except Exception as ex:  # noqa: BLE001
             bad[name] = f"{type(ex).__name__}: {str(ex)[:120]}"
     assert not bad, f"{len(bad)} queries break the empty-input contract: {bad}"
+
+
+def test_null_group_keys(ray_session, tmp_path):
+    """Null GROUP keys (lang) must form their own group — Ray's sort
+    exchange cannot compare None with str, so the kernels route nulls
+    through a sentinel and restore them on emit (previously: TypeError
+    deep inside ray::map)."""
+    import numpy as np
+    import ray.data as rd
+
+    from cleanlab_ray.stages.sketches import distinct_tokens_by
+
+    tbl = pa.table({
+        "lang": pa.array(["en", None, "en", None, "de"]),
+        "text": pa.array(["a b", "c d e", "a f", "c", "g h"]),
+    })
+    out = distinct_tokens_by(rd.from_arrow(tbl).repartition(3), "lang",
+                             k=64).to_pandas()
+    got = {(r["lang"] if pd.notna(r["lang"]) else None): r["distinct_tokens"]
+           for _, r in out.iterrows()}
+    assert got == {"en": 3, None: 3, "de": 2}
