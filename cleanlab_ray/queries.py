@@ -6811,6 +6811,186 @@ ORACLE_SQL["role_transitions"] = SQL_ROLE_TRANSITIONS
 
 
 # ---------------------------------------------------------------------------
+# Scrub-audit / context-budget / boilerplate-template operators
+# (stages/transcripts.py pii_density / context_growth / template_spam)
+# ---------------------------------------------------------------------------
+
+def _inject_pii_kernel(batch: pa.Table) -> pa.Table:
+    """Deterministic synthetic-PII injection for the pii_density gate
+    query: the derived transcript corpus contains no PII at all (every
+    count would be zero), so the registered query appends
+    doc_id-keyed PII suffixes — email on did%5==0, SSN on did%7==0,
+    phone on did%11==0, IPv4 on did%13==0, a toxic phrase (mixed case,
+    exercising the (?i) path) on did%17==0 — to make the counting path
+    non-trivial. Pure function of (conv_id, turn_idx); the SQL twin
+    replicates it verbatim. The operator itself stays generic."""
+    conv = batch["conv_id"]
+    num = pc.cast(pc.utf8_slice_codeunits(conv, 1, 64), pa.int64())
+    did = pc.add(pc.multiply(num, 8), pc.cast(batch["turn_idx"], pa.int64()))
+    d = did.to_numpy(zero_copy_only=False)
+    ids = d.astype(str)
+    email = np.char.add(np.char.add(" reach me at user", ids), "@example.com")
+    suf = np.where(d % 5 == 0, email, "")
+    suf = np.char.add(suf, np.where(d % 7 == 0, " ssn 123-45-6789", ""))
+    suf = np.char.add(suf, np.where(d % 11 == 0, " call 555-123-4567", ""))
+    suf = np.char.add(suf, np.where(d % 13 == 0, " from ip 10.0.0.1", ""))
+    suf = np.char.add(suf, np.where(d % 17 == 0, " you stupid Moron", ""))
+    txt = pc.binary_join_element_wise(
+        pc.cast(pc.fill_null(batch["text"], ""), pa.large_string()),
+        pc.cast(pa.array(suf.astype(object)), pa.large_string()),
+        pa.scalar("", pa.large_string()))
+    return pa.table({"conv_id": conv, "text": txt})
+
+
+def q_pii_density(sf_dir: str):
+    """Per-conversation PII / toxicity match density over raw text
+    (stages/transcripts.pii_density): one per-pattern RE2 counting pass
+    + ONE conv-keyed sorted-run aggregate; text never shuffles.
+    The gate corpus carries deterministic synthetic PII (see
+    _inject_pii_kernel). SQL-checked: DuckDB injects identically and
+    counts the same RE2 patterns with regexp_extract_all (both engines
+    count independent non-overlapping matches per pattern)."""
+    from cleanlab_ray.stages.transcripts import pii_density
+
+    ds = load_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "text"]).map_batches(
+        _inject_pii_kernel, batch_format="pyarrow")
+    return pii_density(ds)
+
+
+def _make_pii_density_sql() -> str:
+    from cleanlab_ray.stages.scrub import SCRUB_PATTERNS
+
+    per = []
+    total_terms = []
+    for name, pattern, _ in SCRUB_PATTERNS:
+        lit = pattern.replace("'", "''")
+        expr = f"CAST(len(regexp_extract_all(t, '{lit}')) AS BIGINT)"
+        per.append(f"{expr} AS n_{name}")
+        total_terms.append(expr)
+    total = " + ".join(total_terms)
+    cols = ", ".join(f"CAST(sum(n_{name}) AS BIGINT) AS n_{name}"
+                     for name, _, _ in SCRUB_PATTERNS)
+    return f"""
+WITH {_SQL_TR_CTE},
+inj AS (
+  SELECT conv_id,
+         coalesce(text, '')
+         || CASE WHEN did % 5 = 0 THEN ' reach me at user'
+                 || CAST(did AS VARCHAR) || '@example.com' ELSE '' END
+         || CASE WHEN did % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+         || CASE WHEN did % 11 = 0 THEN ' call 555-123-4567' ELSE '' END
+         || CASE WHEN did % 13 = 0 THEN ' from ip 10.0.0.1' ELSE '' END
+         || CASE WHEN did % 17 = 0 THEN ' you stupid Moron' ELSE '' END
+           AS t
+  FROM (SELECT conv_id, text,
+               CAST(substr(conv_id, 2) AS BIGINT) * 8 + turn_idx AS did
+        FROM tr)),
+m AS (
+  SELECT conv_id, {', '.join(per)}, {total} AS n_matches
+  FROM inj)
+SELECT conv_id, {cols},
+       CAST(sum(n_matches) AS BIGINT) AS n_matches,
+       CAST(sum(CASE WHEN n_matches > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pii_turns,
+       CAST(count(*) AS BIGINT) AS n_turns
+FROM m GROUP BY 1
+"""
+
+
+def q_context_growth(sf_dir: str):
+    """Per-conversation context-budget audit
+    (stages/transcripts.context_growth): lengths projected before the
+    exchange, ONE conv-colocating sort, vectorized in-block cumulative
+    sums. SQL-checked: window SUM OVER (PARTITION BY conv ORDER BY
+    turn) replicates the cumulative context exactly."""
+    from cleanlab_ray.stages.transcripts import context_growth
+
+    ds = load_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "text"])
+    return context_growth(ds)
+
+
+def _make_context_growth_sql() -> str:
+    from cleanlab_ray.stages.transcripts import CONTEXT_BUDGET_CHARS
+
+    return f"""
+WITH {_SQL_TR_CTE},
+l AS (SELECT conv_id, turn_idx,
+             CAST(length(coalesce(text, '')) AS BIGINT) AS len
+      FROM tr),
+c AS (SELECT conv_id, turn_idx, len,
+             sum(len) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS cum
+      FROM l)
+SELECT conv_id,
+       CAST(sum(len) AS BIGINT) AS total_chars,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(coalesce(min(CASE WHEN cum > {CONTEXT_BUDGET_CHARS}
+                               THEN turn_idx END), -1) AS INTEGER)
+         AS first_overflow_turn,
+       CAST(sum(CASE WHEN cum > {CONTEXT_BUDGET_CHARS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overflow_turns
+FROM c GROUP BY 1
+"""
+
+
+# Gate parameters for the registered template_spam query: the derived
+# transcript turns are unique word sequences, so FULL-turn skeletons
+# never repeat at gate scales — the registered variant detects canned
+# 2-word OPENINGS (prefix templates) at min_count=2, which the corpus
+# does exhibit at every sf. The operator's full-skeleton default stays
+# available for real boilerplate corpora (pytest-covered).
+TEMPLATE_Q_PREFIX_WORDS = 2
+TEMPLATE_Q_MIN_COUNT = 2
+
+
+def q_template_spam(sf_dir: str):
+    """Boilerplate template detection (stages/transcripts.template_spam):
+    normalized turn skeletons (lower, digit runs->0, whitespace
+    runs->' ', trim) reduced to their first 2 tokens (canned-opening
+    variant), occurring >= 2 times, top-k by (count DESC, template
+    ASC). SQL-checked: the normalization + prefix extraction is the
+    same RE2/utf8proc kernel chain in DuckDB; templates are unique
+    group keys so the (n DESC, template ASC) order is total and LIMIT
+    k is deterministic on both sides."""
+    from cleanlab_ray.stages.transcripts import template_spam
+
+    ds = load_transcripts(sf_dir).select_columns(["conv_id", "text"])
+    return template_spam(ds, min_count=TEMPLATE_Q_MIN_COUNT,
+                         prefix_words=TEMPLATE_Q_PREFIX_WORDS)
+
+
+def _make_template_spam_sql() -> str:
+    from cleanlab_ray.stages.transcripts import TEMPLATE_TOP_K
+
+    return rf"""
+WITH {_SQL_TR_CTE},
+nm AS (
+  SELECT conv_id,
+         regexp_extract(
+           trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+                '[0-9]+', '0', 'g'), '\s+', ' ', 'g'), ' '),
+           '^(\S+(?: \S+){{0,{TEMPLATE_Q_PREFIX_WORDS - 1}}})', 1)
+           AS template
+  FROM tr),
+g AS (
+  SELECT template, CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs
+  FROM nm GROUP BY 1 HAVING count(*) >= {TEMPLATE_Q_MIN_COUNT})
+SELECT template, n, n_convs FROM g
+ORDER BY n DESC, template ASC LIMIT {TEMPLATE_TOP_K}
+"""
+
+
+QUERIES["pii_density"] = q_pii_density
+ORACLE_SQL["pii_density"] = _make_pii_density_sql()
+QUERIES["context_growth"] = q_context_growth
+ORACLE_SQL["context_growth"] = _make_context_growth_sql()
+QUERIES["template_spam"] = q_template_spam
+ORACLE_SQL["template_spam"] = _make_template_spam_sql()
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks a fixed
 # window of the FIRST 50 queries() entries. Round-5 rotation policy
 # (VERDICT r4 item 1): lead with every query that has NEVER had a
@@ -6850,10 +7030,23 @@ _PRIORITY_WINDOW = [
     # is still gated by crowdlab_consensus / crowdlab_ensemble /
     # annotator_quality / active_learning; replayed hash-exact at
     # sf0.01 at this HEAD — ceded its slot to conv_length_drift)
-    "data_valuation", "crowdlab_ensemble", "crowdlab_consensus",
+    # (crowdlab_consensus — r04 green; the fused multiannotator path
+    # is still triple-gated by crowdlab_ensemble / annotator_quality /
+    # active_learning; replayed hash-exact at sf0.01 at this HEAD —
+    # ceded its slot to pii_density.
+    # vocab_topk — r04 green; its r5 change is the shared global_top_k
+    # rewire, still gated by top_issues / top_orders AND by the new
+    # template_spam entry, which drives global_top_k including the
+    # typed-empty schema fallback; replayed hash-exact at this HEAD —
+    # ceded its slot to context_growth.
+    # kmeans_clusters — r≤3 green; the r5 seeding change is gated by
+    # semdedup, which calls stages/kmeans.kmeans_cluster directly;
+    # replayed hash-exact at this HEAD — ceded its slot to
+    # template_spam.)
+    "data_valuation", "crowdlab_ensemble",
     "annotator_quality", "active_learning",
-    "top_issues", "vocab_topk", "perplexity_buckets",
-    "dup_components", "kmeans_clusters", "incremental_ingest",
+    "top_issues", "perplexity_buckets",
+    "dup_components", "incremental_ingest",
     "semdedup", "bloom_semijoin",
     "noniid_detection",
     "doc_quality_signals", "curate_documents",
@@ -6868,6 +7061,7 @@ _PRIORITY_WINDOW = [
     # ceded their slots to turn_echo / conv_exact_dedup below)
     "turn_repetition", "conv_structure_audit", "role_transitions",
     "turn_echo", "conv_exact_dedup", "conv_length_drift",
+    "pii_density", "context_growth", "template_spam",
     # (b-note) four more final-session refactors (dsir_weights,
     # decontaminate_docs, chunk_documents, pack_sequences) are
     # behavior-identical on valid inputs (shared-helper reuse + loud

@@ -243,4 +243,12 @@ def global_top_k(ds, sort_cols, k: int, descending: bool = False):
     if small.num_rows:
         idx = pc.sort_indices(small, sort_keys=keys)[:k]
         small = small.take(idx)
+    elif len(small.schema) == 0:
+        # Ray hands `partial` SCHEMA-LESS empty batches for empty input
+        # blocks, so an all-empty result concatenates to a zero-column
+        # table; recover the typed-empty contract from the input schema.
+        sch = ds.schema()
+        base = getattr(sch, "base_schema", None) if sch is not None else None
+        if base is not None:
+            small = base.empty_table()
     return rd.from_arrow(small)

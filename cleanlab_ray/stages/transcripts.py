@@ -512,3 +512,271 @@ def role_transitions(ds, conv_col: str = "conv_id",
         })
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PII / toxicity density, context-budget growth, boilerplate templates
+# ---------------------------------------------------------------------------
+
+def pii_density(ds, conv_col: str = "conv_id", text_col: str = "text"):
+    """Per-conversation PII / toxicity match density over RAW text.
+
+    For every conversation: per-pattern match counts for each entry of
+    :data:`cleanlab_ray.stages.scrub.SCRUB_PATTERNS` (email, ssn,
+    phone, ipv4, toxicity), the total match count, the number of turns
+    containing at least one match, and the turn count — the
+    scrub-stage tuning / audit report (which corpora need scrubbing,
+    how concentrated is PII per conversation).
+
+    Counting contract: each pattern is counted INDEPENDENTLY on the
+    raw text (RE2 non-overlapping left-to-right matches), unlike the
+    scrub stage itself which applies patterns sequentially — a
+    substring consumed by an earlier pattern's replacement is still
+    counted by later patterns here. Both the engine and the DuckDB
+    oracle count this way, and it is the right semantics for an audit
+    (every pattern reports its own footprint).
+
+    Scale shape: per-row counting is ``pc.count_substring_regex`` (one
+    RE2 pass per pattern per block, no Python loop); the exchange is
+    ONE sorted-run aggregate keyed on conv_id moving 7 small ints per
+    turn — text never shuffles.
+    """
+    from cleanlab_ray.stages.scrub import SCRUB_PATTERNS
+
+    names = [n for n, _, _ in SCRUB_PATTERNS]
+
+    def features(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch[text_col], "")
+        cols = {conv_col: batch[conv_col]}
+        total = np.zeros(batch.num_rows, dtype=np.int64)
+        for name, pattern, _ in SCRUB_PATTERNS:
+            cnt = pc.count_substring_regex(txt, pattern)
+            v = cnt.to_numpy(zero_copy_only=False).astype(np.int64)
+            total += v
+            cols[f"n_{name}"] = pa.array(v)
+        cols["n_matches"] = pa.array(total)
+        cols["pii_turn"] = pa.array((total > 0).astype(np.int64))
+        return pa.table(cols)
+
+    ops = {f"n_{n}": "sum" for n in names}
+    ops.update({"n_matches": "sum", "pii_turn": "sum", conv_col: "count"})
+    agg = sorted_group_agg(
+        ds.select_columns([conv_col, text_col]).map_batches(
+            features, batch_format="pyarrow"),
+        conv_col, ops)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        out = {conv_col: batch[conv_col]}
+        for n in names:
+            out[f"n_{n}"] = batch[f"sum(n_{n})"]
+        out["n_matches"] = batch["sum(n_matches)"]
+        out["n_pii_turns"] = batch["sum(pii_turn)"]
+        out["n_turns"] = batch[f"count({conv_col})"]
+        return pa.table(out)
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+CONTEXT_BUDGET_CHARS = 1500  # default per-conversation context budget
+
+
+def context_growth(ds, budget_chars: int = CONTEXT_BUDGET_CHARS,
+                   conv_col: str = "conv_id", turn_col: str = "turn_idx",
+                   text_col: str = "text"):
+    """Per-conversation context-budget audit.
+
+    Models the prompt-context cost of replaying a conversation: at
+    turn t the accumulated context is the sum of the character lengths
+    of turns 0..t (in ``turn_idx`` order). Emits one row per
+    conversation: total_chars, n_turns, ``first_overflow_turn`` (the
+    smallest turn_idx whose CUMULATIVE length exceeds
+    ``budget_chars``; -1 if the conversation never overflows) and
+    ``n_overflow_turns`` — the packing / truncation planner's input
+    (which conversations fit a training context window, and where to
+    cut the ones that don't).
+
+    Scale shape: lengths are computed BEFORE the exchange, so only
+    (conv_id, turn_idx, len) rows move; ONE sort exchange on conv_id
+    co-locates each conversation (run-colocation guarantee of
+    Dataset.sort — see _sorted_block_map), then a vectorized in-block
+    cumulative sum per run does the rest. Transcript conversations are
+    bounded in length, so a hot conversation yields one oversized but
+    bounded block.
+    """
+    budget = int(budget_chars)
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            conv_col: batch[conv_col],
+            turn_col: pc.cast(batch[turn_col], pa.int32()),
+            "len": pc.cast(pc.utf8_length(pc.fill_null(batch[text_col], "")),
+                           pa.int64()),
+        })
+
+    def per_conv(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                conv_col: pa.array([], batch[conv_col].type),
+                "total_chars": pa.array([], pa.int64()),
+                "n_turns": pa.array([], pa.int64()),
+                "first_overflow_turn": pa.array([], pa.int32()),
+                "n_overflow_turns": pa.array([], pa.int64()),
+            })
+        conv = batch[conv_col].to_numpy(zero_copy_only=False)
+        turn = batch[turn_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ln = batch["len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = _run_starts(conv)
+        rid = np.repeat(np.arange(len(starts)),
+                        np.diff(np.append(starts, len(conv))))
+        order = np.lexsort((turn, rid))
+        r2, t2, l2 = rid[order], turn[order], ln[order]
+        cum = np.cumsum(l2)
+        s2 = _run_starts(r2)
+        base = np.repeat(np.concatenate(([0], cum[s2[1:] - 1])),
+                         np.diff(np.append(s2, len(r2))))
+        cum = cum - base  # per-conversation running total
+        over = cum > budget
+        nrun = np.diff(np.append(s2, len(r2)))
+        total = np.add.reduceat(l2, s2)
+        n_over = np.add.reduceat(over.astype(np.int64), s2)
+        # first overflow turn per run: turns are sorted within the run,
+        # so the first True in the run is the minimum overflow turn
+        first_idx = np.searchsorted(np.cumsum(over), 1 + np.concatenate(
+            ([0], np.cumsum(over)[s2[1:] - 1])))
+        has = n_over > 0
+        first = np.where(has, t2[np.minimum(first_idx, len(t2) - 1)],
+                         -1).astype(np.int32)
+        return pa.table({
+            conv_col: pa.array(conv[starts]),
+            "total_chars": pa.array(total),
+            "n_turns": pa.array(nrun.astype(np.int64)),
+            "first_overflow_turn": pa.array(first),
+            "n_overflow_turns": pa.array(n_over),
+        })
+
+    slim = ds.select_columns([conv_col, turn_col, text_col]).map_batches(
+        lengths, batch_format="pyarrow")
+    return _sorted_block_map(slim, conv_col, per_conv)
+
+
+TEMPLATE_MIN_COUNT = 5  # default boilerplate threshold
+TEMPLATE_TOP_K = 100
+
+
+def normalize_template(col):
+    """Turn skeleton normalization (contract shared with the SQL twin):
+    lowercase, digit runs -> '0', whitespace runs -> ' ', trim spaces.
+    Every step is an RE2 / utf8proc kernel DuckDB reproduces exactly."""
+    col = pc.utf8_lower(pc.fill_null(col, ""))
+    col = pc.replace_substring_regex(col, pattern="[0-9]+", replacement="0")
+    col = pc.replace_substring_regex(col, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim(col, " ")
+
+
+def template_prefix(col, prefix_words: int):
+    """Reduce a normalized skeleton to its first ``prefix_words``
+    whitespace-delimited tokens (RE2 extract; the SQL twin is DuckDB's
+    regexp_extract with the same pattern). Empty input -> ''."""
+    pat = r"^(?P<p>\S+(?: \S+){0,%d})" % (int(prefix_words) - 1)
+    return pc.fill_null(
+        pc.struct_field(pc.extract_regex(col, pat), "p"), "")
+
+
+def template_spam(ds, min_count: int = TEMPLATE_MIN_COUNT,
+                  k: int = TEMPLATE_TOP_K, conv_col: str = "conv_id",
+                  text_col: str = "text", prefix_words: int | None = None):
+    """Boilerplate template detection: the top-k most frequent
+    NORMALIZED turn skeletons (see :func:`normalize_template`)
+    appearing at least ``min_count`` times, with their occurrence count
+    and the number of distinct conversations they appear in — the
+    CCNet-style "this string is template spam, not content" signal
+    (greetings, cookie banners, canned agent prefaces) that exact
+    dedup misses because surrounding digits / whitespace vary.
+
+    ``prefix_words`` switches the skeleton to its first N tokens only
+    (canned-opening detection — "thank you for contacting", cookie
+    banner prefixes): full-turn templates catch literal boilerplate,
+    prefix templates catch boilerplate with variable tails.
+
+    Output: (template, n, n_convs), ordered n DESC, template ASC,
+    limited to k rows.
+
+    Scale shape: per-block partials pre-combine to DISTINCT
+    (template, conv) pairs with counts, so a hot template (the whole
+    point of the operator) collapses to one row per conversation per
+    block before the exchange; ONE sort exchange on template
+    co-locates each template's pairs; the in-block run kernel sums
+    counts and counts unique conversations; the final top-k is
+    exchange-free (stages/topk.global_top_k). Rare templates ride the
+    exchange once each — the same bounded shape as vocab_topk.
+    """
+    from cleanlab_ray.stages.topk import global_top_k
+
+    def partials(batch: pa.Table) -> pa.Table:
+        tmpl = normalize_template(batch[text_col])
+        if prefix_words is not None:
+            tmpl = template_prefix(tmpl, prefix_words)
+        if batch.num_rows == 0:
+            return pa.table({
+                "template": pa.array([], pa.string()),
+                conv_col: pa.array([], batch[conv_col].type),
+                "n": pa.array([], pa.int64()),
+            })
+        # in-block combine: count per (template, conv) pair
+        tc = tmpl.combine_chunks() if isinstance(
+            tmpl, pa.ChunkedArray) else tmpl
+        enc_t = tc.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        conv = batch[conv_col]
+        cc = conv.combine_chunks() if isinstance(
+            conv, pa.ChunkedArray) else conv
+        enc_c = cc.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pair = enc_t * (enc_c.max() + 1) + enc_c
+        order = np.argsort(pair, kind="stable")
+        s = _run_starts(pair[order])
+        heads = order[s]
+        cnt = np.diff(np.append(s, len(pair)))
+        return pa.table({
+            "template": pc.take(tc, pa.array(heads)),
+            conv_col: pc.take(cc, pa.array(heads)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    def per_template(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                "template": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "n_convs": pa.array([], pa.int64()),
+            })
+        tmpl = batch["template"]
+        tc = tmpl.combine_chunks() if isinstance(
+            tmpl, pa.ChunkedArray) else tmpl
+        tv = tc.to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        conv = batch[conv_col]
+        cc = conv.combine_chunks() if isinstance(
+            conv, pa.ChunkedArray) else conv
+        ccode = cc.dictionary_encode().indices.to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        s = _run_starts(tv)
+        rid = np.repeat(np.arange(len(s)), np.diff(np.append(s, len(tv))))
+        total = np.add.reduceat(n, s)
+        # distinct convs per template run: unique (run, conv-code) pairs
+        # (the same pair can arrive from multiple source blocks)
+        pair = np.sort(rid * (ccode.max() + 1) + ccode)
+        uniq_rows = pair[_run_starts(pair)] // (ccode.max() + 1)
+        n_convs = np.bincount(uniq_rows, minlength=len(s)).astype(np.int64)
+        keep = total >= min_count
+        return pa.table({
+            "template": pc.take(tc, pa.array(s[keep])),
+            "n": pa.array(total[keep]),
+            "n_convs": pa.array(n_convs[keep]),
+        })
+
+    slim = ds.select_columns([conv_col, text_col]).map_batches(
+        partials, batch_format="pyarrow")
+    per_t = _sorted_block_map(slim, "template", per_template)
+    return global_top_k(per_t, ["n", "template"], k,
+                        descending=[True, False])

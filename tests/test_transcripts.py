@@ -406,3 +406,133 @@ def test_conv_length_drift_all_roles_fixture(ray_session, small_corpus):
              for r in conv_length_drift(ds).take_all()}
     want_a = {c: v[5] for c, v in _drift_oracle(rows).items()}
     assert got_a == want_a
+
+
+# ---------------------------------------------------------------------------
+# pii_density / context_growth / template_spam
+# ---------------------------------------------------------------------------
+
+def test_pii_density(ray_session):
+    from cleanlab_ray.stages.scrub import _COMPILED_PY, SCRUB_PATTERNS
+    from cleanlab_ray.stages.transcripts import pii_density
+
+    rows = [
+        ("a", 0, "user", "mail me at bob@x.com or 555-123-4567", None, 0),
+        ("a", 1, "assistant", "clean turn", None, 1),
+        ("a", 2, "tool", "ip 10.0.0.1 and ip 192.168.0.1", "t", 2),
+        ("b", 0, "user", "ssn 123-45-6789 mail a@b.co", None, 3),
+        ("c", 0, "user", "", None, 4),
+    ]
+    names = [n for n, _, _ in SCRUB_PATTERNS]
+    want = {}
+    for conv, _, _, text, _, _ in rows:
+        e = want.setdefault(conv, {f"n_{n}": 0 for n in names})
+        e.setdefault("n_matches", 0)
+        e.setdefault("n_pii_turns", 0)
+        e["n_turns"] = e.get("n_turns", 0) + 1
+        turn_total = 0
+        for (cre, _), n in zip(_COMPILED_PY, names):
+            c = len(cre.findall(text))
+            e[f"n_{n}"] += c
+            turn_total += c
+        e["n_matches"] = e.get("n_matches", 0) + turn_total
+        if turn_total:
+            e["n_pii_turns"] += 1
+    got = {r["conv_id"]: {k: r[k] for k in want[r["conv_id"]]}
+           for r in pii_density(_full_ds(rows)).take_all()}
+    assert got == want
+    assert pii_density(_full_ds([], blocks=1)).count() == 0
+
+
+def test_context_growth(ray_session):
+    from cleanlab_ray.stages.transcripts import context_growth
+
+    rows = [  # deliberately out of turn order within blocks
+        ("a", 2, "tool", "z" * 500, "t", 2),
+        ("a", 0, "user", "x" * 600, None, 0),
+        ("a", 1, "assistant", "y" * 1000, None, 1),   # cum 1600 > 1500 at t=1
+        ("b", 0, "user", "small", None, 3),           # never overflows
+        ("c", 5, "user", "q" * 2000, None, 4),        # overflows at its only turn
+    ]
+    got = {r["conv_id"]: (r["total_chars"], r["n_turns"],
+                          r["first_overflow_turn"], r["n_overflow_turns"])
+           for r in context_growth(_full_ds(rows)).take_all()}
+    assert got == {
+        "a": (2100, 3, 1, 2),
+        "b": (5, 1, -1, 0),
+        "c": (2000, 1, 5, 1),
+    }
+    # custom budget: with budget 600 conv a overflows starting at turn 1? no:
+    # cum(0)=600 == budget (not >), cum(1)=1600 > 600, cum(2)=2100 > 600
+    got2 = {r["conv_id"]: (r["first_overflow_turn"], r["n_overflow_turns"])
+            for r in context_growth(_full_ds(rows), budget_chars=600).take_all()}
+    assert got2["a"] == (1, 2)
+    assert context_growth(_full_ds([], blocks=1)).count() == 0
+
+
+def _template_oracle(texts_convs, min_count, k, prefix_words=None):
+    import collections
+    import re
+
+    cnt = collections.Counter()
+    convs = collections.defaultdict(set)
+    for text, conv in texts_convs:
+        t = re.sub(r"\s+", " ", re.sub(r"[0-9]+", "0", text.lower())).strip(" ")
+        if prefix_words is not None:
+            m = re.match(r"^(\S+(?: \S+){0,%d})" % (prefix_words - 1), t)
+            t = m.group(1) if m else ""
+        cnt[t] += 1
+        convs[t].add(conv)
+    rows = [(t, n, len(convs[t])) for t, n in cnt.items() if n >= min_count]
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    return rows[:k]
+
+
+def test_template_spam(ray_session):
+    from cleanlab_ray.stages.transcripts import template_spam
+
+    rows = []
+    for i in range(7):  # "thanks order 123!" style: digits vary, skeleton same
+        rows.append((f"c{i % 3}", i, "assistant", f"Thanks  for order {i}!", None, i))
+    rows += [
+        ("c0", 10, "user", "unique turn one", None, 10),
+        ("c1", 11, "user", "unique turn two", None, 11),
+        ("c2", 12, "user", "also a  RARE turn", None, 12),
+        ("c0", 13, "user", "also a rare turn", None, 13),  # ws-normalized dup
+    ]
+    texts_convs = [(r[3], r[0]) for r in rows]
+    want = _template_oracle(texts_convs, min_count=2, k=10)
+    got = [(r["template"], r["n"], r["n_convs"])
+           for r in template_spam(_full_ds(rows), min_count=2, k=10).take_all()]
+    assert got == want
+    assert got[0] == ("thanks for order 0!", 7, 3)
+    assert ("also a rare turn", 2, 2) in got
+
+    # prefix variant groups by the first 2 normalized tokens
+    want_p = _template_oracle(texts_convs, min_count=2, k=10, prefix_words=2)
+    got_p = [(r["template"], r["n"], r["n_convs"])
+             for r in template_spam(_full_ds(rows), min_count=2, k=10,
+                                    prefix_words=2).take_all()]
+    assert got_p == want_p
+    assert ("thanks for", 7, 3) in got_p
+
+    # empty result keeps its typed schema (min_count unreachable)
+    empty = template_spam(_full_ds(rows), min_count=100)
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"template", "n", "n_convs"}
+    assert template_spam(_full_ds([], blocks=1)).count() == 0
+
+
+def test_template_spam_fixture_corpus(ray_session, small_corpus):
+    import ray.data as rd
+
+    from cleanlab_ray.stages.transcripts import template_spam
+
+    ds = rd.from_arrow(small_corpus).repartition(6)
+    tbl = small_corpus.to_pydict()
+    texts_convs = list(zip(tbl["text"], tbl["conv_id"]))
+    want = _template_oracle(texts_convs, min_count=2, k=50, prefix_words=2)
+    got = [(r["template"], r["n"], r["n_convs"])
+           for r in template_spam(ds, min_count=2, k=50,
+                                  prefix_words=2).take_all()]
+    assert got == want
