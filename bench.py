@@ -207,6 +207,9 @@ def run_bench() -> dict:
         "conv_length_drift",
         "leakage_safe_split",
         "near_dup_safe_split",
+        "pii_density",
+        "context_growth",
+        "template_spam",
     ]
     # best-of-2 per query: the first run pays one-time per-worker kernel
     # warmups (numpy, regex, model tables) that aren't steady-state
