@@ -6982,12 +6982,158 @@ ORDER BY n DESC, template ASC LIMIT {TEMPLATE_TOP_K}
 """
 
 
+def _did_from_conv_turn(batch: pa.Table):
+    """Recover doc_id = conv*8 + turn from the derived transcript keys
+    (pure int64; the SQL twins use the documents.doc_id column
+    directly — same value by construction)."""
+    num = pc.cast(pc.utf8_slice_codeunits(batch["conv_id"], 1, 64),
+                  pa.int64())
+    did = pc.add(pc.multiply(num, 8),
+                 pc.cast(batch["turn_idx"], pa.int64()))
+    return did.to_numpy(zero_copy_only=False)
+
+
+def _jitter_ts_kernel(batch: pa.Table) -> pa.Table:
+    """Deterministic timestamp jitter for the turn_latency gate query:
+    the derived transcripts space turns exactly 1s apart (every gap
+    identical), so the registered query adds a doc_id-keyed jitter of
+    ((did*2654435761) % 5) * 500ms — gaps then span -1.0s..+3.0s in
+    0.5s steps, exercising the zero-gap and negative-gap (clock
+    anomaly) counters. Pure int64 on both sides."""
+    d = _did_from_conv_turn(batch)
+    ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    jit = (d * 2654435761) % 5 * 500_000
+    return pa.table({
+        "conv_id": batch["conv_id"],
+        "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
+        "role": batch["role"],
+        "ts": pa.array(ts_us + jit).cast(pa.timestamp("us")),
+    })
+
+
+def q_turn_latency(sf_dir: str):
+    """Per-conversation inter-turn latency audit
+    (stages/transcripts.turn_latency): gap count/sum/min/max, zero-gap
+    (batch-dump) and negative-gap (clock anomaly) counters, and
+    user->assistant response-gap stats. Gate corpus carries a
+    deterministic doc_id-keyed timestamp jitter (_jitter_ts_kernel)
+    since the derived transcripts space turns uniformly. SQL-checked:
+    the LAG() OVER (PARTITION BY conv ORDER BY turn) twin computes the
+    same exact int64 microsecond gaps."""
+    from cleanlab_ray.stages.transcripts import turn_latency
+
+    ds = load_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "ts"]).map_batches(
+        _jitter_ts_kernel, batch_format="pyarrow")
+    return turn_latency(ds)
+
+
+SQL_TURN_LATENCY = f"""
+WITH {_SQL_TR_CTE},
+j AS (
+  SELECT conv_id, turn_idx, role,
+         ts_us + ((doc_id * 2654435761) % 5) * 500000 AS ts_us
+  FROM tr),
+g AS (
+  SELECT conv_id,
+         ts_us - LAG(ts_us) OVER w AS gap,
+         LAG(role) OVER w AS prev_role, role
+  FROM j WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx))
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(count(gap) AS BIGINT) AS n_gaps,
+  CAST(coalesce(min(gap), 0) AS BIGINT) AS gap_min_us,
+  CAST(coalesce(max(gap), 0) AS BIGINT) AS gap_max_us,
+  CAST(coalesce(sum(gap), 0) AS BIGINT) AS gap_sum_us,
+  CAST(sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_gaps,
+  CAST(sum(CASE WHEN gap < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_gaps,
+  CAST(sum(CASE WHEN prev_role = 'user' AND role = 'assistant'
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_ua_gaps,
+  CAST(coalesce(sum(CASE WHEN prev_role = 'user' AND role = 'assistant'
+                         THEN gap END), 0) AS BIGINT) AS ua_gap_sum_us
+FROM g GROUP BY 1
+"""
+
+
+def _derive_tool_kernel(batch: pa.Table) -> pa.Table:
+    """Deterministic tool-column derivation for the tool_loops gate
+    query: the derived transcripts put 'search' only on every third
+    turn (runs never exceed 1), so the registered query re-derives
+    tool from h = (did*2654435761 + 17) % 7 — 'search' (h<3),
+    'python' (h<5), or no tool — which produces real same-tool runs
+    (P(run >= 3) per position ~ 8%). Identical CASE on both sides."""
+    d = _did_from_conv_turn(batch)
+    h = (d * 2654435761 + 17) % 7
+    tool = np.where(h < 3, "search", np.where(h < 5, "python", None))
+    return pa.table({
+        "conv_id": batch["conv_id"],
+        "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
+        "tool": pa.array(tool.astype(object), type=pa.string()),
+    })
+
+
+def q_tool_loops(sf_dir: str):
+    """Tool-call loop detection (stages/transcripts.tool_loops): per
+    conversation, maximal runs of consecutive same-tool turns —
+    n_tool_calls, n_runs, max_tool_run, n_loops (runs >= 3). Gate
+    corpus derives the tool column deterministically
+    (_derive_tool_kernel) so real loops exist. SQL-checked: DuckDB
+    gaps-and-islands twin (LAG break flags + running-sum island ids
+    over ALL turns, so tool-less turns break islands like the
+    kernel)."""
+    from cleanlab_ray.stages.transcripts import tool_loops
+
+    ds = load_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx"]).map_batches(
+        _derive_tool_kernel, batch_format="pyarrow")
+    return tool_loops(ds)
+
+
+def _make_tool_loops_sql() -> str:
+    from cleanlab_ray.stages.transcripts import TOOL_LOOP_MIN
+
+    return f"""
+WITH {_SQL_TR_CTE},
+j AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN h < 3 THEN 'search' WHEN h < 5 THEN 'python' END AS tool
+  FROM (SELECT conv_id, turn_idx,
+               (doc_id * 2654435761 + 17) % 7 AS h FROM tr)),
+b AS (
+  SELECT conv_id, turn_idx, tool,
+         CASE WHEN tool IS NOT NULL AND tool IS NOT DISTINCT FROM
+              LAG(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              THEN 0 ELSE 1 END AS brk
+  FROM j),
+i AS (
+  SELECT conv_id, tool,
+         SUM(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM b),
+runs AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS len
+  FROM i WHERE tool IS NOT NULL GROUP BY conv_id, isl)
+SELECT conv_id,
+  CAST(sum(len) AS BIGINT) AS n_tool_calls,
+  CAST(count(*) AS BIGINT) AS n_runs,
+  CAST(max(len) AS BIGINT) AS max_tool_run,
+  CAST(sum(CASE WHEN len >= {TOOL_LOOP_MIN} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_loops
+FROM runs GROUP BY 1
+"""
+
+
 QUERIES["pii_density"] = q_pii_density
 ORACLE_SQL["pii_density"] = _make_pii_density_sql()
 QUERIES["context_growth"] = q_context_growth
 ORACLE_SQL["context_growth"] = _make_context_growth_sql()
 QUERIES["template_spam"] = q_template_spam
 ORACLE_SQL["template_spam"] = _make_template_spam_sql()
+QUERIES["turn_latency"] = q_turn_latency
+ORACLE_SQL["turn_latency"] = SQL_TURN_LATENCY
+QUERIES["tool_loops"] = q_tool_loops
+ORACLE_SQL["tool_loops"] = _make_tool_loops_sql()
 
 
 # ---------------------------------------------------------------------------

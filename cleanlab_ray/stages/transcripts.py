@@ -780,3 +780,221 @@ def template_spam(ds, min_count: int = TEMPLATE_MIN_COUNT,
     per_t = _sorted_block_map(slim, "template", per_template)
     return global_top_k(per_t, ["n", "template"], k,
                         descending=[True, False])
+
+
+def turn_latency(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
+                 ts_col: str = "ts", role_col: str = "role"):
+    """Per-conversation inter-turn latency audit.
+
+    For every conversation (turns ordered by ``turn_col``): the count,
+    sum, min and max of the timestamp gaps between consecutive turns,
+    the number of ZERO gaps (batch-dumped / synthetic conversations
+    whose turns share one timestamp) and NEGATIVE gaps (clock
+    anomalies: ts decreasing in turn order), plus the count and sum of
+    user->assistant gaps specifically (assistant response latency).
+    Rows with a null timestamp are dropped (documented contract — the
+    SQL twin filters ``ts IS NOT NULL`` identically); a null role
+    never matches the user->assistant test. Single-turn conversations
+    emit n_gaps=0 with 0 sentinels for min/max/sum.
+
+    All outputs are exact int64 microseconds — bit-identical to the
+    DuckDB ``LAG() OVER (PARTITION BY conv ORDER BY turn)`` twin.
+
+    Scale shape: (conv, turn, ts_us, role-code) projected BEFORE the
+    exchange (text never moves); ONE conv-colocating sort, then a
+    vectorized in-block lexsort + diff per conversation run.
+    """
+
+    def slim(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch[ts_col])
+        b = batch.filter(keep) if batch.num_rows else batch
+        role = pc.fill_null(b[role_col], "")
+        return pa.table({
+            conv_col: b[conv_col],
+            turn_col: pc.cast(b[turn_col], pa.int32()),
+            "ts_us": pc.cast(b[ts_col], pa.int64()),
+            "is_user": pc.cast(pc.equal(role, "user"), pa.int8()),
+            "is_asst": pc.cast(pc.equal(role, "assistant"), pa.int8()),
+        })
+
+    def per_conv(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                conv_col: pa.array([], batch[conv_col].type),
+                "n_turns": pa.array([], pa.int64()),
+                "n_gaps": pa.array([], pa.int64()),
+                "gap_min_us": pa.array([], pa.int64()),
+                "gap_max_us": pa.array([], pa.int64()),
+                "gap_sum_us": pa.array([], pa.int64()),
+                "n_zero_gaps": pa.array([], pa.int64()),
+                "n_neg_gaps": pa.array([], pa.int64()),
+                "n_ua_gaps": pa.array([], pa.int64()),
+                "ua_gap_sum_us": pa.array([], pa.int64()),
+            })
+        conv = batch[conv_col].to_numpy(zero_copy_only=False)
+        turn = batch[turn_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        iu = batch["is_user"].to_numpy(zero_copy_only=False).astype(bool)
+        ia = batch["is_asst"].to_numpy(zero_copy_only=False).astype(bool)
+        starts = _run_starts(conv)
+        rid = np.repeat(np.arange(len(starts)),
+                        np.diff(np.append(starts, len(conv))))
+        order = np.lexsort((turn, rid))
+        r2, t2, u2, a2 = rid[order], ts[order], iu[order], ia[order]
+        s2 = _run_starts(r2)
+        nrun = np.diff(np.append(s2, len(r2)))
+        gap = np.diff(t2)  # gap[i] = t2[i+1] - t2[i]
+        # a gap is INTERNAL to a run iff position i+1 is not a run start
+        internal = np.ones(len(gap), dtype=bool)
+        internal[s2[1:] - 1] = False
+        # per-gap run id = run of the RIGHT endpoint
+        grid = r2[1:]
+        ua = internal & u2[:-1] & a2[1:]
+
+        def run_agg(vals, op, fill):
+            out = np.full(len(s2), fill, dtype=np.int64)
+            m = internal
+            if not m.any():
+                return out
+            gr, gv = grid[m], vals[m]
+            srt = np.argsort(gr, kind="stable")
+            gr, gv = gr[srt], gv[srt]
+            rs = _run_starts(gr)
+            agg = op.reduceat(gv, rs)
+            out[gr[rs]] = agg
+            return out
+
+        gv = gap.copy()
+        n_gaps = run_agg(np.ones(len(gap), dtype=np.int64), np.add, 0)
+        gmin = run_agg(gv, np.minimum, 0)
+        gmax = run_agg(gv, np.maximum, 0)
+        gsum = run_agg(gv, np.add, 0)
+        nzero = run_agg((gap == 0).astype(np.int64), np.add, 0)
+        nneg = run_agg((gap < 0).astype(np.int64), np.add, 0)
+        # user->assistant gaps: mask others out of the count/sum
+        ua_n = np.full(len(s2), 0, dtype=np.int64)
+        ua_sum = np.full(len(s2), 0, dtype=np.int64)
+        m = internal & ua
+        if m.any():
+            gr, c, v = grid[m], np.ones(m.sum(), dtype=np.int64), gap[m]
+            srt = np.argsort(gr, kind="stable")
+            gr, c, v = gr[srt], c[srt], v[srt]
+            rs = _run_starts(gr)
+            ua_n[gr[rs]] = np.add.reduceat(c, rs)
+            ua_sum[gr[rs]] = np.add.reduceat(v, rs)
+        # min/max sentinels must be 0 when a run has no gaps
+        gmin[n_gaps == 0] = 0
+        gmax[n_gaps == 0] = 0
+        return pa.table({
+            conv_col: pa.array(conv[starts]),
+            "n_turns": pa.array(nrun.astype(np.int64)),
+            "n_gaps": pa.array(n_gaps),
+            "gap_min_us": pa.array(gmin),
+            "gap_max_us": pa.array(gmax),
+            "gap_sum_us": pa.array(gsum),
+            "n_zero_gaps": pa.array(nzero),
+            "n_neg_gaps": pa.array(nneg),
+            "n_ua_gaps": pa.array(ua_n),
+            "ua_gap_sum_us": pa.array(ua_sum),
+        })
+
+    slimmed = ds.select_columns(
+        [conv_col, turn_col, ts_col, role_col]).map_batches(
+        slim, batch_format="pyarrow")
+    return _sorted_block_map(slimmed, conv_col, per_conv)
+
+
+TOOL_LOOP_MIN = 3  # default "stuck in a tool loop" run length
+
+
+def tool_loops(ds, loop_min: int = TOOL_LOOP_MIN, conv_col: str = "conv_id",
+               turn_col: str = "turn_idx", tool_col: str = "tool"):
+    """Tool-call loop detection: per conversation, maximal runs of
+    CONSECUTIVE turns (in turn order) invoking the SAME non-null tool.
+    A turn with a different tool — or no tool — breaks the run. Emits
+    one row per conversation that makes at least one tool call:
+    n_tool_calls, n_runs (maximal same-tool runs), max_tool_run (the
+    longest), and n_loops (runs of length >= ``loop_min`` — the
+    agent-stuck-retrying signal).
+
+    SQL twin: DuckDB gaps-and-islands (LAG break flags + running sum
+    island ids over ALL turns, so an intervening tool-less turn breaks
+    the island exactly like the kernel).
+
+    Scale shape: (conv, turn, tool) projected before the exchange; ONE
+    conv-colocating sort; vectorized in-block run detection.
+    """
+    lm = int(loop_min)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            conv_col: batch[conv_col],
+            turn_col: pc.cast(batch[turn_col], pa.int32()),
+            tool_col: batch[tool_col],
+        })
+
+    def per_conv(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                conv_col: pa.array([], batch[conv_col].type),
+                "n_tool_calls": pa.array([], pa.int64()),
+                "n_runs": pa.array([], pa.int64()),
+                "max_tool_run": pa.array([], pa.int64()),
+                "n_loops": pa.array([], pa.int64()),
+            })
+        conv = batch[conv_col].to_numpy(zero_copy_only=False)
+        turn = batch[turn_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        tcol = batch[tool_col]
+        tc = tcol.combine_chunks() if isinstance(
+            tcol, pa.ChunkedArray) else tcol
+        enc = tc.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False)
+        code = np.where(np.isnan(code.astype(np.float64)), -1,
+                        np.nan_to_num(code.astype(np.float64), nan=-1)
+                        ).astype(np.int64) if code.dtype.kind == "f" else (
+            code.astype(np.int64))
+        valid = tc.is_valid().to_numpy(zero_copy_only=False)
+        code = np.where(valid, code, -1)
+        starts = _run_starts(conv)
+        rid = np.repeat(np.arange(len(starts)),
+                        np.diff(np.append(starts, len(conv))))
+        order = np.lexsort((turn, rid))
+        r2, c2 = rid[order], code[order]
+        # break before i when run changes, tool changes, or tool is null
+        brk = np.ones(len(r2), dtype=bool)
+        if len(r2) > 1:
+            brk[1:] = (r2[1:] != r2[:-1]) | (c2[1:] != c2[:-1])
+        brk |= c2 == -1
+        isl = np.cumsum(brk) - 1
+        m = c2 != -1
+        if not m.any():
+            return pa.table({
+                conv_col: pa.array([], batch[conv_col].type),
+                "n_tool_calls": pa.array([], pa.int64()),
+                "n_runs": pa.array([], pa.int64()),
+                "max_tool_run": pa.array([], pa.int64()),
+                "n_loops": pa.array([], pa.int64()),
+            })
+        isl_m, rid_m = isl[m], r2[m]
+        rs = _run_starts(isl_m)  # islands are consecutive among kept rows
+        run_len = np.diff(np.append(rs, len(isl_m))).astype(np.int64)
+        run_rid = rid_m[rs]
+        # per-conversation rollup over its runs
+        srt = np.argsort(run_rid, kind="stable")
+        run_rid, run_len = run_rid[srt], run_len[srt]
+        cs = _run_starts(run_rid)
+        n_calls = np.add.reduceat(run_len, cs)
+        n_runs = np.diff(np.append(cs, len(run_rid))).astype(np.int64)
+        max_run = np.maximum.reduceat(run_len, cs)
+        n_loops = np.add.reduceat((run_len >= lm).astype(np.int64), cs)
+        return pa.table({
+            conv_col: pa.array(conv[starts][run_rid[cs]]),
+            "n_tool_calls": pa.array(n_calls),
+            "n_runs": pa.array(n_runs),
+            "max_tool_run": pa.array(max_run),
+            "n_loops": pa.array(n_loops),
+        })
+
+    slimmed = ds.select_columns([conv_col, turn_col, tool_col]).map_batches(
+        slim, batch_format="pyarrow")
+    return _sorted_block_map(slimmed, conv_col, per_conv)

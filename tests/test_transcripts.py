@@ -536,3 +536,135 @@ def test_template_spam_fixture_corpus(ray_session, small_corpus):
            for r in template_spam(ds, min_count=2, k=50,
                                   prefix_words=2).take_all()]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# turn_latency / tool_loops
+# ---------------------------------------------------------------------------
+
+def _latency_oracle(rows):
+    """rows: (conv, turn, role, ts_us). Per conv LAG-gap stats."""
+    per = {}
+    by = {}
+    for conv, turn, role, ts in rows:
+        if ts is None:
+            continue
+        by.setdefault(conv, []).append((turn, role, ts))
+    for conv, turns in by.items():
+        turns.sort()
+        gaps = [(turns[i + 1][2] - turns[i][2],
+                 turns[i][1], turns[i + 1][1]) for i in range(len(turns) - 1)]
+        ua = [g for g, pr, cr in gaps if pr == "user" and cr == "assistant"]
+        gv = [g for g, _, _ in gaps]
+        per[conv] = (
+            len(turns), len(gv),
+            min(gv) if gv else 0, max(gv) if gv else 0, sum(gv),
+            sum(1 for g in gv if g == 0), sum(1 for g in gv if g < 0),
+            len(ua), sum(ua),
+        )
+    return per
+
+
+def test_turn_latency(ray_session):
+    from cleanlab_ray.stages.transcripts import turn_latency
+
+    rows = [  # (conv, turn, role, ts_us) — out of order across blocks
+        ("a", 2, "tool", 5_000_000),
+        ("a", 0, "user", 1_000_000),
+        ("a", 1, "assistant", 4_000_000),   # ua gap 3s
+        ("a", 3, "assistant", 5_000_000),   # zero gap
+        ("b", 0, "user", 9_000_000),
+        ("b", 1, "assistant", 7_000_000),   # NEGATIVE ua gap (clock anomaly)
+        ("c", 5, "user", 1_000_000),        # single turn: all sentinels 0
+    ]
+    ds = _full_ds([(c, t, r, "x", None, ts) for c, t, r, ts in rows])
+    got = {r["conv_id"]: (r["n_turns"], r["n_gaps"], r["gap_min_us"],
+                          r["gap_max_us"], r["gap_sum_us"], r["n_zero_gaps"],
+                          r["n_neg_gaps"], r["n_ua_gaps"], r["ua_gap_sum_us"])
+           for r in turn_latency(ds).take_all()}
+    assert got == _latency_oracle(rows)
+    assert got["a"] == (4, 3, 0, 3_000_000, 4_000_000, 1, 0, 1, 3_000_000)
+    assert got["b"] == (2, 1, -2_000_000, -2_000_000, -2_000_000, 0, 1,
+                        1, -2_000_000)
+    assert got["c"] == (1, 0, 0, 0, 0, 0, 0, 0, 0)
+    assert turn_latency(_full_ds([], blocks=1)).count() == 0
+
+
+def test_turn_latency_fixture(ray_session, small_corpus):
+    import ray.data as rd
+
+    from cleanlab_ray.stages.transcripts import turn_latency
+
+    ds = rd.from_arrow(small_corpus).repartition(6)
+    tbl = small_corpus.to_pydict()
+    rows = [(c, t, r, ts.timestamp() * 1e6 if hasattr(ts, "timestamp") else ts)
+            for c, t, r, ts in zip(tbl["conv_id"], tbl["turn_idx"],
+                                   tbl["role"], tbl["ts"])]
+    rows = [(c, t, r, int(round(ts)) if ts is not None else None)
+            for c, t, r, ts in rows]
+    got = {r["conv_id"]: (r["n_turns"], r["n_gaps"], r["gap_min_us"],
+                          r["gap_max_us"], r["gap_sum_us"], r["n_zero_gaps"],
+                          r["n_neg_gaps"], r["n_ua_gaps"], r["ua_gap_sum_us"])
+           for r in turn_latency(ds).take_all()}
+    assert got == _latency_oracle(rows)
+
+
+def _loops_oracle(rows, loop_min=3):
+    """rows: (conv, turn, tool). Per conv same-tool run stats."""
+    by = {}
+    for conv, turn, tool in rows:
+        by.setdefault(conv, []).append((turn, tool))
+    out = {}
+    for conv, turns in by.items():
+        turns.sort()
+        runs = []
+        prev = None
+        for _, tool in turns:
+            if tool is not None and tool == prev:
+                runs[-1] += 1
+            elif tool is not None:
+                runs.append(1)
+            prev = tool
+        if runs:
+            out[conv] = (sum(runs), len(runs), max(runs),
+                         sum(1 for r in runs if r >= loop_min))
+    return out
+
+
+def test_tool_loops(ray_session):
+    from cleanlab_ray.stages.transcripts import tool_loops
+
+    rows = [  # (conv, turn, tool)
+        ("a", 0, "search"), ("a", 1, "search"), ("a", 2, "search"),  # loop of 3
+        ("a", 3, None), ("a", 4, "search"),       # null breaks: new run of 1
+        ("b", 0, "search"), ("b", 1, "python"), ("b", 2, "python"),
+        ("c", 0, None), ("c", 1, None),           # no tool calls: no row
+        ("d", 7, "x"), ("d", 9, "x"),             # turn-idx gap, adjacent order
+    ]
+    ds = _full_ds([(c, t, "user", "w", tool, 0) for c, t, tool in rows])
+    got = {r["conv_id"]: (r["n_tool_calls"], r["n_runs"], r["max_tool_run"],
+                          r["n_loops"]) for r in tool_loops(ds).take_all()}
+    assert got == _loops_oracle(rows)
+    assert got["a"] == (4, 2, 3, 1)
+    assert got["b"] == (3, 2, 2, 0)
+    assert "c" not in got
+    assert got["d"] == (2, 1, 2, 0)
+    # loop_min=2 counts both of a's... no: a has runs [3, 1] -> one loop;
+    # b's python run of 2 now counts
+    got2 = {r["conv_id"]: r["n_loops"]
+            for r in tool_loops(ds, loop_min=2).take_all()}
+    assert got2 == {c: v[3] for c, v in _loops_oracle(rows, 2).items()}
+    assert tool_loops(_full_ds([], blocks=1)).count() == 0
+
+
+def test_tool_loops_fixture(ray_session, small_corpus):
+    import ray.data as rd
+
+    from cleanlab_ray.stages.transcripts import tool_loops
+
+    ds = rd.from_arrow(small_corpus).repartition(6)
+    tbl = small_corpus.to_pydict()
+    rows = list(zip(tbl["conv_id"], tbl["turn_idx"], tbl["tool"]))
+    got = {r["conv_id"]: (r["n_tool_calls"], r["n_runs"], r["max_tool_run"],
+                          r["n_loops"]) for r in tool_loops(ds).take_all()}
+    assert got == _loops_oracle(rows)
