@@ -7060,11 +7060,14 @@ def _derive_tool_kernel(batch: pa.Table) -> pa.Table:
     """Deterministic tool-column derivation for the tool_loops gate
     query: the derived transcripts put 'search' only on every third
     turn (runs never exceed 1), so the registered query re-derives
-    tool from h = (did*2654435761 + 17) % 7 — 'search' (h<3),
-    'python' (h<5), or no tool — which produces real same-tool runs
-    (P(run >= 3) per position ~ 8%). Identical CASE on both sides."""
+    tool from h = xor(did*2654435761 % 2^31, did*40503 % 2^31) % 7 —
+    'search' (h<3), 'python' (h<5), or no tool. The XOR of two
+    incommensurate multiplies is non-affine in did (a single multiply
+    mod 7 steps by a constant, capping runs at 2), so real same-tool
+    runs occur: lengths 1-8, ~11% of runs >= 3. Identical CASE on
+    both sides."""
     d = _did_from_conv_turn(batch)
-    h = (d * 2654435761 + 17) % 7
+    h = np.bitwise_xor((d * 2654435761) % 2**31, (d * 40503) % 2**31) % 7
     tool = np.where(h < 3, "search", np.where(h < 5, "python", None))
     return pa.table({
         "conv_id": batch["conv_id"],
@@ -7099,7 +7102,8 @@ j AS (
   SELECT conv_id, turn_idx,
          CASE WHEN h < 3 THEN 'search' WHEN h < 5 THEN 'python' END AS tool
   FROM (SELECT conv_id, turn_idx,
-               (doc_id * 2654435761 + 17) % 7 AS h FROM tr)),
+               xor((doc_id * 2654435761) % 2147483648,
+                   (doc_id * 40503) % 2147483648) % 7 AS h FROM tr)),
 b AS (
   SELECT conv_id, turn_idx, tool,
          CASE WHEN tool IS NOT NULL AND tool IS NOT DISTINCT FROM
