@@ -7194,7 +7194,11 @@ _PRIORITY_WINDOW = [
     # replayed hash-exact at this HEAD — ceded its slot to
     # template_spam.)
     "data_valuation", "crowdlab_ensemble",
-    "annotator_quality", "active_learning",
+    "annotator_quality",
+    # (active_learning — r04 green; the fused multiannotator exchange
+    # stays double-gated by crowdlab_ensemble + annotator_quality;
+    # replayed hash-exact at sf0.01 at this HEAD — ceded its slot to
+    # turn_latency below)
     "top_issues", "perplexity_buckets",
     "dup_components", "incremental_ingest",
     "semdedup", "bloom_semijoin",
@@ -7212,6 +7216,7 @@ _PRIORITY_WINDOW = [
     "turn_repetition", "conv_structure_audit", "role_transitions",
     "turn_echo", "conv_exact_dedup", "conv_length_drift",
     "pii_density", "context_growth", "template_spam",
+    "turn_latency", "tool_loops",
     # (b-note) four more final-session refactors (dsir_weights,
     # decontaminate_docs, chunk_documents, pack_sequences) are
     # behavior-identical on valid inputs (shared-helper reuse + loud
@@ -7224,8 +7229,11 @@ _PRIORITY_WINDOW = [
     # scoring chain end-to-end (scrub + langid + ppl + softmax +
     # self-confidence + confident joint + bottom-T decision), so
     # self_confidence (green r01–r04, value-covered by the flagship
-    # row) ceded its slot to leakage_safe_split
-    "flagship_quality_filter", "confident_joint",
+    # row) ceded its slot to leakage_safe_split, and confident_joint
+    # (green r01–r04, its K×K counts are an intermediate of the same
+    # SQL-checked flagship chain; replayed hash-exact at sf0.01 at
+    # this HEAD) ceded its slot to tool_loops above
+    "flagship_quality_filter",
     # (d) near_dup_documents / langid_documents (green r03, unchanged,
     # replay-validated at HEAD) gave up their slots to the new
     # transcript-structure operators in (b2) — a first driver row for
