@@ -210,6 +210,8 @@ def run_bench() -> dict:
         "pii_density",
         "context_growth",
         "template_spam",
+        "turn_latency",
+        "tool_loops",
     ]
     # best-of-2 per query: the first run pays one-time per-worker kernel
     # warmups (numpy, regex, model tables) that aren't steady-state
