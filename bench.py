@@ -212,6 +212,9 @@ def run_bench() -> dict:
         "template_spam",
         "turn_latency",
         "tool_loops",
+        "refusal_rate",
+        "latency_sessions",
+        "conv_near_dup",
     ]
     # best-of-2 per query: the first run pays one-time per-worker kernel
     # warmups (numpy, regex, model tables) that aren't steady-state

@@ -7128,6 +7128,248 @@ FROM runs GROUP BY 1
 """
 
 
+def _inject_refusal_kernel(batch: pa.Table) -> pa.Table:
+    """Deterministic refusal injection for the refusal_rate gate query:
+    the derived transcripts contain no refusal phrasing, so the
+    registered query appends doc_id-keyed canned refusals — a
+    lower-case "I'm sorry, but I cannot help with that." on did%9==2
+    and a mixed-case "As An AI I am UNABLE to comply." on did%21==8
+    (exercising the (?i) path) — to assistant turns only via the
+    operator's own role test. Pure function of (conv_id, turn_idx);
+    the SQL twin replicates it verbatim."""
+    d = _did_from_conv_turn(batch)
+    suf = np.where(d % 9 == 2, " I'm sorry, but I cannot help with that.", "")
+    suf = np.char.add(
+        suf, np.where(d % 21 == 8, " As An AI I am UNABLE to comply.", ""))
+    txt = pc.binary_join_element_wise(
+        pc.cast(pc.fill_null(batch["text"], ""), pa.large_string()),
+        pc.cast(pa.array(suf.astype(object)), pa.large_string()),
+        pa.scalar("", pa.large_string()))
+    return pa.table({
+        "conv_id": batch["conv_id"],
+        "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
+        "role": batch["role"],
+        "text": txt,
+    })
+
+
+def q_refusal_rate(sf_dir: str):
+    """Per-conversation assistant-refusal audit
+    (stages/transcripts.refusal_rate): refusal count / rate / first
+    refusal turn over a shared RE2 pattern bank. Gate corpus carries
+    deterministic doc_id-keyed refusal suffixes (_inject_refusal_kernel
+    — the derived transcripts contain none). SQL-checked: DuckDB
+    injects identically and matches the same RE2 pattern with
+    regexp_matches."""
+    from cleanlab_ray.stages.transcripts import refusal_rate
+
+    ds = load_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "text"]).map_batches(
+        _inject_refusal_kernel, batch_format="pyarrow")
+    return refusal_rate(ds)
+
+
+def _make_refusal_rate_sql() -> str:
+    from cleanlab_ray.stages.transcripts import REFUSAL_PATTERN
+
+    pat = REFUSAL_PATTERN.replace("'", "''")
+    return f"""
+WITH {_SQL_TR_CTE},
+inj AS (
+  SELECT conv_id, turn_idx, role,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 9 = 2
+                 THEN ' I''m sorry, but I cannot help with that.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 21 = 8
+                 THEN ' As An AI I am UNABLE to comply.' ELSE '' END AS t
+  FROM tr),
+f AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN role = 'assistant' AND regexp_matches(t, '{pat}')
+              THEN 1 ELSE 0 END AS ref
+  FROM inj)
+SELECT conv_id,
+  CAST(count(*) AS BIGINT) AS n_turns,
+  CAST(sum(is_a) AS BIGINT) AS n_assistant,
+  CAST(sum(ref) AS BIGINT) AS n_refusals,
+  CAST(CASE WHEN sum(is_a) > 0
+            THEN floor(sum(ref) * 1000000.0 / sum(is_a) + 0.5)
+            ELSE 0 END AS BIGINT) AS refusal_frac_e6,
+  CAST(coalesce(min(CASE WHEN ref = 1 THEN turn_idx END), -1) AS BIGINT)
+    AS first_refusal_turn
+FROM f GROUP BY 1
+"""
+
+
+def _jitter_session_ts_kernel(batch: pa.Table) -> pa.Table:
+    """Deterministic timestamp jitter for the latency_sessions gate
+    query: base turns are spaced exactly 1s apart, so the registered
+    query adds a NON-AFFINE doc_id-keyed jitter of
+    xor(did*2654435761 % 2^31, did*40503 % 2^31) % 11 seconds — gaps
+    then range -9s..+11s, splitting real sessions at the 5s default
+    threshold. Pure int64 on both sides."""
+    d = _did_from_conv_turn(batch)
+    ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    jit = np.bitwise_xor((d * 2654435761) % 2**31,
+                         (d * 40503) % 2**31) % 11 * 1_000_000
+    return pa.table({
+        "conv_id": batch["conv_id"],
+        "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
+        "ts": pa.array(ts_us + jit).cast(pa.timestamp("us")),
+    })
+
+
+def q_latency_sessions(sf_dir: str):
+    """Per-conversation sessionization by idle gaps
+    (stages/transcripts.latency_sessions): n_sessions /
+    max_session_turns / idle_us at the 5s default threshold. Gate
+    corpus carries a deterministic non-affine timestamp jitter
+    (_jitter_session_ts_kernel) so real session splits exist.
+    SQL-checked: LAG gaps -> running-sum session ids -> per-session
+    lengths, identically derived."""
+    from cleanlab_ray.stages.transcripts import latency_sessions
+
+    ds = load_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "ts"]).map_batches(
+        _jitter_session_ts_kernel, batch_format="pyarrow")
+    return latency_sessions(ds)
+
+
+def _make_latency_sessions_sql() -> str:
+    from cleanlab_ray.stages.transcripts import SESSION_GAP_US
+
+    return f"""
+WITH {_SQL_TR_CTE},
+j AS (
+  SELECT conv_id, turn_idx,
+         ts_us + xor((doc_id * 2654435761) % 2147483648,
+                     (doc_id * 40503) % 2147483648) % 11 * 1000000 AS ts_us
+  FROM tr),
+g AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN ts_us - LAG(ts_us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk,
+         CASE WHEN ts_us - LAG(ts_us) OVER w > {SESSION_GAP_US}
+              THEN ts_us - LAG(ts_us) OVER w ELSE 0 END AS idle
+  FROM j WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+s AS (
+  SELECT conv_id, idle,
+         SUM(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g),
+sess AS (
+  SELECT conv_id, sid, CAST(count(*) AS BIGINT) AS len,
+         CAST(sum(idle) AS BIGINT) AS idle_part
+  FROM s GROUP BY 1, 2)
+SELECT conv_id,
+  CAST(sum(len) AS BIGINT) AS n_turns,
+  CAST(count(*) AS BIGINT) AS n_sessions,
+  CAST(max(len) AS BIGINT) AS max_session_turns,
+  CAST(sum(idle_part) AS BIGINT) AS idle_us
+FROM sess GROUP BY 1
+"""
+
+
+def _derive_neardup_text_kernel(batch: pa.Table) -> pa.Table:
+    """Deterministic near-duplicate-conversation corpus for the
+    conv_near_dup gate query: conversations come in groups of 4
+    (gid = conv // 4); every member shares the same 8 turn texts
+    'g{{gid}} t{{turn}}' except member j>0 mutates turn j-1 to
+    'g{{gid}} t{{turn}} v{{j}}' — members of a group share 7 of 8
+    turns (controlled near-dups), different groups share nothing.
+    Pure function of (conv_id, turn_idx); the SQL twin replicates it
+    verbatim."""
+    num = pc.cast(pc.utf8_slice_codeunits(batch["conv_id"], 1, 64),
+                  pa.int64()).to_numpy(zero_copy_only=False)
+    turn = pc.cast(batch["turn_idx"], pa.int64()).to_numpy(
+        zero_copy_only=False)
+    gid = num // 4
+    member = num % 4
+    base = np.char.add(
+        np.char.add("g", gid.astype(str)),
+        np.char.add(" t", turn.astype(str)))
+    mut = (member > 0) & (turn == member - 1)
+    txt = np.where(mut,
+                   np.char.add(np.char.add(base, " v"), member.astype(str)),
+                   base)
+    return pa.table({
+        "conv_id": batch["conv_id"],
+        "text": pa.array(txt.astype(object), type=pa.string()),
+    })
+
+
+def q_conv_near_dup(sf_dir: str):
+    """Near-duplicate conversation candidate pairs
+    (stages/transcripts.conv_near_dup): MinHash-LSH over per-turn
+    content hashes. Gate corpus derives controlled near-dup groups
+    (_derive_neardup_text_kernel: groups of 4 sharing 7 of 8 turn
+    texts). SQL-checked: DuckDB reproduces the documented polynomial
+    turn hash, the 8 signature mins, the band keys and the pair
+    counts exactly (both engines are deterministic, so LSH
+    probabilism does not affect parity)."""
+    from cleanlab_ray.stages.transcripts import conv_near_dup
+
+    ds = load_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx"]).map_batches(
+        _derive_neardup_text_kernel, batch_format="pyarrow")
+    return conv_near_dup(ds)
+
+
+def _make_conv_near_dup_sql() -> str:
+    from cleanlab_ray.stages.transcripts import (
+        CONV_BAND_ROWS,
+        CONV_MINHASH_TRANSFORMS,
+    )
+
+    mins = ",\n         ".join(
+        f"min(CAST(((h * {a}::HUGEINT + {b}::HUGEINT)"
+        f" % 18446744073709551616::HUGEINT)"
+        f" % 9223372036854775808::HUGEINT AS BIGINT)) AS m{k}"
+        for k, (a, b) in enumerate(CONV_MINHASH_TRANSFORMS))
+    n_bands = len(CONV_MINHASH_TRANSFORMS) // CONV_BAND_ROWS
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT conv_id, {b} AS band,"
+        f" xor(CAST((m{CONV_BAND_ROWS * b}::HUGEINT * 2654435761)"
+        f" % 9223372036854775808::HUGEINT AS BIGINT),"
+        f" m{CONV_BAND_ROWS * b + 1}) AS key FROM sig"
+        for b in range(n_bands))
+    return f"""
+WITH {_SQL_TR_CTE},
+d AS (
+  SELECT conv_id,
+         'g' || CAST((doc_id // 8) // 4 AS VARCHAR)
+         || ' t' || CAST(doc_id % 8 AS VARCHAR)
+         || CASE WHEN (doc_id // 8) % 4 > 0
+                  AND doc_id % 8 = (doc_id // 8) % 4 - 1
+                 THEN ' v' || CAST((doc_id // 8) % 4 AS VARCHAR)
+                 ELSE '' END AS dtext
+  FROM tr),
+fp AS (
+  SELECT conv_id,
+         list_reduce(
+           list_prepend(CAST(0 AS HUGEINT),
+             [CAST(unicode(c) AS HUGEINT)
+              for c in string_split_regex(dtext, '') IF c <> '']),
+           (h, b) -> (h * 1099511628211 + b) % 18446744073709551616::HUGEINT
+         ) AS h
+  FROM d),
+sig AS (
+  SELECT conv_id,
+         {mins}
+  FROM fp GROUP BY 1),
+bands AS (
+{band_selects})
+SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+       CAST(count(*) AS BIGINT) AS n_shared_bands
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.key = b.key AND a.conv_id < b.conv_id
+GROUP BY 1, 2
+"""
+
+
 QUERIES["pii_density"] = q_pii_density
 ORACLE_SQL["pii_density"] = _make_pii_density_sql()
 QUERIES["context_growth"] = q_context_growth
@@ -7138,6 +7380,12 @@ QUERIES["turn_latency"] = q_turn_latency
 ORACLE_SQL["turn_latency"] = SQL_TURN_LATENCY
 QUERIES["tool_loops"] = q_tool_loops
 ORACLE_SQL["tool_loops"] = _make_tool_loops_sql()
+QUERIES["refusal_rate"] = q_refusal_rate
+ORACLE_SQL["refusal_rate"] = _make_refusal_rate_sql()
+QUERIES["latency_sessions"] = q_latency_sessions
+ORACLE_SQL["latency_sessions"] = _make_latency_sessions_sql()
+QUERIES["conv_near_dup"] = q_conv_near_dup
+ORACLE_SQL["conv_near_dup"] = _make_conv_near_dup_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -7173,9 +7421,22 @@ _PRIORITY_WINDOW = [
     # + global_top_k rewires + rank-bucket fan-outs + kmeans seeding
     # + crowdlab null/empty-block fixes) — ALL of them, so no changed
     # operator escapes the gate this round
-    "noisy_labels", "ngram_jaccard_pairs", "conv_pooling",
-    "ann_ivf", "ann_topk", "ann_lsh",
-    "object_detection_ap", "od_label_quality",
+    # (noisy_labels — r04 green; its r5 change is the theoretical
+    # last-histogram-bin bound (P≈N/2^64, unreachable at any test
+    # scale); replayed hash-exact at sf0.01 at this HEAD — ceded its
+    # slot to refusal_rate below)
+    "ngram_jaccard_pairs", "conv_pooling",
+    # (ann_topk — r≤3 green; the r5 sorted-run merge rewrite is SHARED
+    # by all three ANN variants and stays double-gated by ann_ivf +
+    # ann_lsh, whose variant-specific paths are supersets of the
+    # brute-force one; replayed hash-exact at sf0.01 at this HEAD —
+    # ceded its slot to latency_sessions below)
+    "ann_ivf", "ann_lsh",
+    # (object_detection_ap — r≤3 green; the r5 small-n-safety change is
+    # shared with od_label_quality, which stays and exercises the same
+    # per-class AP machinery plus more; replayed hash-exact at sf0.01
+    # at this HEAD — ceded its slot to conv_near_dup below)
+    "od_label_quality",
     # (annotator_consensus — r04 green; the fused multiannotator path
     # is still gated by crowdlab_consensus / crowdlab_ensemble /
     # annotator_quality / active_learning; replayed hash-exact at
@@ -7217,6 +7478,7 @@ _PRIORITY_WINDOW = [
     "turn_echo", "conv_exact_dedup", "conv_length_drift",
     "pii_density", "context_growth", "template_spam",
     "turn_latency", "tool_loops",
+    "refusal_rate", "latency_sessions", "conv_near_dup",
     # (b-note) four more final-session refactors (dsir_weights,
     # decontaminate_docs, chunk_documents, pack_sequences) are
     # behavior-identical on valid inputs (shared-helper reuse + loud

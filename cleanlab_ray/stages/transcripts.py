@@ -998,3 +998,307 @@ def tool_loops(ds, loop_min: int = TOOL_LOOP_MIN, conv_col: str = "conv_id",
     slimmed = ds.select_columns([conv_col, turn_col, tool_col]).map_batches(
         slim, batch_format="pyarrow")
     return _sorted_block_map(slimmed, conv_col, per_conv)
+
+
+# One RE2 pattern bank, shared by the engine kernel and the DuckDB
+# oracle (both are RE2 — identical match semantics). Inline (?i) keeps
+# case-insensitivity portable across the two engines.
+REFUSAL_PATTERN = (
+    r"(?i)(i cannot|i can't|i am unable|i'm unable|as an ai"
+    r"|i won't be able|i'm sorry, but|i am sorry, but)"
+)
+
+
+def refusal_rate(ds, pattern: str = REFUSAL_PATTERN,
+                 conv_col: str = "conv_id", turn_col: str = "turn_idx",
+                 role_col: str = "role", text_col: str = "text"):
+    """Per-conversation assistant-refusal audit.
+
+    A REFUSAL turn is an assistant turn whose text matches
+    ``pattern`` (RE2, case-insensitive by default — canned
+    "I cannot / as an AI / I'm sorry, but" openers). Emits one row per
+    conversation: n_turns, n_assistant, n_refusals, refusal_frac_e6
+    (refusals per assistant turn, fixed-point 1e6; 0 when the
+    conversation has no assistant turns) and first_refusal_turn (the
+    smallest turn_idx of a refusal; -1 if none) — the
+    training-data-quality signal for agent transcripts dominated by
+    refusals or degenerating into them.
+
+    Scale shape: the regex runs as ONE vectorized RE2 pass per block
+    (`pc.match_substring_regex`) on raw text; the exchange is one
+    conv-keyed sorted-run aggregate moving 3 small ints per turn —
+    text never shuffles.
+    """
+    _SENTINEL = np.int64(2**62)
+
+    def features(batch: pa.Table) -> pa.Table:
+        role = pc.fill_null(batch[role_col], "")
+        is_a = pc.equal(role, "assistant")
+        txt = pc.fill_null(batch[text_col], "")
+        hit = pc.match_substring_regex(txt, pattern)
+        ref = pc.and_(is_a, hit)
+        refi = pc.cast(ref, pa.int64())
+        turn = pc.cast(batch[turn_col], pa.int64())
+        first = pc.if_else(ref, turn, pa.scalar(_SENTINEL, pa.int64()))
+        return pa.table({
+            conv_col: batch[conv_col],
+            "is_asst": pc.cast(is_a, pa.int64()),
+            "refusal": refi,
+            "first_ref": first,
+        })
+
+    agg = sorted_group_agg(
+        ds.select_columns([conv_col, turn_col, role_col, text_col])
+          .map_batches(features, batch_format="pyarrow"),
+        conv_col,
+        {"is_asst": "sum", "refusal": "sum", "first_ref": "min",
+         conv_col: "count"},
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        n_ref = batch["sum(refusal)"].to_numpy(zero_copy_only=False)
+        n_asst = batch["sum(is_asst)"].to_numpy(zero_copy_only=False)
+        first = batch["min(first_ref)"].to_numpy(zero_copy_only=False)
+        first = np.where(n_ref > 0, first, -1).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = np.where(
+                n_asst > 0,
+                np.floor(n_ref * 1_000_000.0 / np.maximum(n_asst, 1) + 0.5),
+                0.0).astype(np.int64)
+        return pa.table({
+            conv_col: batch[conv_col],
+            "n_turns": batch[f"count({conv_col})"],
+            "n_assistant": batch["sum(is_asst)"],
+            "n_refusals": batch["sum(refusal)"],
+            "refusal_frac_e6": pa.array(frac),
+            "first_refusal_turn": pa.array(first),
+        })
+
+    return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+SESSION_GAP_US = 5_000_000  # default idle gap that splits sessions (5s)
+
+
+def latency_sessions(ds, gap_us: int = SESSION_GAP_US,
+                     conv_col: str = "conv_id", turn_col: str = "turn_idx",
+                     ts_col: str = "ts"):
+    """Per-conversation sessionization by inter-turn idle gaps.
+
+    Turns (ordered by ``turn_col``) belong to the same session until a
+    gap STRICTLY greater than ``gap_us`` microseconds separates them.
+    Emits one row per conversation: n_turns, n_sessions,
+    max_session_turns (longest session) and idle_us (the summed
+    microseconds of the session-splitting gaps) — the resumed-thread /
+    multi-sitting signal for packing and context-window planning.
+    Rows with a null timestamp are dropped (same contract as
+    :func:`turn_latency`); negative gaps (clock anomalies) never split.
+
+    Scale shape: (conv, turn, ts_us) projected BEFORE the exchange;
+    ONE conv-colocating sort, vectorized in-block lexsort + diff +
+    island reduceat per conversation run.
+    """
+    g = np.int64(gap_us)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch[ts_col])
+        b = batch.filter(keep) if batch.num_rows else batch
+        return pa.table({
+            conv_col: b[conv_col],
+            turn_col: pc.cast(b[turn_col], pa.int32()),
+            "ts_us": pc.cast(b[ts_col], pa.int64()),
+        })
+
+    def per_conv(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                conv_col: pa.array([], batch[conv_col].type),
+                "n_turns": pa.array([], pa.int64()),
+                "n_sessions": pa.array([], pa.int64()),
+                "max_session_turns": pa.array([], pa.int64()),
+                "idle_us": pa.array([], pa.int64()),
+            })
+        conv = batch[conv_col].to_numpy(zero_copy_only=False)
+        turn = batch[turn_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = batch["ts_us"].to_numpy(zero_copy_only=False).astype(np.int64)
+        starts = _run_starts(conv)
+        rid = np.repeat(np.arange(len(starts)),
+                        np.diff(np.append(starts, len(conv))))
+        order = np.lexsort((turn, rid))
+        r2, t2 = rid[order], ts[order]
+        s2 = _run_starts(r2)
+        nrun = np.diff(np.append(s2, len(r2))).astype(np.int64)
+        gap = np.diff(t2)
+        internal = np.ones(len(gap), dtype=bool)
+        internal[s2[1:] - 1] = False
+        split = internal & (gap > g)
+        # session islands: break at every run start and at every split
+        brk = np.zeros(len(r2), dtype=bool)
+        brk[s2] = True
+        brk[1:] |= split
+        isl = np.cumsum(brk) - 1
+        is_ = _run_starts(isl)
+        sess_len = np.diff(np.append(is_, len(isl))).astype(np.int64)
+        sess_rid = r2[is_]
+        cs = _run_starts(sess_rid)  # islands are grouped by run already
+        n_sessions = np.diff(np.append(cs, len(sess_rid))).astype(np.int64)
+        max_sess = np.maximum.reduceat(sess_len, cs)
+        idle = np.zeros(len(s2), dtype=np.int64)
+        if split.any():
+            grid = r2[1:][split]
+            gv = gap[split]
+            srt = np.argsort(grid, kind="stable")
+            grid, gv = grid[srt], gv[srt]
+            rs = _run_starts(grid)
+            idle[grid[rs]] = np.add.reduceat(gv, rs)
+        return pa.table({
+            conv_col: pa.array(conv[starts]),
+            "n_turns": pa.array(nrun),
+            "n_sessions": pa.array(n_sessions),
+            "max_session_turns": pa.array(max_sess),
+            "idle_us": pa.array(idle),
+        })
+
+    slimmed = ds.select_columns([conv_col, turn_col, ts_col]).map_batches(
+        slim, batch_format="pyarrow")
+    return _sorted_block_map(slimmed, conv_col, per_conv)
+
+
+# MinHash transform constants for conv_near_dup: 8 independent
+# (multiplier, offset) pairs applied to the per-turn content hash mod
+# 2^64 then folded into [0, 2^63) so both numpy int64 and SQL BIGINT
+# order them identically. Documented so an external oracle can
+# reproduce the signatures exactly.
+# All constants < 2^63 so the SQL twin's HUGEINT product h*a (h < 2^64)
+# stays below 2^127; numpy's uint64 arithmetic is unaffected.
+CONV_MINHASH_TRANSFORMS = (
+    (0x1E3779B97F4A7C15, 0x0123456789ABCDEF),
+    (0x42B2AE3D27D4EB4F, 0x0F1E2D3C4B5A6978),
+    (0x165667B19E3779F9, 0x1122334455667788),
+    (0x56E8FEB86659FD93, 0x243F6A8885A308D3),
+    (0x224BAED4963EE407, 0x13198A2E03707344),
+    (0x1FB21C651E98DF25, 0x24093822299F31D0),
+    (0x4C9E2D51AB0E9789, 0x082EFA98EC4E6C89),
+    (0x27D4EB2F165667C5, 0x452821E638D01377),
+)
+CONV_BAND_ROWS = 2  # mins per LSH band (4 bands with K=8)
+_MASK63 = np.uint64(2**63 - 1)
+
+
+def conv_near_dup(ds, conv_col: str = "conv_id", text_col: str = "text",
+                  bucket_cap: int = 4096):
+    """Near-duplicate CONVERSATION detection (MinHash-LSH over the SET
+    of per-turn content hashes).
+
+    A conversation is summarized by the set of 64-bit polynomial
+    hashes of its turn texts (:func:`...dedup.polynomial_string_hashes`
+    — the corpus-wide documented fold); two conversations sharing most
+    turns verbatim (re-dumped threads with small edits — the
+    conv-granularity analogue of document near-dup) collide on MinHash
+    bands. K=8 signature mins (:data:`CONV_MINHASH_TRANSFORMS`), bands
+    of :data:`CONV_BAND_ROWS`; emits candidate pairs
+    (conv_a < conv_b, n_shared_bands) — downstream verification or
+    :func:`...dedup.near_dup_safe_split`-style grouping consumes them.
+
+    Scale shape: turn hashing and all K transforms run in-block over
+    the text ONCE (text never shuffles); exchange 1 is a conv-keyed
+    sorted-run MIN over K ints per turn; exchange 2 groups the K/r
+    band rows per conversation by (band, key) and emits pairs inside
+    each bucket; exchange 3 sums shared-band counts per pair. A bucket
+    larger than ``bucket_cap`` conversations raises loudly (a
+    degenerate corpus — thousands of identical conversations — should
+    be exact-deduped first; the cap keeps the pair emission bounded
+    instead of silently going quadratic).
+    """
+    from cleanlab_ray.stages.dedup import polynomial_string_hashes
+
+    n_bands = len(CONV_MINHASH_TRANSFORMS) // CONV_BAND_ROWS
+    cap = int(bucket_cap)
+
+    def transforms(batch: pa.Table) -> pa.Table:
+        h = polynomial_string_hashes(batch[text_col])  # uint64
+        cols = {conv_col: batch[conv_col]}
+        for k, (a, b) in enumerate(CONV_MINHASH_TRANSFORMS):
+            m = (h * np.uint64(a) + np.uint64(b)) & _MASK63
+            cols[f"m{k}"] = pa.array(m.astype(np.int64))
+        return pa.table(cols)
+
+    sig = sorted_group_agg(
+        ds.select_columns([conv_col, text_col]).map_batches(
+            transforms, batch_format="pyarrow"),
+        conv_col,
+        {f"m{k}": "min" for k in range(len(CONV_MINHASH_TRANSFORMS))},
+    )
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        convs, bands, keys = [], [], []
+        for b in range(n_bands):
+            lo = batch[f"min(m{CONV_BAND_ROWS * b})"].to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            hi = batch[f"min(m{CONV_BAND_ROWS * b + 1})"].to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            key = (((lo * np.uint64(0x9E3779B1)) & _MASK63) ^ hi) & _MASK63
+            convs.append(batch[conv_col])
+            bands.append(np.full(n, b, dtype=np.int32))
+            keys.append(key.astype(np.int64))
+        if not n:
+            return pa.table({
+                conv_col: pa.array([], batch[conv_col].type),
+                "band": pa.array([], pa.int32()),
+                "key": pa.array([], pa.int64()),
+            })
+        return pa.table({
+            conv_col: pa.concat_arrays(
+                [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                 for c in convs]),
+            "band": pa.array(np.concatenate(bands)),
+            "key": pa.array(np.concatenate(keys)),
+        })
+
+    banded = sig.map_batches(band_rows, batch_format="pyarrow")
+
+    def emit_pairs(batch: pa.Table) -> pa.Table:
+        from cleanlab_ray.stages.dedup import _pairs_within_runs
+
+        empty = pa.table({
+            "conv_a": pa.array([], batch[conv_col].type),
+            "conv_b": pa.array([], batch[conv_col].type),
+            "n": pa.array([], pa.int64()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        band = batch["band"].to_numpy(zero_copy_only=False)
+        key = batch["key"].to_numpy(zero_copy_only=False)
+        starts = _run_starts(band, key)
+        lens = np.diff(np.append(starts, len(band)))
+        if int(lens.max()) > cap:
+            raise ValueError(
+                f"conv_near_dup: a band bucket holds {int(lens.max())} "
+                f"conversations (> bucket_cap={cap}); exact-dedup the "
+                "corpus first or raise bucket_cap")
+        # order conv ids inside each run so pairs come out (a < b)
+        conv = batch[conv_col].to_numpy(zero_copy_only=False)
+        rid = np.repeat(np.arange(len(starts)), lens)
+        order = np.lexsort((conv, rid))
+        conv2 = conv[order]
+        ia, ib = _pairs_within_runs(starts, lens)
+        if not len(ia):
+            return empty
+        return pa.table({
+            "conv_a": pa.array(conv2[ia], type=batch[conv_col].type),
+            "conv_b": pa.array(conv2[ib], type=batch[conv_col].type),
+            "n": pa.array(np.ones(len(ia), dtype=np.int64)),
+        })
+
+    pairs = _sorted_block_map(banded, ["band", "key"], emit_pairs)
+    agg = sorted_group_agg(pairs, ["conv_a", "conv_b"], {"n": "sum"})
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "conv_a": batch["conv_a"],
+            "conv_b": batch["conv_b"],
+            "n_shared_bands": batch["sum(n)"],
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")

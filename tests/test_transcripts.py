@@ -668,3 +668,180 @@ def test_tool_loops_fixture(ray_session, small_corpus):
     got = {r["conv_id"]: (r["n_tool_calls"], r["n_runs"], r["max_tool_run"],
                           r["n_loops"]) for r in tool_loops(ds).take_all()}
     assert got == _loops_oracle(rows)
+
+
+def _refusal_oracle(rows, pattern=None):
+    """rows: (conv, turn, role, text). Per-conv refusal stats."""
+    import re
+
+    from cleanlab_ray.stages.transcripts import REFUSAL_PATTERN
+
+    pat = re.compile((pattern or REFUSAL_PATTERN).replace("(?i)", ""),
+                     re.IGNORECASE)
+    out = {}
+    for conv, turn, role, text in rows:
+        n, na, nr, first = out.get(conv, (0, 0, 0, -1))
+        n += 1
+        if role == "assistant":
+            na += 1
+            if pat.search(text or ""):
+                nr += 1
+                first = turn if first < 0 else min(first, turn)
+        out[conv] = (n, na, nr, first)
+    return {c: (n, na, nr,
+                int(np.floor(nr * 1e6 / na + 0.5)) if na else 0, first)
+            for c, (n, na, nr, first) in out.items()}
+
+
+def test_refusal_rate(ray_session):
+    from cleanlab_ray.stages.transcripts import refusal_rate
+
+    rows = [
+        ("a", 0, "user", "I cannot do this myself"),        # user: no count
+        ("a", 1, "assistant", "I'M SORRY, BUT no."),        # case-insensitive
+        ("a", 2, "assistant", "sure, here you go"),
+        ("a", 3, "assistant", "As an AI I can't."),         # second refusal
+        ("b", 0, "user", "hi"),
+        ("b", 1, "assistant", "hello!"),                    # clean conv
+        ("c", 0, "user", "only users here"),                # no assistant
+    ]
+    ds = _full_ds([(c, t, r, x, None, 0) for c, t, r, x in rows])
+    got = {r["conv_id"]: (r["n_turns"], r["n_assistant"], r["n_refusals"],
+                          r["refusal_frac_e6"], r["first_refusal_turn"])
+           for r in refusal_rate(ds).take_all()}
+    assert got == _refusal_oracle(rows)
+    assert got["a"] == (4, 3, 2, 666667, 1)
+    assert got["c"] == (1, 0, 0, 0, -1)
+    assert refusal_rate(_full_ds([], blocks=1)).count() == 0
+
+
+def _sessions_oracle(rows, gap_us=5_000_000):
+    """rows: (conv, turn, ts_us|None). Per-conv session stats."""
+    by = {}
+    for conv, turn, ts in rows:
+        if ts is not None:
+            by.setdefault(conv, []).append((turn, ts))
+    out = {}
+    for conv, turns in by.items():
+        turns.sort()
+        lens, idle = [1], 0
+        for (_, a), (_, b) in zip(turns, turns[1:]):
+            if b - a > gap_us:
+                lens.append(1)
+                idle += b - a
+            else:
+                lens[-1] += 1
+        out[conv] = (len(turns), len(lens), max(lens), idle)
+    return out
+
+
+def test_latency_sessions(ray_session):
+    from cleanlab_ray.stages.transcripts import latency_sessions
+
+    rows = [  # (conv, turn, ts_us)
+        ("a", 0, 0),
+        ("a", 1, 5_000_000),     # gap exactly 5s: NOT a split (strict >)
+        ("a", 2, 10_000_001),    # 5.000001s: split
+        ("a", 3, 11_000_000),
+        ("a", 4, 30_000_000),    # 19s: split
+        ("b", 0, 100),
+        ("b", 1, 50),            # negative gap: never splits
+        ("c", 7, 0),             # single turn
+        ("d", 0, None),          # null ts dropped -> conv d has no rows
+    ]
+    ds = _full_ds([(c, t, "user", "x", None, ts) for c, t, ts in rows])
+    got = {r["conv_id"]: (r["n_turns"], r["n_sessions"],
+                          r["max_session_turns"], r["idle_us"])
+           for r in latency_sessions(ds).take_all()}
+    assert got == _sessions_oracle(rows)
+    assert got["a"] == (5, 3, 2, 24_000_001)
+    assert got["b"] == (2, 1, 2, 0)
+    assert got["c"] == (1, 1, 1, 0)
+    assert "d" not in got
+    assert latency_sessions(_full_ds([], blocks=1)).count() == 0
+
+
+def _conv_minhash_oracle(conv_texts):
+    """conv_texts: {conv: [turn texts]}. Candidate pairs via the same
+    documented transforms, computed independently with python ints."""
+    from cleanlab_ray.stages.transcripts import (
+        CONV_BAND_ROWS,
+        CONV_MINHASH_TRANSFORMS,
+    )
+
+    M64, M63 = 2**64, 2**63 - 1
+
+    def fp(s):
+        h = 0
+        for byte in s.encode("utf-8"):
+            h = (h * 1099511628211 + byte) % M64
+        return h
+
+    sigs = {}
+    for conv, texts in conv_texts.items():
+        hs = [fp(t) for t in texts]
+        sigs[conv] = [min(((h * a + b) % M64) & M63 for h in hs)
+                      for a, b in CONV_MINHASH_TRANSFORMS]
+    n_bands = len(CONV_MINHASH_TRANSFORMS) // CONV_BAND_ROWS
+    pairs = {}
+    convs = sorted(sigs)
+    for i, ca in enumerate(convs):
+        for cb in convs[i + 1:]:
+            n = 0
+            for bnd in range(n_bands):
+                ka = ((sigs[ca][2 * bnd] * 0x9E3779B1) & M63) ^ sigs[ca][2 * bnd + 1]
+                kb = ((sigs[cb][2 * bnd] * 0x9E3779B1) & M63) ^ sigs[cb][2 * bnd + 1]
+                if ka == kb:
+                    n += 1
+            if n:
+                pairs[(ca, cb)] = n
+    return pairs
+
+
+def test_conv_near_dup(ray_session):
+    from cleanlab_ray.stages.transcripts import conv_near_dup
+
+    conv_texts = {
+        "a": ["alpha one", "beta two", "gamma three", "delta four"],
+        "b": ["alpha one", "beta two", "gamma three", "delta four"],  # exact dup of a
+        "c": ["alpha one", "beta two", "gamma three", "EDITED turn"],  # near-dup
+        "d": ["totally", "different", "conversation", "entirely"],
+    }
+    rows = [(c, i, t) for c, ts in conv_texts.items()
+            for i, t in enumerate(ts)]
+    got = {(r["conv_a"], r["conv_b"]): r["n_shared_bands"]
+           for r in conv_near_dup(_ds(rows, blocks=4)).take_all()}
+    oracle = _conv_minhash_oracle(conv_texts)
+    assert got == oracle
+    assert got[("a", "b")] == 4          # identical convs share ALL bands
+    assert ("a", "d") not in got         # disjoint convs never collide
+    assert conv_near_dup(_ds([], blocks=1)).count() == 0
+
+
+def test_conv_near_dup_bucket_cap(ray_session):
+    import pytest
+
+    from cleanlab_ray.stages.transcripts import conv_near_dup
+
+    rows = [(f"c{i}", t, f"same text {t}")
+            for i in range(12) for t in range(3)]
+    with pytest.raises(Exception) as ei:  # ray wraps the ValueError
+        conv_near_dup(_ds(rows, blocks=4), bucket_cap=8).count()
+    assert "bucket_cap" in str(ei.value)
+
+
+def test_conv_near_dup_fixture(ray_session, small_corpus):
+    """MinHash pairs over the fixture corpus texts match the python
+    oracle (real duplicate conversations exist in the fixture)."""
+    import ray.data as rd
+
+    from cleanlab_ray.stages.transcripts import conv_near_dup
+
+    tbl = small_corpus.to_pydict()
+    conv_texts = {}
+    for c, x in zip(tbl["conv_id"], tbl["text"]):
+        conv_texts.setdefault(c, []).append(x or "")
+    ds = rd.from_arrow(small_corpus).repartition(6)
+    got = {(r["conv_a"], r["conv_b"]): r["n_shared_bands"]
+           for r in conv_near_dup(ds).take_all()}
+    assert got == _conv_minhash_oracle(conv_texts)
