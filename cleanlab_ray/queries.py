@@ -7388,6 +7388,70 @@ QUERIES["conv_near_dup"] = q_conv_near_dup
 ORACLE_SQL["conv_near_dup"] = _make_conv_near_dup_sql()
 
 
+def q_conv_lang_mix(sf_dir: str):
+    """Per-conversation language-consistency audit
+    (stages/transcripts.conv_lang_mix): n_langs / majority lang +
+    share / adjacent-turn switches over a per-turn lang column — the
+    documents.lang column rides as the per-turn language (the langid
+    stage's output slot in production). SQL-checked: per-(conv, lang)
+    counts + deterministic (count DESC, lang ASC) majority + LAG
+    switch counting."""
+    from cleanlab_ray.stages.transcripts import conv_lang_mix
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False)
+        conv = np.char.add("c", np.char.zfill((did // 8).astype(str), 8))
+        return pa.table({
+            "conv_id": pa.array(conv.astype(object), type=pa.string()),
+            "turn_idx": pa.array((did % 8).astype(np.int32)),
+            "lang": batch["lang"],
+        })
+
+    return conv_lang_mix(ds.map_batches(derive, batch_format="pyarrow"))
+
+
+SQL_CONV_LANG_MIX = f"""
+WITH {_SQL_TR_CTE},
+tl AS (
+  SELECT t.conv_id, t.turn_idx, d.lang
+  FROM tr t JOIN documents d ON d.doc_id = t.doc_id
+  WHERE d.lang IS NOT NULL),
+cnt AS (
+  SELECT conv_id, lang, CAST(count(*) AS BIGINT) AS c
+  FROM tl GROUP BY 1, 2),
+maj AS (
+  SELECT conv_id, lang, c,
+         row_number() OVER (PARTITION BY conv_id
+                            ORDER BY c DESC, lang ASC) AS rn
+  FROM cnt),
+lagged AS (
+  SELECT conv_id, lang,
+         LAG(lang) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM tl),
+sw AS (
+  SELECT conv_id,
+         CAST(sum(CASE WHEN lang <> prev THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_switches,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM lagged GROUP BY 1)
+SELECT s.conv_id,
+       s.n_turns,
+       s.n_langs,
+       m.lang AS majority_lang,
+       CAST(floor(m.c * 1000000.0 / s.n_turns + 0.5) AS BIGINT)
+         AS majority_share_e6,
+       s.n_switches
+FROM sw s JOIN maj m ON m.conv_id = s.conv_id AND m.rn = 1
+"""
+
+
+QUERIES["conv_lang_mix"] = q_conv_lang_mix
+ORACLE_SQL["conv_lang_mix"] = SQL_CONV_LANG_MIX
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks a fixed
 # window of the FIRST 50 queries() entries. Round-5 rotation policy
@@ -7464,7 +7528,11 @@ _PRIORITY_WINDOW = [
     "dup_components", "incremental_ingest",
     "semdedup", "bloom_semijoin",
     "noniid_detection",
-    "doc_quality_signals", "curate_documents",
+    "doc_quality_signals",
+    # (curate_documents — its constituents are separately SQL-gated:
+    # doc_quality_signals stays in the window, exact_dedup_documents /
+    # dup_spans are r04 green and unchanged; replayed hash-exact at
+    # sf0.01 at this HEAD — ceded its slot to conv_lang_mix below)
     # (b2) brand-new round-5 transcript-structure operators — first
     # driver rows (displacing approx_distinct_words, whose round-5
     # change was defensive-only — empty-block safety — with an r04
@@ -7479,6 +7547,7 @@ _PRIORITY_WINDOW = [
     "pii_density", "context_growth", "template_spam",
     "turn_latency", "tool_loops",
     "refusal_rate", "latency_sessions", "conv_near_dup",
+    "conv_lang_mix",
     # (b-note) four more final-session refactors (dsir_weights,
     # decontaminate_docs, chunk_documents, pack_sequences) are
     # behavior-identical on valid inputs (shared-helper reuse + loud

@@ -1302,3 +1302,93 @@ def conv_near_dup(ds, conv_col: str = "conv_id", text_col: str = "text",
         })
 
     return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def conv_lang_mix(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
+                  lang_col: str = "lang"):
+    """Per-conversation language-consistency audit.
+
+    Over any per-turn language column (the :mod:`..turn_scorer` langid
+    stage's output in production, or an upstream label): one row per
+    conversation with at least one non-null lang — n_turns (non-null
+    lang), n_langs (distinct), majority_lang (most frequent; ties
+    break to the lexicographically smallest so the result is
+    deterministic), majority_share_e6 (fixed-point majority fraction)
+    and n_switches (adjacent turns, in turn order, whose langs
+    differ) — the code-switching / mixed-language-conversation filter
+    signal. Null-lang turns are dropped (documented contract, matching
+    the SQL twin's ``lang IS NOT NULL``).
+
+    Scale shape: (conv, turn, lang-code) projected BEFORE the
+    exchange; ONE conv-colocating sort; vectorized in-block
+    dictionary-encode + lexsort + reduceat per conversation run.
+    """
+
+    def slim(batch: pa.Table) -> pa.Table:
+        keep = pc.is_valid(batch[lang_col])
+        b = batch.filter(keep) if batch.num_rows else batch
+        return pa.table({
+            conv_col: b[conv_col],
+            turn_col: pc.cast(b[turn_col], pa.int32()),
+            lang_col: pc.cast(b[lang_col], pa.string()),
+        })
+
+    def per_conv(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({
+                conv_col: pa.array([], batch[conv_col].type),
+                "n_turns": pa.array([], pa.int64()),
+                "n_langs": pa.array([], pa.int64()),
+                "majority_lang": pa.array([], pa.string()),
+                "majority_share_e6": pa.array([], pa.int64()),
+                "n_switches": pa.array([], pa.int64()),
+            })
+        conv = batch[conv_col].to_numpy(zero_copy_only=False)
+        turn = batch[turn_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lcol = batch[lang_col]
+        lc = lcol.combine_chunks() if isinstance(
+            lcol, pa.ChunkedArray) else lcol
+        enc = lc.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        # rank[c] = position of vocab[c] in lexicographic order, so
+        # "smaller rank" == "lexicographically smaller lang"
+        rank = np.empty(len(vocab), dtype=np.int64)
+        rank[np.argsort(vocab)] = np.arange(len(vocab))
+        starts = _run_starts(conv)
+        nrun = np.diff(np.append(starts, len(conv)))
+        rid = np.repeat(np.arange(len(starts)), nrun)
+        # switches: adjacent turns in turn order with different langs
+        o = np.lexsort((turn, rid))
+        r2, c2 = rid[o], code[o]
+        adj = (r2[1:] == r2[:-1]) & (c2[1:] != c2[:-1])
+        sw = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(sw, r2[1:][adj], 1)
+        # per-(conv, lang) counts: group by (rid, code)
+        o2 = np.lexsort((code, rid))
+        rg, cg = rid[o2], code[o2]
+        gs = _run_starts(rg, cg)
+        gcount = np.diff(np.append(gs, len(rg))).astype(np.int64)
+        grid, gcode = rg[gs], cg[gs]
+        n_langs = np.zeros(len(starts), dtype=np.int64)
+        np.add.at(n_langs, grid, 1)
+        # majority per conv: max count, ties -> smallest lexicographic
+        o3 = np.lexsort((rank[gcode], -gcount, grid))
+        first = _run_starts(grid[o3])
+        maj_rid = grid[o3][first]
+        maj_code = gcode[o3][first]
+        maj_count = gcount[o3][first]
+        share = np.floor(
+            maj_count * 1_000_000.0 / nrun[maj_rid] + 0.5).astype(np.int64)
+        return pa.table({
+            conv_col: pa.array(conv[starts][maj_rid]),
+            "n_turns": pa.array(nrun[maj_rid].astype(np.int64)),
+            "n_langs": pa.array(n_langs[maj_rid]),
+            "majority_lang": pa.array(vocab[maj_code], type=pa.string()),
+            "majority_share_e6": pa.array(share),
+            "n_switches": pa.array(sw[maj_rid]),
+        })
+
+    slimmed = ds.select_columns([conv_col, turn_col, lang_col]).map_batches(
+        slim, batch_format="pyarrow")
+    return _sorted_block_map(slimmed, conv_col, per_conv)

@@ -845,3 +845,52 @@ def test_conv_near_dup_fixture(ray_session, small_corpus):
     got = {(r["conv_a"], r["conv_b"]): r["n_shared_bands"]
            for r in conv_near_dup(ds).take_all()}
     assert got == _conv_minhash_oracle(conv_texts)
+
+
+def _lang_mix_oracle(rows):
+    """rows: (conv, turn, lang|None). Per-conv language-mix stats."""
+    by = {}
+    for conv, turn, lang in rows:
+        if lang is not None:
+            by.setdefault(conv, []).append((turn, lang))
+    out = {}
+    for conv, turns in by.items():
+        turns.sort()
+        langs = [l for _, l in turns]
+        from collections import Counter
+        c = Counter(langs)
+        maj = min(c, key=lambda k: (-c[k], k))
+        sw = sum(1 for a, b in zip(langs, langs[1:]) if a != b)
+        out[conv] = (len(langs), len(c), maj,
+                     int(np.floor(c[maj] * 1e6 / len(langs) + 0.5)), sw)
+    return out
+
+
+def test_conv_lang_mix(ray_session):
+    import ray.data as rd
+
+    from cleanlab_ray.stages.transcripts import conv_lang_mix
+
+    rows = [  # (conv, turn, lang)
+        ("a", 0, "en"), ("a", 1, "fr"), ("a", 2, "en"), ("a", 3, "en"),
+        ("b", 0, "de"), ("b", 1, "de"),                 # monolingual
+        ("c", 0, "en"), ("c", 1, "fr"),                 # tie -> "en" (lex)
+        ("d", 0, None), ("d", 1, "zh"),                 # null dropped
+        ("e", 0, None),                                 # all-null: no row
+    ]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "lang": pa.array([r[2] for r in rows], pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    got = {r["conv_id"]: (r["n_turns"], r["n_langs"], r["majority_lang"],
+                          r["majority_share_e6"], r["n_switches"])
+           for r in conv_lang_mix(ds).take_all()}
+    assert got == _lang_mix_oracle(rows)
+    assert got["a"] == (4, 2, "en", 750000, 2)
+    assert got["c"] == (2, 2, "en", 500000, 1)
+    assert got["d"] == (1, 1, "zh", 1000000, 0)
+    assert "e" not in got
+    empty = rd.from_arrow(t.slice(0, 0)).repartition(1)
+    assert conv_lang_mix(empty).count() == 0
