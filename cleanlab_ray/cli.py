@@ -134,6 +134,66 @@ def _cmd_remove_substrings(args) -> dict:
     }
 
 
+def _cmd_transcript_audit(args) -> dict:
+    """Run the per-conversation audit family over a transcript corpus,
+    one parquet directory per audit under --output. Audits whose
+    required columns are missing from the input schema are skipped
+    (reported in the summary) — the corpus decides, not a flag."""
+    import ray.data as rd
+
+    from cleanlab_ray.stages import transcripts as tr
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(args.input)
+    cols = set(ds.schema().names)
+    c, t = args.conv_col, args.turn_col
+
+    audits = {
+        "structure": (
+            {c, t, "role", "tool", "text", "ts"},
+            lambda d: tr.conv_structure_stats(d, conv_col=c, turn_col=t)),
+        "latency": (
+            {c, t, "role", "ts"},
+            lambda d: tr.turn_latency(d, conv_col=c, turn_col=t)),
+        "sessions": (
+            {c, t, "ts"},
+            lambda d: tr.latency_sessions(d, conv_col=c, turn_col=t,
+                                          gap_us=args.session_gap_us)),
+        "tool_loops": (
+            {c, t, "tool"},
+            lambda d: tr.tool_loops(d, conv_col=c, turn_col=t)),
+        "refusals": (
+            {c, t, "role", "text"},
+            lambda d: tr.refusal_rate(d, conv_col=c, turn_col=t)),
+        "pii": (
+            {c, "text"},
+            lambda d: tr.pii_density(d, conv_col=c)),
+        "context": (
+            {c, t, "text"},
+            lambda d: tr.context_growth(d, conv_col=c, turn_col=t,
+                                        budget_chars=args.budget_chars)),
+        "lang_mix": (
+            {c, t, "lang"},
+            lambda d: tr.conv_lang_mix(d, conv_col=c, turn_col=t)),
+    }
+    ran, skipped = {}, []
+    for name, (need, fn) in audits.items():
+        if not need <= cols:
+            skipped.append(name)
+            continue
+        out = fn(ds).materialize()
+        out.write_parquet(f"{args.output.rstrip('/')}/{name}")
+        ran[name] = out.count()
+    payload = {
+        "command": "transcript-audit",
+        "output": args.output,
+        "audits": ran,
+        "skipped_missing_columns": skipped,
+        "wall_sec": round(time.perf_counter() - t0, 3),
+    }
+    return payload
+
+
 def _cmd_dedup_state(args) -> dict:
     import ray.data as rd
 
@@ -254,6 +314,21 @@ def build_parser() -> argparse.ArgumentParser:
     rs.add_argument("--span-k", type=int, default=50,
                     help="window size in bytes (50 = Lee et al. default)")
     rs.set_defaults(fn=_cmd_remove_substrings)
+
+    ta = sub.add_parser("transcript-audit",
+                        help="per-conversation audit family (structure, "
+                             "latency, sessions, tool loops, refusals, "
+                             "PII, context growth, language mix)",
+                        parents=[common])
+    ta.add_argument("--input", required=True,
+                    help="parquet dir of transcripts")
+    ta.add_argument("--output", required=True,
+                    help="root dir: one parquet dir per audit")
+    ta.add_argument("--conv-col", default="conv_id")
+    ta.add_argument("--turn-col", default="turn_idx")
+    ta.add_argument("--session-gap-us", type=int, default=5_000_000)
+    ta.add_argument("--budget-chars", type=int, default=1500)
+    ta.set_defaults(fn=_cmd_transcript_audit)
 
     dd = sub.add_parser("dedup-state", help="incremental-ingestion state ops",
                         parents=[common])

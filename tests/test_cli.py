@@ -138,3 +138,32 @@ def test_cli_quality_filter_resumes(ray_session, tmp_path, corpus_dir):
     assert m2["rows"] == m1["rows"]
     assert m2["num_issues"] == m1["num_issues"]
     assert m2["wall_sec"] < 1.0
+
+
+def test_cli_transcript_audit(ray_session, tmp_path, corpus_dir):
+    out = str(tmp_path / "audit")
+    metrics = str(tmp_path / "m.json")
+    assert main(["transcript-audit", "--input", corpus_dir,
+                 "--output", out, "--metrics-out", metrics]) == 0
+    m = json.loads(open(metrics).read())
+    ran = m["audits"]
+    # the fixture corpus has conv/turn/role/text/tool/ts but no lang
+    assert m["skipped_missing_columns"] == ["lang_mix"]
+    assert set(ran) == {"structure", "latency", "sessions", "tool_loops",
+                        "refusals", "pii", "context"}
+    n_convs = ran["structure"]
+    assert n_convs > 0
+    # one row per conversation for the conv-keyed audits
+    assert ran["latency"] == ran["sessions"] == ran["pii"] == n_convs
+    assert ran["context"] == ran["refusals"] == n_convs
+    assert 0 < ran["tool_loops"] <= n_convs  # only convs with tool calls
+    # each audit wrote a readable parquet dir with the conv key
+    for name in ran:
+        t = pq.read_table(f"{out}/{name}")
+        assert t.num_rows == ran[name]
+        assert "conv_id" in t.column_names
+    # per-audit outputs agree with direct library calls on row counts
+    from cleanlab_ray.stages.transcripts import tool_loops as tl_op
+    import ray.data as rd
+    direct = tl_op(rd.read_parquet(corpus_dir)).count()
+    assert ran["tool_loops"] == direct
