@@ -216,6 +216,7 @@ def run_bench() -> dict:
         "latency_sessions",
         "conv_near_dup",
         "conv_lang_mix",
+        "conv_audit_full",
     ]
     # best-of-2 per query: the first run pays one-time per-worker kernel
     # warmups (numpy, regex, model tables) that aren't steady-state

@@ -177,13 +177,28 @@ def _cmd_transcript_audit(args) -> dict:
             lambda d: tr.conv_lang_mix(d, conv_col=c, turn_col=t)),
     }
     ran, skipped = {}, []
-    for name, (need, fn) in audits.items():
+    if args.fused:
+        # one sort exchange for the whole family (conv_audit_full);
+        # requires the full transcript schema
+        need = {c, t, "role", "text", "tool", "ts"}
         if not need <= cols:
-            skipped.append(name)
-            continue
-        out = fn(ds).materialize()
-        out.write_parquet(f"{args.output.rstrip('/')}/{name}")
-        ran[name] = out.count()
+            missing = sorted(need - cols)
+            raise SystemExit(f"--fused needs columns {missing}")
+        out = tr.conv_audit_full(
+            ds, conv_col=c, turn_col=t,
+            session_gap_us=args.session_gap_us,
+            budget_chars=args.budget_chars).materialize()
+        out.write_parquet(f"{args.output.rstrip('/')}/full")
+        ran["full"] = out.count()
+        skipped = ["lang_mix"]  # the one audit outside the fused family
+    else:
+        for name, (need, fn) in audits.items():
+            if not need <= cols:
+                skipped.append(name)
+                continue
+            out = fn(ds).materialize()
+            out.write_parquet(f"{args.output.rstrip('/')}/{name}")
+            ran[name] = out.count()
     payload = {
         "command": "transcript-audit",
         "output": args.output,
@@ -328,6 +343,11 @@ def build_parser() -> argparse.ArgumentParser:
     ta.add_argument("--turn-col", default="turn_idx")
     ta.add_argument("--session-gap-us", type=int, default=5_000_000)
     ta.add_argument("--budget-chars", type=int, default=1500)
+    ta.add_argument("--fused", action="store_true",
+                    help="run all seven conv-keyed audits in ONE sort "
+                         "exchange (conv_audit_full) and write a single "
+                         "wide parquet — the 10^12-turn shape (7 "
+                         "exchanges -> 1; measured 4.6x at 1M turns)")
     ta.set_defaults(fn=_cmd_transcript_audit)
 
     dd = sub.add_parser("dedup-state", help="incremental-ingestion state ops",

@@ -7452,6 +7452,230 @@ QUERIES["conv_lang_mix"] = q_conv_lang_mix
 ORACLE_SQL["conv_lang_mix"] = SQL_CONV_LANG_MIX
 
 
+def _derive_audit_full_kernel(batch: pa.Table) -> pa.Table:
+    """Combined gate derivation for the FUSED audit
+    (stages/transcripts.conv_audit_full): session-jittered timestamps
+    (_jitter_session_ts_kernel math), XOR-mixer tool derivation
+    (_derive_tool_kernel math), and text carrying BOTH the refusal
+    (_inject_refusal_kernel) and PII (_inject_pii_kernel) suffixes in
+    that order — so every fused family sees non-trivial data. Pure
+    function of (conv_id, turn_idx, role, text); the SQL twin
+    replicates each piece verbatim."""
+    d = _did_from_conv_turn(batch)
+    ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    mix = np.bitwise_xor((d * 2654435761) % 2**31, (d * 40503) % 2**31)
+    jit = mix % 11 * 1_000_000
+    h = mix % 7
+    tool = np.where(h < 3, "search", np.where(h < 5, "python", None))
+    ids = d.astype(str)
+    suf = np.where(d % 9 == 2, " I'm sorry, but I cannot help with that.", "")
+    suf = np.char.add(
+        suf, np.where(d % 21 == 8, " As An AI I am UNABLE to comply.", ""))
+    email = np.char.add(np.char.add(" reach me at user", ids), "@example.com")
+    suf = np.char.add(suf, np.where(d % 5 == 0, email, ""))
+    suf = np.char.add(suf, np.where(d % 7 == 0, " ssn 123-45-6789", ""))
+    suf = np.char.add(suf, np.where(d % 11 == 0, " call 555-123-4567", ""))
+    suf = np.char.add(suf, np.where(d % 13 == 0, " from ip 10.0.0.1", ""))
+    suf = np.char.add(suf, np.where(d % 17 == 0, " you stupid Moron", ""))
+    txt = pc.binary_join_element_wise(
+        pc.cast(pc.fill_null(batch["text"], ""), pa.large_string()),
+        pc.cast(pa.array(suf.astype(object)), pa.large_string()),
+        pa.scalar("", pa.large_string()))
+    return pa.table({
+        "conv_id": batch["conv_id"],
+        "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
+        "role": batch["role"],
+        "text": txt,
+        "tool": pa.array(tool.astype(object), type=pa.string()),
+        "ts": pa.array(ts_us + jit).cast(pa.timestamp("us")),
+    })
+
+
+def q_conv_audit_full(sf_dir: str):
+    """FUSED per-conversation audit (stages/transcripts.conv_audit_full):
+    all seven conv-keyed audit families in ONE sort exchange. Gate
+    corpus combines every family's derivation (_derive_audit_full_kernel).
+    SQL-checked: the twin joins the seven family CTEs over the same
+    fully-derived corpus."""
+    from cleanlab_ray.stages.transcripts import conv_audit_full
+
+    ds = load_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "role", "text", "ts"]).map_batches(
+        _derive_audit_full_kernel, batch_format="pyarrow")
+    return conv_audit_full(ds)
+
+
+def _make_conv_audit_full_sql() -> str:
+    from cleanlab_ray.stages.scrub import SCRUB_PATTERNS
+    from cleanlab_ray.stages.transcripts import (
+        CONTEXT_BUDGET_CHARS,
+        REFUSAL_PATTERN,
+        SESSION_GAP_US,
+        TOOL_LOOP_MIN,
+    )
+
+    rpat = REFUSAL_PATTERN.replace("'", "''")
+    pii_count_exprs = []
+    pii_total_terms = []
+    for name, pattern, _ in SCRUB_PATTERNS:
+        lit = pattern.replace("'", "''")
+        expr = f"CAST(len(regexp_extract_all(t, '{lit}')) AS BIGINT)"
+        pii_count_exprs.append(f"{expr} AS pii_{name}")
+        pii_total_terms.append(expr)
+    pii_per_turn = ", ".join(pii_count_exprs)
+    pii_total = " + ".join(pii_total_terms)
+    pii_sums = ",\n  ".join(
+        f"CAST(sum(pii_{name}) AS BIGINT) AS n_{name}"
+        for name, _, _ in SCRUB_PATTERNS)
+    return f"""
+WITH {_SQL_TR_CTE},
+x AS (
+  SELECT conv_id, turn_idx, role, doc_id,
+         ts_us + mix % 11 * 1000000 AS ts_us,
+         CASE WHEN mix % 7 < 3 THEN 'search'
+              WHEN mix % 7 < 5 THEN 'python' END AS tool,
+         coalesce(text, '')
+         || CASE WHEN doc_id % 9 = 2
+                 THEN ' I''m sorry, but I cannot help with that.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 21 = 8
+                 THEN ' As An AI I am UNABLE to comply.' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' reach me at user'
+                 || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0 THEN ' from ip 10.0.0.1' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0 THEN ' you stupid Moron' ELSE '' END
+           AS t
+  FROM (SELECT tr.*,
+               xor((doc_id * 2654435761) % 2147483648,
+                   (doc_id * 40503) % 2147483648) AS mix FROM tr)),
+f AS (
+  SELECT conv_id, turn_idx, role, tool, ts_us, t,
+         length(t) AS tlen,
+         CASE WHEN role = 'assistant' THEN 1 ELSE 0 END AS is_a,
+         CASE WHEN role = 'assistant' AND regexp_matches(t, '{rpat}')
+              THEN 1 ELSE 0 END AS ref,
+         {pii_per_turn},
+         {pii_total} AS pii_tot
+  FROM x),
+struct AS (
+  SELECT conv_id,
+    CAST(count(*) AS BIGINT) AS n_turns,
+    CAST(sum(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+    CAST(sum(is_a) AS BIGINT) AS n_assistant,
+    CAST(sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+    CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_tool_calls,
+    CAST(sum(CASE WHEN role = 'user' THEN tlen ELSE 0 END) AS BIGINT)
+      AS chars_user,
+    CAST(sum(CASE WHEN role = 'assistant' THEN tlen ELSE 0 END) AS BIGINT)
+      AS chars_assistant,
+    CAST((max(ts_us) - min(ts_us)) // 1000000 AS BIGINT) AS span_seconds,
+    (min(turn_idx) = 0 AND max(turn_idx) + 1 = count(*)) AS contiguous,
+    CAST(count(ts_us) AS BIGINT) AS n_ts_turns,
+    CAST(sum(ref) AS BIGINT) AS n_refusals,
+    CAST(CASE WHEN sum(is_a) > 0
+              THEN floor(sum(ref) * 1000000.0 / sum(is_a) + 0.5)
+              ELSE 0 END AS BIGINT) AS refusal_frac_e6,
+    CAST(coalesce(min(CASE WHEN ref = 1 THEN turn_idx END), -1) AS BIGINT)
+      AS first_refusal_turn,
+    {pii_sums},
+    CAST(sum(pii_tot) AS BIGINT) AS n_matches,
+    CAST(sum(CASE WHEN pii_tot > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_pii_turns,
+    CAST(sum(tlen) AS BIGINT) AS total_chars
+  FROM f GROUP BY 1),
+lg AS (
+  SELECT conv_id, turn_idx,
+         ts_us - LAG(ts_us) OVER w AS gap,
+         LAG(role) OVER w AS prev_role, role
+  FROM f WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+lat AS (
+  SELECT conv_id,
+    CAST(count(gap) AS BIGINT) AS n_gaps,
+    CAST(coalesce(min(gap), 0) AS BIGINT) AS gap_min_us,
+    CAST(coalesce(max(gap), 0) AS BIGINT) AS gap_max_us,
+    CAST(coalesce(sum(gap), 0) AS BIGINT) AS gap_sum_us,
+    CAST(sum(CASE WHEN gap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_gaps,
+    CAST(sum(CASE WHEN gap < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_gaps,
+    CAST(sum(CASE WHEN prev_role = 'user' AND role = 'assistant'
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_ua_gaps,
+    CAST(coalesce(sum(CASE WHEN prev_role = 'user' AND role = 'assistant'
+                           THEN gap END), 0) AS BIGINT) AS ua_gap_sum_us,
+    CAST(sum(CASE WHEN gap > {SESSION_GAP_US} THEN gap ELSE 0 END) AS BIGINT)
+      AS idle_us
+  FROM lg GROUP BY 1),
+sg AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN ts_us - LAG(ts_us) OVER w > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM f WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+sid AS (
+  SELECT conv_id,
+         SUM(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS UNBOUNDED PRECEDING) AS s
+  FROM sg),
+sess AS (
+  SELECT conv_id, s, CAST(count(*) AS BIGINT) AS len FROM sid GROUP BY 1, 2),
+sessa AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_sessions,
+         CAST(max(len) AS BIGINT) AS max_session_turns
+  FROM sess GROUP BY 1),
+tb AS (
+  SELECT conv_id, turn_idx, tool,
+         CASE WHEN tool IS NOT NULL AND tool IS NOT DISTINCT FROM
+              LAG(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              THEN 0 ELSE 1 END AS brk
+  FROM f),
+ti AS (
+  SELECT conv_id, tool,
+         SUM(brk) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                        ROWS UNBOUNDED PRECEDING) AS isl
+  FROM tb),
+truns AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS len
+  FROM ti WHERE tool IS NOT NULL GROUP BY conv_id, isl),
+loops AS (
+  SELECT conv_id,
+    CAST(count(*) AS BIGINT) AS n_tool_runs,
+    CAST(max(len) AS BIGINT) AS max_tool_run,
+    CAST(sum(CASE WHEN len >= {TOOL_LOOP_MIN} THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_loops
+  FROM truns GROUP BY 1),
+cumx AS (
+  SELECT conv_id, turn_idx,
+         SUM(tlen) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS UNBOUNDED PRECEDING) AS cum
+  FROM f),
+ctx AS (
+  SELECT conv_id,
+    CAST(coalesce(min(CASE WHEN cum > {CONTEXT_BUDGET_CHARS}
+                           THEN turn_idx END), -1) AS INT)
+      AS first_overflow_turn,
+    CAST(sum(CASE WHEN cum > {CONTEXT_BUDGET_CHARS} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_overflow_turns
+  FROM cumx GROUP BY 1)
+SELECT st.*, l.n_gaps, l.gap_min_us, l.gap_max_us, l.gap_sum_us,
+       l.n_zero_gaps, l.n_neg_gaps, l.n_ua_gaps, l.ua_gap_sum_us, l.idle_us,
+       sa.n_sessions, sa.max_session_turns,
+       CAST(coalesce(lo.n_tool_runs, 0) AS BIGINT) AS n_tool_runs,
+       CAST(coalesce(lo.max_tool_run, 0) AS BIGINT) AS max_tool_run,
+       CAST(coalesce(lo.n_loops, 0) AS BIGINT) AS n_loops,
+       c.first_overflow_turn, c.n_overflow_turns
+FROM struct st
+JOIN lat l ON l.conv_id = st.conv_id
+JOIN sessa sa ON sa.conv_id = st.conv_id
+LEFT JOIN loops lo ON lo.conv_id = st.conv_id
+JOIN ctx c ON c.conv_id = st.conv_id
+"""
+
+
+QUERIES["conv_audit_full"] = q_conv_audit_full
+ORACLE_SQL["conv_audit_full"] = _make_conv_audit_full_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks a fixed
 # window of the FIRST 50 queries() entries. Round-5 rotation policy
@@ -7527,7 +7751,10 @@ _PRIORITY_WINDOW = [
     "top_issues", "perplexity_buckets",
     "dup_components", "incremental_ingest",
     "semdedup", "bloom_semijoin",
-    "noniid_detection",
+    # (noniid_detection — r04 green incl. an exact reference-port
+    # parity pytest; its r5 change was defensive-only small-n safety;
+    # replayed hash-exact at sf0.01 at this HEAD — ceded its slot to
+    # conv_audit_full below)
     "doc_quality_signals",
     # (curate_documents — its constituents are separately SQL-gated:
     # doc_quality_signals stays in the window, exact_dedup_documents /
@@ -7547,7 +7774,7 @@ _PRIORITY_WINDOW = [
     "pii_density", "context_growth", "template_spam",
     "turn_latency", "tool_loops",
     "refusal_rate", "latency_sessions", "conv_near_dup",
-    "conv_lang_mix",
+    "conv_lang_mix", "conv_audit_full",
     # (b-note) four more final-session refactors (dsir_weights,
     # decontaminate_docs, chunk_documents, pack_sequences) are
     # behavior-identical on valid inputs (shared-helper reuse + loud

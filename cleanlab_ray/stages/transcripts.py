@@ -1392,3 +1392,292 @@ def conv_lang_mix(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
     slimmed = ds.select_columns([conv_col, turn_col, lang_col]).map_batches(
         slim, batch_format="pyarrow")
     return _sorted_block_map(slimmed, conv_col, per_conv)
+
+
+def conv_audit_full(ds, budget_chars: int = CONTEXT_BUDGET_CHARS,
+                    session_gap_us: int = SESSION_GAP_US,
+                    loop_min: int = TOOL_LOOP_MIN,
+                    refusal_pattern: str = REFUSAL_PATTERN,
+                    conv_col: str = "conv_id", turn_col: str = "turn_idx",
+                    role_col: str = "role", text_col: str = "text",
+                    tool_col: str = "tool", ts_col: str = "ts"):
+    """FUSED per-conversation audit: every conv-keyed audit family in
+    ONE sort exchange.
+
+    Computes, per conversation, the union of
+    :func:`conv_structure_stats` (role mix / char volume / contiguity),
+    :func:`turn_latency` (gap stats incl. zero/negative anomalies and
+    user->assistant response gaps), :func:`latency_sessions`
+    (idle-gap sessionization), :func:`tool_loops` (same-tool runs),
+    :func:`refusal_rate`, :func:`pii_density` and
+    :func:`context_growth` — the individual operators each pay one
+    conv-colocating sort; at 10^12 turns running all seven audits
+    means SEVEN all-to-all exchanges over the same corpus. This
+    operator computes every per-turn feature (role flags, regex
+    passes, char lengths) in ONE in-block map, rides ONE exchange of
+    small-int rows (text never shuffles, regexes run once), and emits
+    the full audit row per conversation.
+
+    Value parity with the individual operators (enforced by
+    tests/test_transcripts.py::test_conv_audit_full_parity):
+    identical values column-for-column, with these documented
+    normalizations —
+    - conversations with NO tool calls get n_tool_runs/max_tool_run/
+      n_loops = 0 (tool_loops omits them);
+    - conversations with NO valid timestamp get the latency/session
+      families zeroed with n_ts_turns = 0 (turn_latency /
+      latency_sessions omit them), and span_seconds is computed over
+      ts-valid turns only;
+    - latency's per-family turn count is emitted as ``n_ts_turns``
+      (its ``n_turns`` name collides with structure's all-rows count).
+    """
+    from cleanlab_ray.stages.scrub import SCRUB_PATTERNS
+
+    pii_names = [n for n, _, _ in SCRUB_PATTERNS]
+    budget = int(budget_chars)
+    gap_thresh = np.int64(session_gap_us)
+    lm = int(loop_min)
+    _SENT = np.int64(2**62)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        role = pc.fill_null(batch[role_col], "")
+        txt = pc.fill_null(batch[text_col], "")
+        is_a = pc.equal(role, "assistant")
+        hit = pc.match_substring_regex(txt, refusal_pattern)
+        cols = {
+            conv_col: batch[conv_col],
+            turn_col: pc.cast(batch[turn_col], pa.int32()),
+            "is_user": pc.cast(pc.equal(role, "user"), pa.int8()),
+            "is_asst": pc.cast(is_a, pa.int8()),
+            "is_tool": pc.cast(pc.equal(role, "tool"), pa.int8()),
+            "has_tool": pc.cast(pc.is_valid(batch[tool_col]), pa.int8()),
+            "tool": pc.cast(batch[tool_col], pa.string()),
+            "ts_valid": pc.cast(pc.is_valid(batch[ts_col]), pa.int8()),
+            "ts_us": pc.fill_null(pc.cast(batch[ts_col], pa.int64()), 0),
+            "refusal": pc.cast(pc.and_(is_a, hit), pa.int8()),
+            "nchars": pc.cast(pc.utf8_length(txt), pa.int64()),
+        }
+        for name, pattern, _ in SCRUB_PATTERNS:
+            cols[f"pii_{name}"] = pc.cast(
+                pc.count_substring_regex(txt, pattern), pa.int64())
+        return pa.table(cols)
+
+    out_schema = [
+        ("n_turns", pa.int64()), ("n_user", pa.int64()),
+        ("n_assistant", pa.int64()), ("n_tool", pa.int64()),
+        ("n_tool_calls", pa.int64()), ("chars_user", pa.int64()),
+        ("chars_assistant", pa.int64()), ("span_seconds", pa.int64()),
+        ("contiguous", pa.bool_()),
+        ("n_ts_turns", pa.int64()), ("n_gaps", pa.int64()),
+        ("gap_min_us", pa.int64()), ("gap_max_us", pa.int64()),
+        ("gap_sum_us", pa.int64()), ("n_zero_gaps", pa.int64()),
+        ("n_neg_gaps", pa.int64()), ("n_ua_gaps", pa.int64()),
+        ("ua_gap_sum_us", pa.int64()),
+        ("n_sessions", pa.int64()), ("max_session_turns", pa.int64()),
+        ("idle_us", pa.int64()),
+        ("n_tool_runs", pa.int64()), ("max_tool_run", pa.int64()),
+        ("n_loops", pa.int64()),
+        ("n_refusals", pa.int64()), ("refusal_frac_e6", pa.int64()),
+        ("first_refusal_turn", pa.int64()),
+        *[(f"n_{n}", pa.int64()) for n in pii_names],
+        ("n_matches", pa.int64()), ("n_pii_turns", pa.int64()),
+        ("total_chars", pa.int64()), ("first_overflow_turn", pa.int32()),
+        ("n_overflow_turns", pa.int64()),
+    ]
+
+    def per_conv(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            out = {conv_col: pa.array([], batch[conv_col].type)}
+            out.update({n: pa.array([], t) for n, t in out_schema})
+            return pa.table(out)
+        conv = batch[conv_col].to_numpy(zero_copy_only=False)
+        turn = batch[turn_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = {c: batch[c].to_numpy(zero_copy_only=False)
+             for c in ("is_user", "is_asst", "is_tool", "has_tool",
+                       "ts_valid", "ts_us", "refusal", "nchars")}
+        starts = _run_starts(conv)
+        nconv = len(starts)
+        nrun = np.diff(np.append(starts, len(conv))).astype(np.int64)
+        rid = np.repeat(np.arange(nconv), nrun)
+
+        def rsum(v):
+            return np.add.reduceat(v.astype(np.int64), starts)
+
+        # ---- structure ----
+        n_user, n_asst, n_tool = (rsum(g["is_user"]), rsum(g["is_asst"]),
+                                  rsum(g["is_tool"]))
+        n_tool_calls = rsum(g["has_tool"])
+        nchars = g["nchars"].astype(np.int64)
+        chars_user = np.add.reduceat(nchars * g["is_user"], starts)
+        chars_asst = np.add.reduceat(nchars * g["is_asst"], starts)
+        tmin = np.minimum.reduceat(turn, starts)
+        tmax = np.maximum.reduceat(turn, starts)
+        contiguous = (tmin == 0) & (tmax + 1 == nrun)
+
+        # ---- turn-ordered view (all rows) ----
+        o = np.lexsort((turn, rid))
+        r2, t2 = rid[o], turn[o]
+
+        # ---- context growth (all rows, turn order) ----
+        l2 = nchars[o]
+        s2 = _run_starts(r2)
+        cum = np.cumsum(l2)
+        base = np.repeat(np.concatenate(([0], cum[s2[1:] - 1])),
+                         np.diff(np.append(s2, len(r2))))
+        cum = cum - base
+        over = cum > budget
+        total_chars = np.add.reduceat(l2, s2)
+        n_over = np.add.reduceat(over.astype(np.int64), s2)
+        cum_over = np.cumsum(over)
+        first_idx = np.searchsorted(cum_over, 1 + np.concatenate(
+            ([0], cum_over[s2[1:] - 1])))
+        first_over = np.where(n_over > 0,
+                              t2[np.minimum(first_idx, len(t2) - 1)],
+                              -1).astype(np.int32)
+
+        # ---- refusals ----
+        n_ref = rsum(g["refusal"])
+        ref_first_key = np.where(g["refusal"].astype(bool), turn, _SENT)
+        first_ref = np.minimum.reduceat(ref_first_key, starts)
+        first_ref = np.where(n_ref > 0, first_ref, -1).astype(np.int64)
+        ref_frac = np.where(
+            n_asst > 0,
+            np.floor(n_ref * 1_000_000.0 / np.maximum(n_asst, 1) + 0.5),
+            0.0).astype(np.int64)
+
+        # ---- pii ----
+        pii_cols = {}
+        pii_total_rows = np.zeros(len(conv), dtype=np.int64)
+        for name in pii_names:
+            v = batch[f"pii_{name}"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            pii_total_rows += v
+            pii_cols[f"n_{name}"] = np.add.reduceat(v, starts)
+        n_matches = np.add.reduceat(pii_total_rows, starts)
+        n_pii_turns = np.add.reduceat(
+            (pii_total_rows > 0).astype(np.int64), starts)
+
+        # ---- latency + sessions over the ts-valid subset ----
+        tv = g["ts_valid"].astype(bool)
+        tvo = tv[o]
+        vo = o[tvo]
+        rv, tsv = rid[vo], g["ts_us"][vo].astype(np.int64)
+        iuv, iav = g["is_user"][vo].astype(bool), g["is_asst"][vo].astype(bool)
+        sv = _run_starts(rv)
+        n_ts = np.zeros(nconv, dtype=np.int64)
+        lat = {k: np.zeros(nconv, dtype=np.int64)
+               for k in ("n_gaps", "gap_min_us", "gap_max_us", "gap_sum_us",
+                         "n_zero_gaps", "n_neg_gaps", "n_ua_gaps",
+                         "ua_gap_sum_us", "n_sessions", "max_session_turns",
+                         "idle_us")}
+        span = np.zeros(nconv, dtype=np.int64)
+        if len(rv):
+            vrids = rv[sv]
+            n_ts[vrids] = np.diff(np.append(sv, len(rv)))
+            span[vrids] = (np.maximum.reduceat(tsv, sv)
+                           - np.minimum.reduceat(tsv, sv)) // 1_000_000
+            gap = np.diff(tsv)
+            internal = np.ones(len(gap), dtype=bool)
+            internal[sv[1:] - 1] = False
+            grid_all = rv[1:]
+
+            def scatter(mask, vals, op, out):
+                m = internal & mask
+                if not m.any():
+                    return
+                gr, gv2 = grid_all[m], vals[m]
+                srt = np.argsort(gr, kind="stable")
+                gr, gv2 = gr[srt], gv2[srt]
+                rs = _run_starts(gr)
+                out[gr[rs]] = op.reduceat(gv2, rs)
+
+            ones = np.ones(len(gap), dtype=np.int64)
+            scatter(np.ones(len(gap), bool), ones, np.add, lat["n_gaps"])
+            scatter(np.ones(len(gap), bool), gap, np.minimum,
+                    lat["gap_min_us"])
+            scatter(np.ones(len(gap), bool), gap, np.maximum,
+                    lat["gap_max_us"])
+            scatter(np.ones(len(gap), bool), gap, np.add, lat["gap_sum_us"])
+            scatter(np.ones(len(gap), bool), (gap == 0).astype(np.int64),
+                    np.add, lat["n_zero_gaps"])
+            scatter(np.ones(len(gap), bool), (gap < 0).astype(np.int64),
+                    np.add, lat["n_neg_gaps"])
+            ua = iuv[:-1] & iav[1:]
+            scatter(ua, ones, np.add, lat["n_ua_gaps"])
+            scatter(ua, gap, np.add, lat["ua_gap_sum_us"])
+            lat["gap_min_us"][lat["n_gaps"] == 0] = 0
+            lat["gap_max_us"][lat["n_gaps"] == 0] = 0
+            # sessions
+            split = internal & (gap > gap_thresh)
+            brk = np.zeros(len(rv), dtype=bool)
+            brk[sv] = True
+            brk[1:] |= split
+            isl = np.cumsum(brk) - 1
+            is_ = _run_starts(isl)
+            sess_len = np.diff(np.append(is_, len(isl))).astype(np.int64)
+            sess_rid = rv[is_]
+            cs = _run_starts(sess_rid)
+            lat["n_sessions"][sess_rid[cs]] = np.diff(
+                np.append(cs, len(sess_rid)))
+            lat["max_session_turns"][sess_rid[cs]] = np.maximum.reduceat(
+                sess_len, cs)
+            scatter(gap > gap_thresh, gap, np.add, lat["idle_us"])
+
+        # ---- tool loops (all rows, turn order) ----
+        tcol = batch["tool"]
+        tc = tcol.combine_chunks() if isinstance(
+            tcol, pa.ChunkedArray) else tcol
+        enc = tc.dictionary_encode()
+        code = enc.indices.to_numpy(zero_copy_only=False)
+        code = (code.astype(np.int64) if code.dtype.kind in "iu"
+                else np.nan_to_num(code.astype(np.float64),
+                                   nan=-1).astype(np.int64))
+        valid_tool = tc.is_valid().to_numpy(zero_copy_only=False)
+        code = np.where(valid_tool, code, -1)
+        c2 = code[o]
+        n_tool_runs = np.zeros(nconv, dtype=np.int64)
+        max_tool_run = np.zeros(nconv, dtype=np.int64)
+        n_loops = np.zeros(nconv, dtype=np.int64)
+        m = c2 != -1
+        if m.any():
+            brk2 = np.ones(len(r2), dtype=bool)
+            if len(r2) > 1:
+                brk2[1:] = (r2[1:] != r2[:-1]) | (c2[1:] != c2[:-1])
+            brk2 |= c2 == -1
+            isl2 = np.cumsum(brk2) - 1
+            isl_m, rid_m = isl2[m], r2[m]
+            rs = _run_starts(isl_m)
+            run_len = np.diff(np.append(rs, len(isl_m))).astype(np.int64)
+            run_rid = rid_m[rs]
+            srt = np.argsort(run_rid, kind="stable")
+            run_rid, run_len = run_rid[srt], run_len[srt]
+            cs2 = _run_starts(run_rid)
+            tgt = run_rid[cs2]
+            n_tool_runs[tgt] = np.diff(np.append(cs2, len(run_rid)))
+            max_tool_run[tgt] = np.maximum.reduceat(run_len, cs2)
+            n_loops[tgt] = np.add.reduceat(
+                (run_len >= lm).astype(np.int64), cs2)
+
+        vals = {
+            "n_turns": nrun, "n_user": n_user, "n_assistant": n_asst,
+            "n_tool": n_tool, "n_tool_calls": n_tool_calls,
+            "chars_user": chars_user, "chars_assistant": chars_asst,
+            "span_seconds": span, "contiguous": contiguous,
+            "n_ts_turns": n_ts, **lat,
+            "n_tool_runs": n_tool_runs, "max_tool_run": max_tool_run,
+            "n_loops": n_loops,
+            "n_refusals": n_ref, "refusal_frac_e6": ref_frac,
+            "first_refusal_turn": first_ref,
+            **pii_cols, "n_matches": n_matches, "n_pii_turns": n_pii_turns,
+            "total_chars": total_chars, "first_overflow_turn": first_over,
+            "n_overflow_turns": n_over,
+        }
+        out = {conv_col: pa.array(conv[starts])}
+        for name, typ in out_schema:
+            out[name] = pa.array(vals[name], type=typ)
+        return pa.table(out)
+
+    cols = [conv_col, turn_col, role_col, text_col, tool_col, ts_col]
+    slimmed = ds.select_columns(cols).map_batches(
+        slim, batch_format="pyarrow")
+    return _sorted_block_map(slimmed, conv_col, per_conv)

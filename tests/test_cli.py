@@ -167,3 +167,18 @@ def test_cli_transcript_audit(ray_session, tmp_path, corpus_dir):
     import ray.data as rd
     direct = tl_op(rd.read_parquet(corpus_dir)).count()
     assert ran["tool_loops"] == direct
+
+
+def test_cli_transcript_audit_fused(ray_session, tmp_path, corpus_dir):
+    out = str(tmp_path / "audit_fused")
+    metrics = str(tmp_path / "m.json")
+    assert main(["transcript-audit", "--input", corpus_dir,
+                 "--output", out, "--fused", "--metrics-out", metrics]) == 0
+    m = json.loads(open(metrics).read())
+    assert set(m["audits"]) == {"full"}
+    t = pq.read_table(f"{out}/full")
+    assert t.num_rows == m["audits"]["full"] > 0
+    # the fused row carries every family's columns
+    assert {"conv_id", "n_turns", "n_gaps", "n_sessions", "max_tool_run",
+            "n_refusals", "n_matches", "first_overflow_turn"} <= set(
+        t.column_names)

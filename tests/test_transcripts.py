@@ -894,3 +894,113 @@ def test_conv_lang_mix(ray_session):
     assert "e" not in got
     empty = rd.from_arrow(t.slice(0, 0)).repartition(1)
     assert conv_lang_mix(empty).count() == 0
+
+
+def test_conv_audit_full_parity(ray_session, small_corpus):
+    """The fused single-exchange audit equals the composition of the
+    seven individual operators, column for column, on the fixture
+    corpus (real roles/tools/timestamps/texts)."""
+    import ray.data as rd
+
+    from cleanlab_ray.stages.transcripts import (
+        context_growth,
+        conv_audit_full,
+        conv_structure_stats,
+        latency_sessions,
+        pii_density,
+        refusal_rate,
+        tool_loops,
+        turn_latency,
+    )
+
+    ds = rd.from_arrow(small_corpus).repartition(6)
+    fused = {r["conv_id"]: r for r in conv_audit_full(ds).take_all()}
+
+    struct = {r["conv_id"]: r for r in conv_structure_stats(ds).take_all()}
+    assert set(fused) == set(struct)
+    for c, s in struct.items():
+        f = fused[c]
+        for k in ("n_turns", "n_user", "n_assistant", "n_tool",
+                  "n_tool_calls", "chars_user", "chars_assistant",
+                  "span_seconds", "contiguous"):
+            assert f[k] == s[k], (c, k)
+
+    lat = {r["conv_id"]: r for r in turn_latency(ds).take_all()}
+    for c, s in lat.items():
+        f = fused[c]
+        assert f["n_ts_turns"] == s["n_turns"], c
+        for k in ("n_gaps", "gap_min_us", "gap_max_us", "gap_sum_us",
+                  "n_zero_gaps", "n_neg_gaps", "n_ua_gaps",
+                  "ua_gap_sum_us"):
+            assert f[k] == s[k], (c, k)
+
+    sess = {r["conv_id"]: r for r in latency_sessions(ds).take_all()}
+    for c, s in sess.items():
+        f = fused[c]
+        for k in ("n_sessions", "max_session_turns", "idle_us"):
+            assert f[k] == s[k], (c, k)
+
+    loops = {r["conv_id"]: r for r in tool_loops(ds).take_all()}
+    for c in fused:
+        f = fused[c]
+        if c in loops:
+            s = loops[c]
+            assert (f["n_tool_runs"], f["max_tool_run"], f["n_loops"]) == (
+                s["n_runs"], s["max_tool_run"], s["n_loops"]), c
+        else:  # no tool calls: zeroed in the fused output
+            assert (f["n_tool_runs"], f["max_tool_run"], f["n_loops"]) == (
+                0, 0, 0), c
+
+    ref = {r["conv_id"]: r for r in refusal_rate(ds).take_all()}
+    for c, s in ref.items():
+        f = fused[c]
+        for k in ("n_refusals", "refusal_frac_e6", "first_refusal_turn"):
+            assert f[k] == s[k], (c, k)
+
+    pii = {r["conv_id"]: r for r in pii_density(ds).take_all()}
+    pii_keys = [k for k in next(iter(pii.values())) if k.startswith("n_")]
+    for c, s in pii.items():
+        f = fused[c]
+        for k in pii_keys:
+            if k in ("n_turns",):
+                continue
+            assert f[k] == s[k], (c, k)
+
+    ctx = {r["conv_id"]: r for r in context_growth(ds).take_all()}
+    for c, s in ctx.items():
+        f = fused[c]
+        for k in ("total_chars", "first_overflow_turn", "n_overflow_turns"):
+            assert f[k] == s[k], (c, k)
+
+
+def test_conv_audit_full_hostile(ray_session):
+    """Fused audit on a hand corpus exercising the documented
+    normalizations: null ts (latency family zeroed, span over valid
+    turns), no tool calls (loop family zeroed), refusals, PII, and
+    a context overflow."""
+    from cleanlab_ray.stages.transcripts import conv_audit_full
+
+    rows = [
+        # conv a: 3 turns, one null ts, a refusal, an email, tool loop of 2
+        ("a", 0, "user", "hi reach me at u@example.com", "search", 0),
+        ("a", 1, "assistant", "I cannot help with that", "search", 7_000_000),
+        ("a", 2, "assistant", "x" * 2000, None, None),
+        # conv b: single turn, no ts, no tool
+        ("b", 0, "user", "hello", None, None),
+    ]
+    ds = _full_ds(rows, blocks=2)
+    got = {r["conv_id"]: r for r in conv_audit_full(ds).take_all()}
+    a, b = got["a"], got["b"]
+    assert a["n_turns"] == 3 and a["n_ts_turns"] == 2
+    assert a["span_seconds"] == 7          # over the two valid-ts turns
+    assert a["n_gaps"] == 1 and a["gap_sum_us"] == 7_000_000
+    assert a["n_sessions"] == 2            # 7s > 5s default gap
+    assert a["idle_us"] == 7_000_000
+    assert a["n_tool_runs"] == 1 and a["max_tool_run"] == 2
+    assert a["n_loops"] == 0               # run of 2 < loop_min 3
+    assert a["n_refusals"] == 1 and a["first_refusal_turn"] == 1
+    assert a["n_email"] == 1 and a["n_pii_turns"] == 1
+    assert a["n_overflow_turns"] == 1 and a["first_overflow_turn"] == 2
+    assert b["n_ts_turns"] == 0 and b["n_sessions"] == 0
+    assert b["span_seconds"] == 0 and b["n_tool_runs"] == 0
+    assert conv_audit_full(_full_ds([], blocks=1)).count() == 0
