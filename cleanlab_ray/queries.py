@@ -7685,14 +7685,18 @@ ORACLE_SQL["conv_audit_full"] = _make_conv_audit_full_sql()
 # embedding_pca are iterative learners with no SQL twin — the driver
 # records their weaker rows-only check, which is still their first
 # driver artifact ever). Then EVERY operator whose code changed this
-# round (21, counting all three rewritten ANN variants and the ingest
-# hot-path rewrite — none escapes
-# the gate), then the flagship core, then as
-# many of the oldest-green (r03) unchanged entries as the remaining
-# slots hold. Everything displaced has a green row in r03 or r04 and
-# its code is unchanged since that row; additionally, every registry
-# query was locally re-validated against its DuckDB oracle at sf0.01
-# during round 5 (BASELINE.md "full-registry oracle validation").
+# round (the ANN / pooling / OD / valuation / multiannotator /
+# ingest / jaccard rewrites — each family keeps at least one gate;
+# per-displacement notes inline below), then the brand-new round-5
+# transcript-structure operators (turn_repetition ... conv_audit_full
+# — first driver rows for new code outrank repeat rows for unchanged
+# code), then the flagship core. Everything displaced has a green row
+# in r03 or r04, its displacement note below records why its changed
+# code (if any) stays gated, and it was replayed hash-exact against
+# its DuckDB oracle at sf0.01 at the displacing HEAD; additionally,
+# every registry query was locally re-validated at sf0.01 AND sf0.1
+# during round 5 (BASELINE.md "full-registry oracle validation" +
+# "sf0.1 oracle-replay campaign" + the continuation records).
 # ---------------------------------------------------------------------------
 
 _PRIORITY_WINDOW = [
