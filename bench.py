@@ -217,6 +217,7 @@ def run_bench() -> dict:
         "conv_near_dup",
         "conv_lang_mix",
         "conv_audit_full",
+        "conv_dedup_safe_split",
     ]
     # best-of-2 per query: the first run pays one-time per-worker kernel
     # warmups (numpy, regex, model tables) that aren't steady-state

@@ -7676,6 +7676,74 @@ QUERIES["conv_audit_full"] = q_conv_audit_full
 ORACLE_SQL["conv_audit_full"] = _make_conv_audit_full_sql()
 
 
+def q_conv_dedup_safe_split(sf_dir: str):
+    """Near-dup-aware conversation train/holdout split
+    (stages/transcripts.conv_dedup_safe_split) over the controlled
+    near-dup gate corpus (_derive_neardup_text_kernel). SQL-checked
+    INCLUDING the transitive closure: the DuckDB twin computes the
+    same candidate pairs, closes them with a WITH RECURSIVE
+    reachability CTE, takes the same min-node-hash root and the same
+    salted Knuth side hash."""
+    from cleanlab_ray.stages.transcripts import conv_dedup_safe_split
+
+    ds = load_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx"]).map_batches(
+        _derive_neardup_text_kernel, batch_format="pyarrow")
+    return conv_dedup_safe_split(ds)
+
+
+def _make_conv_dedup_safe_split_sql() -> str:
+    base = _make_conv_near_dup_sql()
+    # reuse the generated near-dup pair SQL as a subquery CTE, then
+    # close the candidate graph with a recursive reachability CTE
+    pairs_body = base.split("WITH", 1)[1].rsplit("SELECT", 1)
+    ctes = pairs_body[0].rstrip().rstrip(",")
+    pair_select = "SELECT" + pairs_body[1]
+    return f"""
+WITH RECURSIVE {ctes},
+pairs AS ({pair_select}),
+hh AS (
+  SELECT conv_id,
+         CAST(list_reduce(
+           list_prepend(CAST(0 AS HUGEINT),
+             [CAST(unicode(c) AS HUGEINT)
+              for c in string_split_regex(conv_id, '') IF c <> '']),
+           (h, b) -> (h * 1099511628211 + b) % 18446744073709551616::HUGEINT
+         ) % 9223372036854775808::HUGEINT AS BIGINT) AS node
+  FROM (SELECT DISTINCT conv_id FROM tr)),
+eb AS (
+  SELECT a.node AS na, b.node AS nb
+  FROM pairs p JOIN hh a ON a.conv_id = p.conv_a
+               JOIN hh b ON b.conv_id = p.conv_b
+  UNION
+  SELECT b.node, a.node
+  FROM pairs p JOIN hh a ON a.conv_id = p.conv_a
+               JOIN hh b ON b.conv_id = p.conv_b),
+r(a, b) AS (
+  SELECT na, nb FROM eb
+  UNION
+  SELECT r.a, eb.nb FROM r JOIN eb ON eb.na = r.b),
+reach AS (
+  SELECT a, b FROM r
+  UNION
+  SELECT node AS a, node AS b FROM hh),
+roots AS (
+  SELECT h.conv_id, h.node, min(x.b) AS root
+  FROM hh h JOIN reach x ON x.a = h.node
+  GROUP BY 1, 2)
+SELECT conv_id, CAST(root AS BIGINT) AS group_root,
+       CASE WHEN (xor(root, 605459861)::HUGEINT * 2654435761)
+                 % 18446744073709551616::HUGEINT
+                 % 4294967296::HUGEINT % 1000000 < 900000
+            THEN 'train' ELSE 'holdout' END AS split
+FROM roots
+"""
+
+
+QUERIES["conv_dedup_safe_split"] = q_conv_dedup_safe_split
+ORACLE_SQL["conv_dedup_safe_split"] = _make_conv_dedup_safe_split_sql()
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks a fixed
 # window of the FIRST 50 queries() entries. Round-5 rotation policy
@@ -7753,7 +7821,12 @@ _PRIORITY_WINDOW = [
     # replayed hash-exact at sf0.01 at this HEAD — ceded its slot to
     # turn_latency below)
     "top_issues", "perplexity_buckets",
-    "dup_components", "incremental_ingest",
+    # (dup_components — r04 green; components.py's r5 driver-local
+    # small-graph path is now ALSO gated by conv_dedup_safe_split,
+    # whose recursive-CTE oracle checks the full transitive closure —
+    # a strictly stronger check; replayed hash-exact at sf0.01 at this
+    # HEAD — ceded its slot to conv_dedup_safe_split below)
+    "incremental_ingest",
     "semdedup", "bloom_semijoin",
     # (noniid_detection — r04 green incl. an exact reference-port
     # parity pytest; its r5 change was defensive-only small-n safety;
@@ -7778,7 +7851,7 @@ _PRIORITY_WINDOW = [
     "pii_density", "context_growth", "template_spam",
     "turn_latency", "tool_loops",
     "refusal_rate", "latency_sessions", "conv_near_dup",
-    "conv_lang_mix", "conv_audit_full",
+    "conv_lang_mix", "conv_audit_full", "conv_dedup_safe_split",
     # (b-note) four more final-session refactors (dsir_weights,
     # decontaminate_docs, chunk_documents, pack_sequences) are
     # behavior-identical on valid inputs (shared-helper reuse + loud

@@ -1681,3 +1681,120 @@ def conv_audit_full(ds, budget_chars: int = CONTEXT_BUDGET_CHARS,
     slimmed = ds.select_columns(cols).map_batches(
         slim, batch_format="pyarrow")
     return _sorted_block_map(slimmed, conv_col, per_conv)
+
+
+def conv_dedup_safe_split(ds, train_frac: float = 0.9,
+                          conv_col: str = "conv_id",
+                          text_col: str = "text",
+                          bucket_cap: int = 4096):
+    """Near-duplicate-aware CONVERSATION train/holdout split: every
+    transitive :func:`conv_near_dup` candidate group lands on one side
+    — the conversation-granularity analogue of
+    :func:`...dedup.near_dup_safe_split` (re-dumped threads with small
+    edits can no longer straddle the split and leak train content
+    into eval). Candidate semantics are conservative BY DESIGN: a
+    false-positive band collision (or a node-hash collision,
+    P≈n²/2^63) only merges MORE conversations onto one side — never a
+    leak.
+
+    Side assignment: group root = the MINIMUM 63-bit polynomial hash
+    of the member conversation ids; side = the same salted Knuth hash
+    of the root that the document-level splits use
+    (:data:`...dedup.LEAK_SPLIT_SALT`), so the split is deterministic,
+    partitioning-independent and decorrelated from the
+    mixture/fold/export hashes.
+
+    Exchange shape: conv_near_dup's three small-int exchanges, a
+    candidate-edge component closure (stages/components.py — driver-
+    local for any realistic dup-graph size, distributed pointer
+    jumping past 2M edges), then ONE node-keyed merge exchange
+    unioning component rows with per-conversation identity rows (so
+    isolated conversations assign themselves; no broadcast map).
+    """
+    if not 0.0 <= train_frac <= 1.0:
+        raise ValueError(f"train_frac must be in [0, 1], got {train_frac}")
+    import ray.data as rd  # noqa: F401  (Dataset.union used below)
+
+    from cleanlab_ray.stages.components import connected_components
+    from cleanlab_ray.stages.dedup import (
+        LEAK_SPLIT_SALT,
+        polynomial_string_hashes,
+    )
+
+    thr = int(round(train_frac * 1_000_000))
+
+    def conv_node(col) -> np.ndarray:
+        return (polynomial_string_hashes(col) & _MASK63).astype(np.int64)
+
+    pairs = conv_near_dup(ds, conv_col=conv_col, text_col=text_col,
+                          bucket_cap=bucket_cap)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "node_a": pa.array(conv_node(batch["conv_a"])),
+            "node_b": pa.array(conv_node(batch["conv_b"])),
+        })
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow")
+    comp = connected_components(edges, src_col="node_a", dst_col="node_b")
+
+    def comp_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "node": batch["node"],
+            conv_col: pa.array([""] * n, type=pa.string()),
+            "root": batch["component"],
+        })
+
+    def ident_rows(batch: pa.Table) -> pa.Table:
+        col = batch[conv_col]
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        conv = np.unique(np.asarray(col.to_pylist(), dtype=object))
+        nodes = conv_node(pa.array(conv, type=pa.string()))
+        return pa.table({
+            "node": pa.array(nodes),
+            conv_col: pa.array(conv, type=pa.string()),
+            "root": pa.array(nodes),
+        })
+
+    a = comp.map_batches(comp_rows, batch_format="pyarrow")
+    b = ds.select_columns([conv_col]).map_batches(
+        ident_rows, batch_format="pyarrow")
+
+    def merge(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            conv_col: pa.array([], pa.string()),
+            "group_root": pa.array([], pa.int64()),
+            "split": pa.array([], pa.string()),
+        })
+        if batch.num_rows == 0:
+            return empty
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        root = batch["root"].to_numpy(zero_copy_only=False).astype(np.int64)
+        conv = np.asarray(batch[conv_col].to_pylist(), dtype=object)
+        starts = _run_starts(node)
+        rid = np.repeat(np.arange(len(starts)),
+                        np.diff(np.append(starts, len(node))))
+        run_root = np.minimum.reduceat(root, starts)
+        keep = conv != ""  # identity rows carry the conversation ids
+        if not keep.any():
+            return empty
+        kr, kc = rid[keep], conv[keep]
+        # distinct convs per run (identity rows are per-block unique,
+        # so duplicates only arise from multi-block conversations)
+        order = np.lexsort((kc, kr))
+        kr, kc = kr[order], kc[order]
+        first = np.ones(len(kr), dtype=bool)
+        first[1:] = (kr[1:] != kr[:-1]) | (kc[1:] != kc[:-1])
+        kr, kc = kr[first], kc[first]
+        groot = run_root[kr]
+        u = ((groot.astype(np.uint64) ^ LEAK_SPLIT_SALT)
+             * np.uint64(2654435761)) % np.uint64(1 << 32) % np.uint64(1_000_000)
+        return pa.table({
+            conv_col: pa.array(kc, type=pa.string()),
+            "group_root": pa.array(groot),
+            "split": pa.array(np.where(u < np.uint64(thr), "train",
+                                       "holdout"), type=pa.string()),
+        })
+
+    return _sorted_block_map(a.union(b), "node", merge)

@@ -1004,3 +1004,69 @@ def test_conv_audit_full_hostile(ray_session):
     assert b["n_ts_turns"] == 0 and b["n_sessions"] == 0
     assert b["span_seconds"] == 0 and b["n_tool_runs"] == 0
     assert conv_audit_full(_full_ds([], blocks=1)).count() == 0
+
+
+def test_conv_dedup_safe_split(ray_session, small_corpus):
+    """Split parity with a python union-find over the engine's own
+    candidate pairs: same groups, same min-hash roots, same sides; and
+    the leakage guarantee — no near-dup pair straddles the split."""
+    import ray.data as rd
+
+    from cleanlab_ray.stages.dedup import (
+        LEAK_SPLIT_SALT,
+        polynomial_string_hashes,
+    )
+    from cleanlab_ray.stages.transcripts import (
+        conv_dedup_safe_split,
+        conv_near_dup,
+    )
+
+    ds = rd.from_arrow(small_corpus).repartition(6)
+    got = {r["conv_id"]: (r["group_root"], r["split"])
+           for r in conv_dedup_safe_split(ds).take_all()}
+
+    pairs = [(r["conv_a"], r["conv_b"])
+             for r in conv_near_dup(ds).take_all()]
+    convs = sorted(set(small_corpus["conv_id"].to_pylist()))
+    assert set(got) == set(convs)
+
+    # union-find oracle
+    parent = {c: c for c in convs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups = {}
+    for c in convs:
+        groups.setdefault(find(c), []).append(c)
+    h = polynomial_string_hashes(pa.array(convs, type=pa.string()))
+    h = (h & np.uint64(2**63 - 1)).astype(np.int64)
+    hmap = dict(zip(convs, h))
+    for members in groups.values():
+        root = min(hmap[c] for c in members)
+        u = int(((np.uint64(root) ^ LEAK_SPLIT_SALT)
+                 * np.uint64(2654435761)) % np.uint64(1 << 32)
+                % np.uint64(1_000_000))
+        side = "train" if u < 900_000 else "holdout"
+        for c in members:
+            assert got[c] == (root, side), c
+    # leakage guarantee: no candidate pair straddles
+    for a, b in pairs:
+        assert got[a][1] == got[b][1]
+    # both sides populated at default frac on 200 convs
+    sides = {s for _, s in got.values()}
+    assert sides == {"train", "holdout"}
+    # train_frac extremes
+    all_train = {r["split"] for r in
+                 conv_dedup_safe_split(ds, train_frac=1.0).take_all()}
+    assert all_train == {"train"}
+    import pytest
+    with pytest.raises(ValueError):
+        conv_dedup_safe_split(ds, train_frac=1.5)
