@@ -53,6 +53,24 @@ from cleanlab_ray.stages.dedup import _run_starts, _sorted_block_map
 from cleanlab_ray.stages.quality_signals import _tokens
 from cleanlab_ray.stages.topk import sorted_group_agg
 
+
+def _require_conv(batch: pa.Table, conv_col: str) -> None:
+    """Loud contract: transcript operators refuse null conversation
+    ids. A null key is not a conversation — grouping the null rows
+    together would fuse unrelated turns into one pseudo-conversation
+    (and Ray's sort cannot order None against str anyway, so the
+    failure would otherwise surface as an opaque TypeError deep in the
+    exchange). Matches the repo-wide empty-input contract: clean
+    result or loud ValueError. O(1): Arrow tracks null_count in
+    column metadata."""
+    nc = batch[conv_col].null_count
+    if nc:
+        raise ValueError(
+            f"transcripts: {nc} null {conv_col!r} key(s) in a block - a "
+            "null conversation id would group unrelated turns into one "
+            "pseudo-conversation; filter or fill null keys upstream")
+
+
 REP_NGRAM = 3  # word n-gram width for the cross-turn repetition signal
 
 
@@ -68,6 +86,7 @@ def turn_gram_postings(batch: pa.Table, conv_col: str = "conv_id",
     repeating its own phrase is within-turn repetition — the
     quality_signals dup_2gram_frac signal — not cross-turn looping, so
     each turn contributes each gram once)."""
+    _require_conv(batch, conv_col)
     codes, row_ids, _lens, vocab, _n_rows = _tokens(batch, text_col)
     m = len(codes)
     empty = pa.table({
@@ -265,6 +284,7 @@ def conv_length_drift(ds, conv_col: str = "conv_id",
     combine)."""
 
     def features(batch: pa.Table) -> pa.Table:
+        _require_conv(batch, conv_col)
         if role is not None:
             batch = batch.filter(pc.equal(
                 pc.fill_null(batch[role_col], ""), role))
@@ -344,6 +364,7 @@ def conv_exact_dedup(ds, conv_col: str = "conv_id",
     import pandas as pd
 
     def turn_hashes(batch: pa.Table) -> pa.Table:
+        _require_conv(batch, conv_col)
         turn = pc.cast(batch[turn_col], pa.string())
         role = pc.fill_null(pc.cast(batch[role_col], pa.string()), "\x04")
         tool = pc.fill_null(pc.cast(batch[tool_col], pa.string()), "\x04")
@@ -401,6 +422,7 @@ def conv_structure_stats(ds, conv_col: str = "conv_id",
     within a conversation, the transcript contract)."""
 
     def features(batch: pa.Table) -> pa.Table:
+        _require_conv(batch, conv_col)
         role = batch[role_col]
         is_u = pc.cast(pc.equal(role, "user"), pa.int64())
         is_a = pc.cast(pc.equal(role, "assistant"), pa.int64())
@@ -546,6 +568,7 @@ def pii_density(ds, conv_col: str = "conv_id", text_col: str = "text"):
     names = [n for n, _, _ in SCRUB_PATTERNS]
 
     def features(batch: pa.Table) -> pa.Table:
+        _require_conv(batch, conv_col)
         txt = pc.fill_null(batch[text_col], "")
         cols = {conv_col: batch[conv_col]}
         total = np.zeros(batch.num_rows, dtype=np.int64)
@@ -606,6 +629,7 @@ def context_growth(ds, budget_chars: int = CONTEXT_BUDGET_CHARS,
     budget = int(budget_chars)
 
     def lengths(batch: pa.Table) -> pa.Table:
+        _require_conv(batch, conv_col)
         return pa.table({
             conv_col: batch[conv_col],
             turn_col: pc.cast(batch[turn_col], pa.int32()),
@@ -713,6 +737,7 @@ def template_spam(ds, min_count: int = TEMPLATE_MIN_COUNT,
     from cleanlab_ray.stages.topk import global_top_k
 
     def partials(batch: pa.Table) -> pa.Table:
+        _require_conv(batch, conv_col)
         tmpl = normalize_template(batch[text_col])
         if prefix_words is not None:
             tmpl = template_prefix(tmpl, prefix_words)
@@ -806,6 +831,7 @@ def turn_latency(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
     """
 
     def slim(batch: pa.Table) -> pa.Table:
+        _require_conv(batch, conv_col)
         keep = pc.is_valid(batch[ts_col])
         b = batch.filter(keep) if batch.num_rows else batch
         role = pc.fill_null(b[role_col], "")
@@ -927,6 +953,7 @@ def tool_loops(ds, loop_min: int = TOOL_LOOP_MIN, conv_col: str = "conv_id",
     lm = int(loop_min)
 
     def slim(batch: pa.Table) -> pa.Table:
+        _require_conv(batch, conv_col)
         return pa.table({
             conv_col: batch[conv_col],
             turn_col: pc.cast(batch[turn_col], pa.int32()),
@@ -1032,6 +1059,7 @@ def refusal_rate(ds, pattern: str = REFUSAL_PATTERN,
     _SENTINEL = np.int64(2**62)
 
     def features(batch: pa.Table) -> pa.Table:
+        _require_conv(batch, conv_col)
         role = pc.fill_null(batch[role_col], "")
         is_a = pc.equal(role, "assistant")
         txt = pc.fill_null(batch[text_col], "")
@@ -1101,6 +1129,7 @@ def latency_sessions(ds, gap_us: int = SESSION_GAP_US,
     g = np.int64(gap_us)
 
     def slim(batch: pa.Table) -> pa.Table:
+        _require_conv(batch, conv_col)
         keep = pc.is_valid(batch[ts_col])
         b = batch.filter(keep) if batch.num_rows else batch
         return pa.table({
@@ -1216,6 +1245,7 @@ def conv_near_dup(ds, conv_col: str = "conv_id", text_col: str = "text",
     cap = int(bucket_cap)
 
     def transforms(batch: pa.Table) -> pa.Table:
+        _require_conv(batch, conv_col)
         h = polynomial_string_hashes(batch[text_col])  # uint64
         cols = {conv_col: batch[conv_col]}
         for k, (a, b) in enumerate(CONV_MINHASH_TRANSFORMS):
@@ -1325,6 +1355,7 @@ def conv_lang_mix(ds, conv_col: str = "conv_id", turn_col: str = "turn_idx",
     """
 
     def slim(batch: pa.Table) -> pa.Table:
+        _require_conv(batch, conv_col)
         keep = pc.is_valid(batch[lang_col])
         b = batch.filter(keep) if batch.num_rows else batch
         return pa.table({
@@ -1440,6 +1471,7 @@ def conv_audit_full(ds, budget_chars: int = CONTEXT_BUDGET_CHARS,
     _SENT = np.int64(2**62)
 
     def slim(batch: pa.Table) -> pa.Table:
+        _require_conv(batch, conv_col)
         role = pc.fill_null(batch[role_col], "")
         txt = pc.fill_null(batch[text_col], "")
         is_a = pc.equal(role, "assistant")
@@ -1747,6 +1779,7 @@ def conv_dedup_safe_split(ds, train_frac: float = 0.9,
         })
 
     def ident_rows(batch: pa.Table) -> pa.Table:
+        _require_conv(batch, conv_col)
         col = batch[conv_col]
         col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         conv = np.unique(np.asarray(col.to_pylist(), dtype=object))

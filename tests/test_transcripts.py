@@ -1070,3 +1070,36 @@ def test_conv_dedup_safe_split(ray_session, small_corpus):
     import pytest
     with pytest.raises(ValueError):
         conv_dedup_safe_split(ds, train_frac=1.5)
+
+
+def test_null_conv_keys_raise_loudly(ray_session):
+    """Contract: every conv-keyed transcript operator refuses null
+    conversation ids with a loud ValueError (a null key is not a
+    conversation; grouping the null rows would fuse unrelated turns,
+    and Ray's sort cannot order None vs str anyway)."""
+    import ray.data as rd
+
+    from cleanlab_ray.stages import transcripts as tr
+
+    t = pa.table({
+        "conv_id": pa.array(["a", None, "b"], pa.string()),
+        "turn_idx": pa.array([0, 0, 0], pa.int32()),
+        "role": pa.array(["user", "user", "user"]),
+        "text": pa.array(["x y z", "p q r", "m n o"]),
+        "tool": pa.array([None, None, None], pa.string()),
+        "ts": pa.array([0, 0, 0], pa.timestamp("us")),
+        "lang": pa.array(["en", "en", "fr"]),
+    })
+    ds = rd.from_arrow(t).repartition(2)
+    ops = [
+        tr.turn_latency, tr.tool_loops, tr.latency_sessions,
+        tr.refusal_rate, tr.conv_audit_full, tr.conv_near_dup,
+        tr.conv_dedup_safe_split, tr.turn_repetition, tr.turn_echo,
+        tr.conv_exact_dedup, tr.conv_structure_stats,
+        tr.conv_length_drift, tr.pii_density, tr.context_growth,
+        tr.template_spam, tr.conv_lang_mix,
+    ]
+    import pytest
+    for op in ops:
+        with pytest.raises(Exception, match="null .?conv"):
+            op(ds).count()
