@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -196,8 +197,12 @@ def _cmd_transcript_audit(args) -> dict:
             if not need <= cols:
                 skipped.append(name)
                 continue
+            dest = f"{args.output.rstrip('/')}/{name}"
+            if args.skip_existing and os.path.isdir(dest) and os.listdir(dest):
+                ran[name] = "kept"  # resumed run: audit already on disk
+                continue
             out = fn(ds).materialize()
-            out.write_parquet(f"{args.output.rstrip('/')}/{name}")
+            out.write_parquet(dest)
             ran[name] = out.count()
     payload = {
         "command": "transcript-audit",
@@ -343,6 +348,10 @@ def build_parser() -> argparse.ArgumentParser:
     ta.add_argument("--turn-col", default="turn_idx")
     ta.add_argument("--session-gap-us", type=int, default=5_000_000)
     ta.add_argument("--budget-chars", type=int, default=1500)
+    ta.add_argument("--skip-existing", action="store_true",
+                    help="resume: skip audits whose output dir already "
+                         "has files (a killed multi-audit run re-runs "
+                         "only the missing audits)")
     ta.add_argument("--fused", action="store_true",
                     help="run all seven conv-keyed audits in ONE sort "
                          "exchange (conv_audit_full) and write a single "

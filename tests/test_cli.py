@@ -182,3 +182,29 @@ def test_cli_transcript_audit_fused(ray_session, tmp_path, corpus_dir):
     assert {"conv_id", "n_turns", "n_gaps", "n_sessions", "max_tool_run",
             "n_refusals", "n_matches", "first_overflow_turn"} <= set(
         t.column_names)
+
+
+def test_cli_transcript_audit_skip_existing(ray_session, tmp_path,
+                                            corpus_dir):
+    """--skip-existing resumes a killed multi-audit run: audits whose
+    output dirs already have files are kept, missing ones run."""
+    import shutil
+
+    out = str(tmp_path / "audit_resume")
+    metrics = str(tmp_path / "m.json")
+    assert main(["transcript-audit", "--input", corpus_dir,
+                 "--output", out, "--metrics-out", metrics]) == 0
+    # simulate a kill that lost two audits
+    shutil.rmtree(f"{out}/sessions")
+    shutil.rmtree(f"{out}/pii")
+    import os
+    mtime_before = os.path.getmtime(f"{out}/structure")
+    assert main(["transcript-audit", "--input", corpus_dir,
+                 "--output", out, "--skip-existing",
+                 "--metrics-out", metrics]) == 0
+    m = json.loads(open(metrics).read())
+    assert m["audits"]["structure"] == "kept"       # untouched
+    assert isinstance(m["audits"]["sessions"], int)  # re-ran
+    assert isinstance(m["audits"]["pii"], int)
+    assert os.path.getmtime(f"{out}/structure") == mtime_before
+    assert pq.read_table(f"{out}/sessions").num_rows == m["audits"]["sessions"]
