@@ -7322,7 +7322,10 @@ def _make_conv_near_dup_sql() -> str:
     from cleanlab_ray.stages.transcripts import (
         CONV_BAND_ROWS,
         CONV_MINHASH_TRANSFORMS,
+        CONV_STOP_TURN_DF,
     )
+
+    stop_df = CONV_STOP_TURN_DF
 
     mins = ",\n         ".join(
         f"min(CAST(((h * {a}::HUGEINT + {b}::HUGEINT)"
@@ -7330,11 +7333,14 @@ def _make_conv_near_dup_sql() -> str:
         f" % 9223372036854775808::HUGEINT AS BIGINT)) AS m{k}"
         for k, (a, b) in enumerate(CONV_MINHASH_TRANSFORMS))
     n_bands = len(CONV_MINHASH_TRANSFORMS) // CONV_BAND_ROWS
+    K = len(CONV_MINHASH_TRANSFORMS)
+    mlist = ", ".join(f"m{k}" for k in range(K))
+    oncond = " AND ".join(f"s.m{k} = g.m{k}" for k in range(K))
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT conv_id, {b} AS band,"
         f" xor(CAST((m{CONV_BAND_ROWS * b}::HUGEINT * 2654435761)"
         f" % 9223372036854775808::HUGEINT AS BIGINT),"
-        f" m{CONV_BAND_ROWS * b + 1}) AS key FROM sig"
+        f" m{CONV_BAND_ROWS * b + 1}) AS key FROM repsig"
         for b in range(n_bands))
     return f"""
 WITH {_SQL_TR_CTE},
@@ -7347,7 +7353,7 @@ d AS (
                  THEN ' v' || CAST((doc_id // 8) % 4 AS VARCHAR)
                  ELSE '' END AS dtext
   FROM tr),
-fp AS (
+fp0 AS (
   SELECT conv_id,
          list_reduce(
            list_prepend(CAST(0 AS HUGEINT),
@@ -7356,16 +7362,33 @@ fp AS (
            (h, b) -> (h * 1099511628211 + b) % 18446744073709551616::HUGEINT
          ) AS h
   FROM d),
+hdf AS (SELECT h, count(*) AS c FROM fp0 GROUP BY 1),
+fp AS (
+  SELECT f.conv_id, f.h FROM fp0 f JOIN hdf ON hdf.h = f.h
+  WHERE hdf.c <= {stop_df}),
 sig AS (
   SELECT conv_id,
          {mins}
   FROM fp GROUP BY 1),
+grp AS (
+  SELECT {mlist}, min(conv_id) AS rep FROM sig GROUP BY {mlist}),
+repsig AS (
+  SELECT rep AS conv_id, {mlist} FROM grp),
+member_pairs AS (
+  SELECT g.rep AS conv_a, s.conv_id AS conv_b,
+         CAST({n_bands} AS BIGINT) AS n
+  FROM sig s JOIN grp g ON {oncond}
+  WHERE s.conv_id <> g.rep),
 bands AS (
-{band_selects})
-SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
-       CAST(count(*) AS BIGINT) AS n_shared_bands
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.key = b.key AND a.conv_id < b.conv_id
+{band_selects}),
+band_pairs AS (
+  SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+         CAST(count(*) AS BIGINT) AS n
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.conv_id < b.conv_id
+  GROUP BY 1, 2)
+SELECT conv_a, conv_b, CAST(sum(n) AS BIGINT) AS n_shared_bands
+FROM (SELECT * FROM band_pairs UNION ALL SELECT * FROM member_pairs)
 GROUP BY 1, 2
 """
 
@@ -7696,7 +7719,9 @@ def _make_conv_dedup_safe_split_sql() -> str:
     base = _make_conv_near_dup_sql()
     # reuse the generated near-dup pair SQL as a subquery CTE, then
     # close the candidate graph with a recursive reachability CTE
-    pairs_body = base.split("WITH", 1)[1].rsplit("SELECT", 1)
+    # (split at the final line-start SELECT — inner "(SELECT ..."
+    # subqueries are indented or parenthesised)
+    pairs_body = base.split("WITH", 1)[1].rsplit("\nSELECT", 1)
     ctes = pairs_body[0].rstrip().rstrip(",")
     pair_select = "SELECT" + pairs_body[1]
     return f"""

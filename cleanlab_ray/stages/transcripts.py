@@ -1214,8 +1214,13 @@ CONV_BAND_ROWS = 2  # mins per LSH band (4 bands with K=8)
 _MASK63 = np.uint64(2**63 - 1)
 
 
+CONV_STOP_TURN_DF = 1000  # default boilerplate-turn occurrence cutoff
+_STOP_SET_MAX = 5_000_000  # broadcast-size guard for the stop-turn set
+
+
 def conv_near_dup(ds, conv_col: str = "conv_id", text_col: str = "text",
-                  bucket_cap: int = 4096):
+                  bucket_cap: int = 4096,
+                  stop_turn_df: int | None = CONV_STOP_TURN_DF):
     """Near-duplicate CONVERSATION detection (MinHash-LSH over the SET
     of per-turn content hashes).
 
@@ -1229,36 +1234,170 @@ def conv_near_dup(ds, conv_col: str = "conv_id", text_col: str = "text",
     (conv_a < conv_b, n_shared_bands) — downstream verification or
     :func:`...dedup.near_dup_safe_split`-style grouping consumes them.
 
+    SIGNATURE-IDENTICAL conversations (exact duplicates, and edits
+    that never displace a min) are collapsed to their lexicographic
+    min-conv REPRESENTATIVE before banding: each non-representative
+    member emits ONE (rep, member) pair with n_shared_bands = the full
+    band count (identical signatures share every band by definition),
+    and only representatives enter the LSH buckets. A 100k-strong
+    exact-dup cluster (empty convs, canned test threads — routine in
+    web-scale corpora) therefore costs O(k) member pairs instead of a
+    C(k,2) clique. The pair list is the SPANNING structure of each
+    candidate group, not the full clique — connected components are
+    identical; consumers needing cliques expand within signature
+    groups.
+
+    STOP TURNS: a turn text occurring more than ``stop_turn_df`` times
+    corpus-wide (empty strings, "ok", canned greetings) carries no
+    near-dup signal but DOMINATES the mins — two unrelated
+    conversations sharing two ubiquitous turns collide on a band, so
+    boilerplate inflates buckets with unrelated distinct signatures.
+    Such turns are removed before signatures (the stop-shingle-removal
+    semantics of ngram_jaccard's df_cap, at turn granularity);
+    conversations consisting ONLY of stop turns drop out of the
+    candidate set entirely (exact-dup handling is
+    :func:`conv_exact_dedup`'s job). ``stop_turn_df=None`` disables
+    the filter. The stop set is computed with one int-row aggregate
+    and broadcast (it is vocabulary-sized — a loud guard fires past
+    5M entries).
+
     Scale shape: turn hashing and all K transforms run in-block over
-    the text ONCE (text never shuffles); exchange 1 is a conv-keyed
-    sorted-run MIN over K ints per turn; exchange 2 groups the K/r
-    band rows per conversation by (band, key) and emits pairs inside
-    each bucket; exchange 3 sums shared-band counts per pair. A bucket
-    larger than ``bucket_cap`` conversations raises loudly (a
-    degenerate corpus — thousands of identical conversations — should
-    be exact-deduped first; the cap keeps the pair emission bounded
-    instead of silently going quadratic).
+    the text ONCE per pass (text never shuffles); exchange 0 counts
+    turn-hash occurrences (pre-combined int rows) to find stop turns;
+    exchange 1 is a conv-keyed sorted-run MIN over K ints per turn;
+    exchange 2 collapses signature groups (K-int keys); exchange 3
+    groups the K/r band rows per representative by (band, key) and
+    emits pairs inside each bucket; exchange 4 sums shared-band counts
+    per pair. A bucket with more than ``bucket_cap`` DISTINCT
+    signatures still raises loudly (a template family below the stop
+    cutoff that LSH granularity cannot separate; lower
+    CONV_BAND_ROWS, lower stop_turn_df, or raise bucket_cap) — but
+    duplicate clusters and boilerplate no longer trip it.
     """
     from cleanlab_ray.stages.dedup import polynomial_string_hashes
 
     n_bands = len(CONV_MINHASH_TRANSFORMS) // CONV_BAND_ROWS
     cap = int(bucket_cap)
 
+    slim_in = ds.select_columns([conv_col, text_col])
+
+    stop_sorted = np.empty(0, dtype=np.uint64)
+    if stop_turn_df is not None:
+        sdf = np.int64(stop_turn_df)
+
+        def hash_counts(batch: pa.Table) -> pa.Table:
+            _require_conv(batch, conv_col)
+            h = polynomial_string_hashes(batch[text_col])
+            uniq, cnt = np.unique(h, return_counts=True)
+            return pa.table({
+                "h": pa.array(uniq.astype(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+            })
+
+        df = sorted_group_agg(
+            slim_in.map_batches(hash_counts, batch_format="pyarrow"),
+            "h", {"cnt": "sum"})
+
+        def only_stop(batch: pa.Table) -> pa.Table:
+            keep = pc.greater(batch["sum(cnt)"], pa.scalar(int(sdf)))
+            return batch.filter(keep).select(["h"])
+
+        stop_rows = df.map_batches(only_stop, batch_format="pyarrow")
+        stop_tbl = stop_rows.take_all()
+        if len(stop_tbl) > _STOP_SET_MAX:
+            raise ValueError(
+                f"conv_near_dup: stop-turn set has {len(stop_tbl)} "
+                f"entries (> {_STOP_SET_MAX}) — raise stop_turn_df")
+        stop_sorted = np.sort(np.array(
+            [r["h"] for r in stop_tbl], dtype=np.int64).astype(np.uint64))
+
     def transforms(batch: pa.Table) -> pa.Table:
         _require_conv(batch, conv_col)
         h = polynomial_string_hashes(batch[text_col])  # uint64
-        cols = {conv_col: batch[conv_col]}
+        conv = batch[conv_col]
+        if len(stop_sorted):
+            pos = np.searchsorted(stop_sorted, h)
+            pos = np.minimum(pos, len(stop_sorted) - 1)
+            keep = stop_sorted[pos] != h
+            if not keep.all():
+                h = h[keep]
+                conv = conv.filter(pa.array(keep)) if not isinstance(
+                    conv, pa.ChunkedArray) else conv.combine_chunks().filter(
+                    pa.array(keep))
+        cols = {conv_col: conv}
         for k, (a, b) in enumerate(CONV_MINHASH_TRANSFORMS):
             m = (h * np.uint64(a) + np.uint64(b)) & _MASK63
             cols[f"m{k}"] = pa.array(m.astype(np.int64))
         return pa.table(cols)
 
     sig = sorted_group_agg(
-        ds.select_columns([conv_col, text_col]).map_batches(
-            transforms, batch_format="pyarrow"),
+        slim_in.map_batches(transforms, batch_format="pyarrow"),
         conv_col,
         {f"m{k}": "min" for k in range(len(CONV_MINHASH_TRANSFORMS))},
     )
+
+    K = len(CONV_MINHASH_TRANSFORMS)
+    mcols = [f"min(m{k})" for k in range(K)]
+
+    def collapse(batch: pa.Table) -> pa.Table:
+        ct = batch[conv_col].type
+        if batch.num_rows == 0:
+            return pa.table({
+                conv_col: pa.array([], ct),
+                **{c: pa.array([], pa.int64()) for c in mcols},
+                "mate": pa.array([], ct),
+                "is_rep": pa.array([], pa.bool_()),
+            })
+        arrs = [batch[c].to_numpy(zero_copy_only=False) for c in mcols]
+        starts = _run_starts(*arrs)
+        lens = np.diff(np.append(starts, batch.num_rows))
+        conv = batch[conv_col].to_numpy(zero_copy_only=False)
+        rid = np.repeat(np.arange(len(starts)), lens)
+        order = np.lexsort((conv, rid))
+        conv2 = conv[order]
+        rep = conv2[starts]                     # lexicographic min per group
+        rep_rows = {
+            conv_col: pa.array(rep, type=ct),
+            **{c: pa.array(a[starts].astype(np.int64))
+               for c, a in zip(mcols, arrs)},
+            "mate": pa.array([""] * len(starts), type=ct),
+            "is_rep": pa.array(np.ones(len(starts), dtype=bool)),
+        }
+        member_mask = np.ones(batch.num_rows, dtype=bool)
+        member_mask[starts] = False             # drop the rep itself
+        n_mem = int(member_mask.sum())
+        if not n_mem:
+            return pa.table(rep_rows)
+        rep_per_row = np.repeat(rep, lens)
+        mem_rows = {
+            conv_col: pa.array(rep_per_row[member_mask], type=ct),
+            **{c: pa.array(np.zeros(n_mem, dtype=np.int64)) for c in mcols},
+            "mate": pa.array(conv2[member_mask], type=ct),
+            "is_rep": pa.array(np.zeros(n_mem, dtype=bool)),
+        }
+        return pa.concat_tables([pa.table(rep_rows), pa.table(mem_rows)])
+
+    collapsed = _sorted_block_map(sig, mcols, collapse).materialize()
+
+    def take_reps(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["is_rep"], True)) \
+            if batch.num_rows else batch
+        return pa.table({conv_col: b[conv_col],
+                         **{c: b[c] for c in mcols}})
+
+    def take_member_pairs(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.equal(batch["is_rep"], False)) \
+            if batch.num_rows else batch
+        n = b.num_rows
+        return pa.table({
+            "conv_a": b[conv_col],
+            "conv_b": b["mate"],
+            "n": pa.array(np.full(n, K // CONV_BAND_ROWS, dtype=np.int64)),
+        })
+
+    reps = collapsed.map_batches(take_reps, batch_format="pyarrow")
+    member_pairs = collapsed.map_batches(take_member_pairs,
+                                         batch_format="pyarrow")
 
     def band_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -1286,7 +1425,7 @@ def conv_near_dup(ds, conv_col: str = "conv_id", text_col: str = "text",
             "key": pa.array(np.concatenate(keys)),
         })
 
-    banded = sig.map_batches(band_rows, batch_format="pyarrow")
+    banded = reps.map_batches(band_rows, batch_format="pyarrow")
 
     def emit_pairs(batch: pa.Table) -> pa.Table:
         from cleanlab_ray.stages.dedup import _pairs_within_runs
@@ -1305,8 +1444,10 @@ def conv_near_dup(ds, conv_col: str = "conv_id", text_col: str = "text",
         if int(lens.max()) > cap:
             raise ValueError(
                 f"conv_near_dup: a band bucket holds {int(lens.max())} "
-                f"conversations (> bucket_cap={cap}); exact-dedup the "
-                "corpus first or raise bucket_cap")
+                f"DISTINCT signatures (> bucket_cap={cap}) — a template "
+                "family the LSH granularity cannot separate; lower "
+                "CONV_BAND_ROWS, pre-filter the family, or raise "
+                "bucket_cap")
         # order conv ids inside each run so pairs come out (a < b)
         conv = batch[conv_col].to_numpy(zero_copy_only=False)
         rid = np.repeat(np.arange(len(starts)), lens)
@@ -1322,7 +1463,8 @@ def conv_near_dup(ds, conv_col: str = "conv_id", text_col: str = "text",
         })
 
     pairs = _sorted_block_map(banded, ["band", "key"], emit_pairs)
-    agg = sorted_group_agg(pairs, ["conv_a", "conv_b"], {"n": "sum"})
+    agg = sorted_group_agg(pairs.union(member_pairs),
+                           ["conv_a", "conv_b"], {"n": "sum"})
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table({

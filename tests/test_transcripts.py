@@ -783,10 +783,22 @@ def _conv_minhash_oracle(conv_texts):
         sigs[conv] = [min(((h * a + b) % M64) & M63 for h in hs)
                       for a, b in CONV_MINHASH_TRANSFORMS]
     n_bands = len(CONV_MINHASH_TRANSFORMS) // CONV_BAND_ROWS
+    # signature-identical convs collapse to their min-conv rep; members
+    # pair with the rep at the full band count, and only reps band
+    groups = {}
+    for conv, sig in sigs.items():
+        groups.setdefault(tuple(sig), []).append(conv)
     pairs = {}
-    convs = sorted(sigs)
-    for i, ca in enumerate(convs):
-        for cb in convs[i + 1:]:
+    reps = []
+    for sig, members in groups.items():
+        members.sort()
+        rep = members[0]
+        reps.append(rep)
+        for m in members[1:]:
+            pairs[(rep, m)] = n_bands
+    reps.sort()
+    for i, ca in enumerate(reps):
+        for cb in reps[i + 1:]:
             n = 0
             for bnd in range(n_bands):
                 ka = ((sigs[ca][2 * bnd] * 0x9E3779B1) & M63) ^ sigs[ca][2 * bnd + 1]
@@ -794,7 +806,7 @@ def _conv_minhash_oracle(conv_texts):
                 if ka == kb:
                     n += 1
             if n:
-                pairs[(ca, cb)] = n
+                pairs[(ca, cb)] = pairs.get((ca, cb), 0) + n
     return pairs
 
 
@@ -823,10 +835,25 @@ def test_conv_near_dup_bucket_cap(ray_session):
 
     from cleanlab_ray.stages.transcripts import conv_near_dup
 
-    rows = [(f"c{i}", t, f"same text {t}")
+    # IDENTICAL conversations no longer trip the cap: they collapse to
+    # one representative and emit a SPANNING star of (rep, member)
+    # pairs at the full band count
+    rows = [(f"c{i:02d}", t, f"same text {t}")
             for i in range(12) for t in range(3)]
+    got = {(r["conv_a"], r["conv_b"]): r["n_shared_bands"]
+           for r in conv_near_dup(_ds(rows, blocks=4),
+                                  bucket_cap=4).take_all()}
+    assert got == {("c00", f"c{i:02d}"): 4 for i in range(1, 12)}
+
+    # DISTINCT-signature near-dups sharing a band still trip it: 12
+    # convs with 6 common turns + 1 unique turn each produce >4
+    # distinct signatures colliding on the common-turn bands
+    common = [f"common turn {j} with several words" for j in range(6)]
+    rows2 = [(f"d{i}", t, txt)
+             for i in range(12)
+             for t, txt in enumerate(common + [f"unique closing remark {i}"])]
     with pytest.raises(Exception) as ei:  # ray wraps the ValueError
-        conv_near_dup(_ds(rows, blocks=4), bucket_cap=8).count()
+        conv_near_dup(_ds(rows2, blocks=4), bucket_cap=4).count()
     assert "bucket_cap" in str(ei.value)
 
 
@@ -1103,3 +1130,38 @@ def test_null_conv_keys_raise_loudly(ray_session):
     for op in ops:
         with pytest.raises(Exception, match="null .?conv"):
             op(ds).count()
+
+
+def test_conv_near_dup_stop_turns(ray_session):
+    """Boilerplate turns above stop_turn_df carry no signal: unrelated
+    conversations sharing only a ubiquitous greeting produce NO pairs,
+    while true near-dups (sharing distinctive turns) still pair."""
+    from cleanlab_ray.stages.transcripts import conv_near_dup
+
+    rows = []
+    # 6 unrelated convs all opening with the same boilerplate greeting
+    for i in range(6):
+        rows.append((f"u{i}", 0, "hello how can i help"))
+        rows.append((f"u{i}", 1, f"distinct topic {i} with words {i * 7}"))
+        rows.append((f"u{i}", 2, f"another unique line {i * 13}"))
+    # one true near-dup pair sharing distinctive turns
+    rows += [("x0", 0, "hello how can i help"),
+             ("x0", 1, "rare shared payload alpha beta"),
+             ("x0", 2, "rare shared payload gamma delta"),
+             ("x1", 0, "hello how can i help"),
+             ("x1", 1, "rare shared payload alpha beta"),
+             ("x1", 2, "rare shared payload gamma delta")]
+    got = {(r["conv_a"], r["conv_b"]): r["n_shared_bands"]
+           for r in conv_near_dup(_ds(rows, blocks=3),
+                                  stop_turn_df=3).take_all()}
+    # the greeting (8 occurrences > 3) is stopped; u* convs share
+    # nothing else -> no u-u pairs; x0/x1 share ALL remaining turns
+    # (identical signatures -> collapsed spanning pair at full bands)
+    assert got == {("x0", "x1"): 4}
+    # with the filter disabled, the greeting dominates mins and drags
+    # unrelated convs into buckets
+    got_raw = {(r["conv_a"], r["conv_b"]): r["n_shared_bands"]
+               for r in conv_near_dup(_ds(rows, blocks=3),
+                                      stop_turn_df=None).take_all()}
+    assert any(a.startswith("u") and b.startswith("u")
+               for a, b in got_raw)
