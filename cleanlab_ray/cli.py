@@ -177,7 +177,28 @@ def _cmd_transcript_audit(args) -> dict:
             {c, t, "lang"},
             lambda d: tr.conv_lang_mix(d, conv_col=c, turn_col=t)),
     }
-    ran, skipped = {}, []
+    def write_atomic(result_ds, dest: str) -> int:
+        """write_parquet into a tmp dir + rename: a kill mid-write
+        leaves only the tmp dir, so an existing ``dest`` is always a
+        COMPLETE audit — the invariant --skip-existing relies on.
+        Re-runs without --skip-existing replace (never append into)
+        a prior dest."""
+        import shutil
+
+        tmp = dest + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        out = result_ds.materialize()
+        out.write_parquet(tmp)
+        if os.path.isdir(dest):
+            shutil.rmtree(dest)
+        os.rename(tmp, dest)
+        return out.count()
+
+    def done(dest: str) -> bool:
+        return (args.skip_existing and os.path.isdir(dest)
+                and bool(os.listdir(dest)))
+
+    ran, skipped, not_fused = {}, [], []
     if args.fused:
         # one sort exchange for the whole family (conv_audit_full);
         # requires the full transcript schema
@@ -185,25 +206,32 @@ def _cmd_transcript_audit(args) -> dict:
         if not need <= cols:
             missing = sorted(need - cols)
             raise SystemExit(f"--fused needs columns {missing}")
-        out = tr.conv_audit_full(
-            ds, conv_col=c, turn_col=t,
-            session_gap_us=args.session_gap_us,
-            budget_chars=args.budget_chars).materialize()
-        out.write_parquet(f"{args.output.rstrip('/')}/full")
-        ran["full"] = out.count()
-        skipped = ["lang_mix"]  # the one audit outside the fused family
+        dest = f"{args.output.rstrip('/')}/full"
+        if done(dest):
+            ran["full"] = "kept"
+        else:
+            ran["full"] = write_atomic(
+                tr.conv_audit_full(
+                    ds, conv_col=c, turn_col=t,
+                    session_gap_us=args.session_gap_us,
+                    budget_chars=args.budget_chars), dest)
+        # lang_mix is outside the fused family — report it as
+        # not-fused (if runnable) or missing-columns (if not), never
+        # conflating the two
+        if audits["lang_mix"][0] <= cols:
+            not_fused.append("lang_mix")
+        else:
+            skipped.append("lang_mix")
     else:
         for name, (need, fn) in audits.items():
             if not need <= cols:
                 skipped.append(name)
                 continue
             dest = f"{args.output.rstrip('/')}/{name}"
-            if args.skip_existing and os.path.isdir(dest) and os.listdir(dest):
+            if done(dest):
                 ran[name] = "kept"  # resumed run: audit already on disk
                 continue
-            out = fn(ds).materialize()
-            out.write_parquet(dest)
-            ran[name] = out.count()
+            ran[name] = write_atomic(fn(ds), dest)
     payload = {
         "command": "transcript-audit",
         "output": args.output,
@@ -211,6 +239,8 @@ def _cmd_transcript_audit(args) -> dict:
         "skipped_missing_columns": skipped,
         "wall_sec": round(time.perf_counter() - t0, 3),
     }
+    if not_fused:
+        payload["not_in_fused_mode"] = not_fused
     return payload
 
 

@@ -1273,6 +1273,14 @@ def conv_near_dup(ds, conv_col: str = "conv_id", text_col: str = "text",
     cutoff that LSH granularity cannot separate; lower
     CONV_BAND_ROWS, lower stop_turn_df, or raise bucket_cap) — but
     duplicate clusters and boilerplate no longer trip it.
+
+    DELIBERATE re-scan: the stop-count pass and the transforms pass
+    each stream the (conv, text) projection from source — the text is
+    NOT materialized between them, and neither are the per-turn hash
+    rows (at 10^12 turns either would pin ~corpus-scale bytes in the
+    object store; a second streaming source scan is the cheaper
+    resource). At small inputs this shows up as one extra
+    fixed-cost pipeline execution — noise at scale.
     """
     from cleanlab_ray.stages.dedup import polynomial_string_hashes
 
@@ -1302,14 +1310,21 @@ def conv_near_dup(ds, conv_col: str = "conv_id", text_col: str = "text",
             keep = pc.greater(batch["sum(cnt)"], pa.scalar(int(sdf)))
             return batch.filter(keep).select(["h"])
 
-        stop_rows = df.map_batches(only_stop, batch_format="pyarrow")
-        stop_tbl = stop_rows.take_all()
-        if len(stop_tbl) > _STOP_SET_MAX:
+        # materialize ONCE, guard on the count BEFORE pulling rows to
+        # the driver (take_all first would OOM the driver exactly in
+        # the case the guard exists for), then pull the single int
+        # column Arrow-natively
+        stop_rows = df.map_batches(
+            only_stop, batch_format="pyarrow").materialize()
+        n_stop = stop_rows.count()
+        if n_stop > _STOP_SET_MAX:
             raise ValueError(
-                f"conv_near_dup: stop-turn set has {len(stop_tbl)} "
+                f"conv_near_dup: stop-turn set has {n_stop} "
                 f"entries (> {_STOP_SET_MAX}) — raise stop_turn_df")
-        stop_sorted = np.sort(np.array(
-            [r["h"] for r in stop_tbl], dtype=np.int64).astype(np.uint64))
+        if n_stop:
+            stop_sorted = np.sort(
+                stop_rows.to_pandas()["h"].to_numpy(
+                    dtype=np.int64).astype(np.uint64))
 
     def transforms(batch: pa.Table) -> pa.Table:
         _require_conv(batch, conv_col)
@@ -1912,12 +1927,16 @@ def conv_dedup_safe_split(ds, train_frac: float = 0.9,
     edges = pairs.map_batches(to_edges, batch_format="pyarrow")
     comp = connected_components(edges, src_col="node_a", dst_col="node_b")
 
+    # identity rows are distinguished from component rows by an
+    # explicit flag, NOT a sentinel conv value — an empty-string
+    # conv_id is a legal (non-null) key and must survive the merge
     def comp_rows(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         return pa.table({
             "node": batch["node"],
             conv_col: pa.array([""] * n, type=pa.string()),
             "root": batch["component"],
+            "is_ident": pa.array(np.zeros(n, dtype=bool)),
         })
 
     def ident_rows(batch: pa.Table) -> pa.Table:
@@ -1930,6 +1949,7 @@ def conv_dedup_safe_split(ds, train_frac: float = 0.9,
             "node": pa.array(nodes),
             conv_col: pa.array(conv, type=pa.string()),
             "root": pa.array(nodes),
+            "is_ident": pa.array(np.ones(len(conv), dtype=bool)),
         })
 
     a = comp.map_batches(comp_rows, batch_format="pyarrow")
@@ -1951,7 +1971,7 @@ def conv_dedup_safe_split(ds, train_frac: float = 0.9,
         rid = np.repeat(np.arange(len(starts)),
                         np.diff(np.append(starts, len(node))))
         run_root = np.minimum.reduceat(root, starts)
-        keep = conv != ""  # identity rows carry the conversation ids
+        keep = batch["is_ident"].to_numpy(zero_copy_only=False).astype(bool)
         if not keep.any():
             return empty
         kr, kc = rid[keep], conv[keep]

@@ -1097,6 +1097,16 @@ def test_conv_dedup_safe_split(ray_session, small_corpus):
     import pytest
     with pytest.raises(ValueError):
         conv_dedup_safe_split(ds, train_frac=1.5)
+    # an empty-string conv_id is a legal (non-null) key and must be
+    # assigned a side (regression: a "" sentinel once dropped it)
+    t2 = pa.table({
+        "conv_id": pa.array(["", "z"], pa.string()),
+        "turn_idx": pa.array([0, 0], pa.int32()),
+        "text": pa.array(["empty-key conv", "other"], pa.string()),
+    })
+    got2 = {r["conv_id"] for r in conv_dedup_safe_split(
+        rd.from_arrow(t2)).take_all()}
+    assert got2 == {"", "z"}
 
 
 def test_null_conv_keys_raise_loudly(ray_session):
