@@ -208,3 +208,23 @@ def test_cli_transcript_audit_skip_existing(ray_session, tmp_path,
     assert isinstance(m["audits"]["pii"], int)
     assert os.path.getmtime(f"{out}/structure") == mtime_before
     assert pq.read_table(f"{out}/sessions").num_rows == m["audits"]["sessions"]
+
+
+def test_cli_conv_split(ray_session, tmp_path, corpus_dir):
+    out = str(tmp_path / "conv_split")
+    metrics = str(tmp_path / "m.json")
+    assert main(["conv-split", "--input", corpus_dir,
+                 "--output", out, "--metrics-out", metrics]) == 0
+    m = json.loads(open(metrics).read())
+    assert m["convs"] == m["n_train"] + m["n_holdout"]
+    assert m["n_train"] > 0 and m["n_holdout"] > 0
+    t = pq.read_table(out)
+    assert t.num_rows == m["convs"]
+    assert set(t.column_names) == {"conv_id", "group_root", "split"}
+    # CLI output matches the library call exactly
+    import ray.data as rd
+    from cleanlab_ray.stages.transcripts import conv_dedup_safe_split
+    lib = {r["conv_id"]: r["split"] for r in
+           conv_dedup_safe_split(rd.read_parquet(corpus_dir)).take_all()}
+    cli = dict(zip(t["conv_id"].to_pylist(), t["split"].to_pylist()))
+    assert cli == lib
