@@ -218,6 +218,7 @@ def run_bench() -> dict:
         "conv_lang_mix",
         "conv_audit_full",
         "conv_dedup_safe_split",
+        "boilerplate_turns",
     ]
     # best-of-2 per query: the first run pays one-time per-worker kernel
     # warmups (numpy, regex, model tables) that aren't steady-state

@@ -7769,6 +7769,64 @@ QUERIES["conv_dedup_safe_split"] = q_conv_dedup_safe_split
 ORACLE_SQL["conv_dedup_safe_split"] = _make_conv_dedup_safe_split_sql()
 
 
+_BOILERPLATE_GATE_DF = 16  # gate-scale threshold (default 1000 never fires)
+
+
+def q_boilerplate_turns(sf_dir: str):
+    """Per-turn boilerplate flag (stages/transcripts.boilerplate_turns)
+    over a derived corpus where every did%4==0 turn carries the same
+    canned text (df = n/4 >> the gate threshold of 16) and other turns
+    keep their distinct document text. SQL-checked: occurrence counts
+    + threshold join, identically derived."""
+    from cleanlab_ray.stages.transcripts import boilerplate_turns
+
+    def derive(batch: pa.Table) -> pa.Table:
+        d = _did_from_conv_turn(batch)
+        canned = d % 4 == 0
+        txt = pc.fill_null(batch["text"], "").to_pandas().to_numpy(
+            dtype=object)
+        txt = np.where(canned, "thanks for your help", txt)
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
+            "text": pa.array(txt, type=pa.large_string()),
+        })
+
+    ds = load_transcripts(sf_dir).select_columns(
+        ["conv_id", "turn_idx", "text"]).map_batches(
+        derive, batch_format="pyarrow")
+    return boilerplate_turns(ds, stop_turn_df=_BOILERPLATE_GATE_DF)
+
+
+SQL_BOILERPLATE_TURNS = f"""
+WITH {_SQL_TR_CTE},
+d AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN doc_id % 4 = 0 THEN 'thanks for your help'
+              ELSE coalesce(text, '') END AS t
+  FROM tr),
+fp0 AS (
+  SELECT conv_id, turn_idx,
+         list_reduce(
+           list_prepend(CAST(0 AS HUGEINT),
+             [CAST(unicode(c) AS HUGEINT)
+              for c in string_split_regex(t, '') IF c <> '']),
+           (h, b) -> (h * 1099511628211 + b) % 18446744073709551616::HUGEINT
+         ) AS h
+  FROM d),
+hdf AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM fp0 GROUP BY 1)
+SELECT f.conv_id, f.turn_idx,
+       (hdf.c > {_BOILERPLATE_GATE_DF}) AS is_boilerplate,
+       CAST(CASE WHEN hdf.c > {_BOILERPLATE_GATE_DF} THEN hdf.c
+                 ELSE 0 END AS BIGINT) AS boilerplate_df
+FROM fp0 f JOIN hdf ON hdf.h = f.h
+"""
+
+
+QUERIES["boilerplate_turns"] = q_boilerplate_turns
+ORACLE_SQL["boilerplate_turns"] = SQL_BOILERPLATE_TURNS
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate checks a fixed
 # window of the FIRST 50 queries() entries. Round-5 rotation policy

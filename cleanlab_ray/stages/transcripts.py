@@ -1993,3 +1993,80 @@ def conv_dedup_safe_split(ds, train_frac: float = 0.9,
         })
 
     return _sorted_block_map(a.union(b), "node", merge)
+
+
+def boilerplate_turns(ds, stop_turn_df: int = CONV_STOP_TURN_DF,
+                      conv_col: str = "conv_id", turn_col: str = "turn_idx",
+                      text_col: str = "text"):
+    """Per-turn boilerplate flag: a turn is BOILERPLATE when its exact
+    text occurs more than ``stop_turn_df`` times corpus-wide (empty
+    strings, "ok", canned greetings/closings) — the turn-granularity
+    counterpart of CCNet line dedup, and the filter you run before
+    training so ubiquitous turns don't dominate the loss. Emits every
+    turn with ``is_boilerplate`` and ``boilerplate_df`` (the corpus
+    occurrence count for flagged turns; 0 otherwise — per-turn df for
+    NON-boilerplate turns is deliberately not materialized, keeping
+    the broadcast vocabulary-sized).
+
+    Scale shape: one pre-combined int aggregate counts turn-hash
+    occurrences (the same exchange :func:`conv_near_dup`'s stop-turn
+    stage uses); the flagged set is vocabulary-sized and broadcast
+    (loud guard past 5M entries); the output pass is MAP-ONLY — no
+    sort exchange touches the turns, text never shuffles.
+    """
+    from cleanlab_ray.stages.dedup import polynomial_string_hashes
+
+    sdf = np.int64(stop_turn_df)
+    slim_in = ds.select_columns([conv_col, turn_col, text_col])
+
+    def hash_counts(batch: pa.Table) -> pa.Table:
+        _require_conv(batch, conv_col)
+        h = polynomial_string_hashes(batch[text_col])
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({
+            "h": pa.array(uniq.astype(np.int64)),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    df = sorted_group_agg(
+        slim_in.map_batches(hash_counts, batch_format="pyarrow"),
+        "h", {"cnt": "sum"})
+
+    def only_stop(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch["sum(cnt)"], pa.scalar(int(sdf)))
+        return batch.filter(keep)
+
+    stop_rows = df.map_batches(only_stop, batch_format="pyarrow").materialize()
+    n_stop = stop_rows.count()
+    if n_stop > _STOP_SET_MAX:
+        raise ValueError(
+            f"boilerplate_turns: flagged-text set has {n_stop} entries "
+            f"(> {_STOP_SET_MAX}) — raise stop_turn_df")
+    if n_stop:
+        pdf = stop_rows.to_pandas()
+        order = np.argsort(pdf["h"].to_numpy(dtype=np.int64)
+                           .astype(np.uint64), kind="stable")
+        stop_h = pdf["h"].to_numpy(dtype=np.int64).astype(np.uint64)[order]
+        stop_c = pdf["sum(cnt)"].to_numpy(dtype=np.int64)[order]
+    else:
+        stop_h = np.empty(0, dtype=np.uint64)
+        stop_c = np.empty(0, dtype=np.int64)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        h = polynomial_string_hashes(batch[text_col])
+        if len(stop_h):
+            pos = np.searchsorted(stop_h, h)
+            pos = np.minimum(pos, len(stop_h) - 1)
+            hit = stop_h[pos] == h
+            dfv = np.where(hit, stop_c[pos], 0).astype(np.int64)
+        else:
+            hit = np.zeros(len(h), dtype=bool)
+            dfv = np.zeros(len(h), dtype=np.int64)
+        return pa.table({
+            conv_col: batch[conv_col],
+            turn_col: pc.cast(batch[turn_col], pa.int32()),
+            "is_boilerplate": pa.array(hit),
+            "boilerplate_df": pa.array(dfv),
+        })
+
+    return slim_in.map_batches(flag, batch_format="pyarrow")

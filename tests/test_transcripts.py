@@ -1175,3 +1175,26 @@ def test_conv_near_dup_stop_turns(ray_session):
                                       stop_turn_df=None).take_all()}
     assert any(a.startswith("u") and b.startswith("u")
                for a, b in got_raw)
+
+
+def test_boilerplate_turns(ray_session):
+    from cleanlab_ray.stages.transcripts import boilerplate_turns
+
+    rows = ([("c%d" % i, 0, "hello how can i help") for i in range(5)]
+            + [("c%d" % i, 1, f"unique content {i}") for i in range(5)]
+            + [("c0", 2, "hello how can i help")])  # 6th occurrence
+    got = {(r["conv_id"], r["turn_idx"]): (r["is_boilerplate"],
+                                           r["boilerplate_df"])
+           for r in boilerplate_turns(_ds(rows, blocks=3),
+                                      stop_turn_df=5).take_all()}
+    assert len(got) == 11
+    for i in range(5):
+        assert got[(f"c{i}", 0)] == (True, 6)      # greeting: df 6 > 5
+        assert got[(f"c{i}", 1)] == (False, 0)     # unique: not flagged
+    assert got[("c0", 2)] == (True, 6)
+    # threshold boundary: df == threshold is NOT boilerplate (strict >)
+    got6 = {(r["conv_id"], r["turn_idx"]): r["is_boilerplate"]
+            for r in boilerplate_turns(_ds(rows, blocks=3),
+                                       stop_turn_df=6).take_all()}
+    assert not any(got6.values())
+    assert boilerplate_turns(_ds([], blocks=1)).count() == 0
