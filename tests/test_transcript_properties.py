@@ -112,3 +112,56 @@ def test_lang_mix_matches_oracle(ray_session, rows):
                rd.from_arrow(t).repartition(3)).take_all()}
     assert got == _lang_mix_oracle(
         [(c, t_, tool) for c, t_, r, x, tool, ts in rows])
+
+
+@settings(max_examples=12, deadline=None)
+@given(corpora(), st.integers(1, 40))
+def test_context_growth_matches_oracle(ray_session, rows, budget):
+    from cleanlab_ray.stages.transcripts import context_growth
+
+    got = {r["conv_id"]: (r["total_chars"], r["n_turns"],
+                          r["first_overflow_turn"], r["n_overflow_turns"])
+           for r in context_growth(_full_ds(rows, blocks=3),
+                                   budget_chars=budget).take_all()}
+    by = {}
+    for c, t, r, x, tool, ts in rows:
+        by.setdefault(c, []).append((t, len(x or "")))
+    want = {}
+    for c, turns in by.items():
+        turns.sort()
+        cum = 0
+        first, n_over, total = -1, 0, 0
+        for t, ln in turns:
+            cum += ln
+            total += ln
+            if cum > budget:
+                n_over += 1
+                if first < 0:
+                    first = t
+        want[c] = (total, len(turns), first, n_over)
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(corpora())
+def test_conv_exact_dedup_matches_oracle(ray_session, rows):
+    from cleanlab_ray.stages.transcripts import conv_exact_dedup
+
+    got = {r["conv_id"]: (r["canonical_conv_id"], r["is_dup"])
+           for r in conv_exact_dedup(_full_ds(rows, blocks=3)).take_all()}
+    by = {}
+    for c, t, r, x, tool, ts in rows:
+        by.setdefault(c, []).append((t, r, tool, x))
+    fp = {}
+    for c, turns in by.items():
+        turns.sort(key=lambda z: z[0])
+        fp[c] = tuple(turns)
+    canon = {}
+    for c, f in fp.items():
+        canon.setdefault(f, []).append(c)
+    want = {}
+    for f, members in canon.items():
+        rep = min(members)
+        for c in members:
+            want[c] = (rep, c != rep)
+    assert got == want
