@@ -165,3 +165,43 @@ def test_conv_exact_dedup_matches_oracle(ray_session, rows):
         for c in members:
             want[c] = (rep, c != rep)
     assert got == want
+
+
+@st.composite
+def pii_corpora(draw):
+    n_convs = draw(st.integers(1, 8))
+    texts = ["clean text here", "mail me at bob@x.com", "",
+             "ssn 123-45-6789 twice 123-45-6789", "call 555-123-4567",
+             "ip 10.0.0.1 then bob@x.com", "you stupid MORON"]
+    rows = []
+    for ci in range(n_convs):
+        for t in range(draw(st.integers(1, 5))):
+            rows.append((f"c{ci}", t, "user",
+                         draw(st.sampled_from(texts)), None, 0))
+    return rows
+
+
+@settings(max_examples=12, deadline=None)
+@given(pii_corpora())
+def test_pii_density_matches_oracle(ray_session, rows):
+    from cleanlab_ray.stages.scrub import _COMPILED_PY, SCRUB_PATTERNS
+    from cleanlab_ray.stages.transcripts import pii_density
+
+    names = [n for n, _, _ in SCRUB_PATTERNS]
+    want = {}
+    for conv, _, _, text, _, _ in rows:
+        e = want.setdefault(conv, {f"n_{n}": 0 for n in names}
+                            | {"n_matches": 0, "n_pii_turns": 0,
+                               "n_turns": 0})
+        e["n_turns"] += 1
+        turn_total = 0
+        for (cre, _), n in zip(_COMPILED_PY, names):
+            c = len(cre.findall(text))
+            e[f"n_{n}"] += c
+            turn_total += c
+        e["n_matches"] += turn_total
+        if turn_total:
+            e["n_pii_turns"] += 1
+    got = {r["conv_id"]: {k: r[k] for k in want[r["conv_id"]]}
+           for r in pii_density(_full_ds(rows, blocks=3)).take_all()}
+    assert got == want
